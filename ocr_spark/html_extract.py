@@ -1,0 +1,255 @@
+"""HTML → text extraction tiers (SURVEY.md §2.2-§2.3, T1/T2/T3, P1–P10).
+
+The reference's OCR engines (Tesseract tier-1 / Google Vision tier-2,
+``app/services/tesseract_service.py:36-75`` and
+``google_vision_service.py:89-119``) are replaced by deterministic
+main-content extraction over ``html: binary``:
+
+* **tier 1** — cheap text-density/link-density boilerplate strip (the classic
+  CETR/Boilerpipe-style block heuristic): parse the DOM once, score each
+  block by length and link density, keep high-signal blocks.  Confidence =
+  percentage of text kept, mirroring the Tesseract mean-word-confidence
+  contract (``tesseract_service.py:65-67``).
+* **tier 2** — permissive full tree walk that keeps nearly everything and
+  additionally emits character **field spans** (doc numbers, plates, VINs,
+  CIFs, dates) over the extracted text — the analog of Vision word boxes
+  (T3, ``google_vision_service.py:46-87``).  Confidence is the reference's
+  hardcoded 95.0 (``google_vision_service.py:117-118``).
+
+``<pre>`` content is preserved byte-exactly (whitespace intact), which is the
+invariant the fixture pages rely on (FIXTURES.md §1).
+
+Everything here is pure Python over one document — it runs vectorized inside
+``mapInPandas``/``pandas_udf`` batches; there is no per-row Spark dispatch.
+"""
+
+from __future__ import annotations
+
+import re
+from html import unescape
+from html.parser import HTMLParser
+from typing import NamedTuple, Optional
+
+# P2 analog: content sniffing — pick the right parser branch by magic bytes.
+_PDF_MAGIC = b"%PDF"
+_RE_META_CHARSET = re.compile(rb"""<meta[^>]+charset=["']?([A-Za-z0-9_\-]+)""", re.I)
+
+# Tags whose subtree is never content (P4 analog: aggressive junk strip).
+_SKIP_SUBTREE = frozenset({"script", "style", "noscript", "template", "head",
+                           "svg", "iframe", "object"})
+# Tags that open/close a text block.
+_BLOCK_TAGS = frozenset({
+    "p", "div", "section", "article", "main", "header", "footer", "aside",
+    "nav", "ul", "ol", "li", "table", "tr", "td", "th", "h1", "h2", "h3",
+    "h4", "h5", "h6", "blockquote", "figure", "figcaption", "form", "body",
+})
+# Boilerplate containers: text inside these counts against tier-1 keep rules.
+_BOILERPLATE_TAGS = frozenset({"nav", "footer", "aside", "header", "form"})
+
+_RE_WS = re.compile(r"[ \t\r\f\v]+")
+
+# tier-1 block keep thresholds
+_T1_MIN_CHARS = 8
+_T1_MAX_LINK_DENSITY = 0.5
+# tier-2 is permissive: drops only pure link lists
+_T2_MAX_LINK_DENSITY = 0.9
+
+
+class Block(NamedTuple):
+    text: str
+    n_chars: int
+    link_chars: int
+    is_pre: bool
+    in_boilerplate: bool
+
+    @property
+    def link_density(self) -> float:
+        return self.link_chars / self.n_chars if self.n_chars else 0.0
+
+
+class _BlockCollector(HTMLParser):
+    """One-pass DOM walk segmenting text into scored blocks."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.blocks: list[Block] = []
+        self._buf: list[str] = []
+        self._link_chars = 0
+        self._skip_depth = 0
+        self._a_depth = 0
+        self._pre_depth = 0
+        self._boiler_depth = 0
+
+    # -- block lifecycle ----------------------------------------------------
+
+    def _flush(self) -> None:
+        if not self._buf:
+            return
+        raw = "".join(self._buf)
+        text = raw if self._pre_depth else _RE_WS.sub(" ", raw).strip()
+        self._buf = []
+        link_chars = self._link_chars
+        self._link_chars = 0
+        if text:
+            self.blocks.append(Block(text, len(text), min(link_chars, len(text)),
+                                     self._pre_depth > 0, self._boiler_depth > 0))
+
+    # -- HTMLParser hooks ----------------------------------------------------
+
+    def handle_starttag(self, tag, attrs):
+        if tag in _SKIP_SUBTREE:
+            self._skip_depth += 1
+            return
+        if self._skip_depth:
+            return
+        if tag == "a":
+            self._a_depth += 1
+        if tag == "br":
+            self._buf.append("\n" if self._pre_depth else " ")
+        if tag == "pre":
+            self._flush()
+            self._pre_depth += 1
+        elif tag in _BLOCK_TAGS:
+            self._flush()
+            if tag in _BOILERPLATE_TAGS:
+                self._boiler_depth += 1
+
+    def handle_endtag(self, tag):
+        if tag in _SKIP_SUBTREE:
+            self._skip_depth = max(0, self._skip_depth - 1)
+            return
+        if self._skip_depth:
+            return
+        if tag == "a":
+            self._a_depth = max(0, self._a_depth - 1)
+        if tag == "pre":
+            self._flush()
+            self._pre_depth = max(0, self._pre_depth - 1)
+        elif tag in _BLOCK_TAGS:
+            self._flush()
+            if tag in _BOILERPLATE_TAGS:
+                self._boiler_depth = max(0, self._boiler_depth - 1)
+
+    def handle_data(self, data):
+        if self._skip_depth or not data:
+            return
+        self._buf.append(data)
+        if self._a_depth:
+            self._link_chars += len(data)
+
+    def close(self):
+        super().close()
+        self._flush()
+
+
+def decode_html(data: bytes) -> str:
+    """Bytes → unicode (P1 analog): UTF-8, else declared charset, else latin-1.
+
+    Deterministic — no statistical detection.
+    """
+    try:
+        return data.decode("utf-8")
+    except UnicodeDecodeError:
+        pass
+    m = _RE_META_CHARSET.search(data[:4096])
+    if m:
+        try:
+            return data.decode(m.group(1).decode("ascii"), errors="replace")
+        except LookupError:
+            pass
+    return data.decode("latin-1", errors="replace")
+
+
+def sniff_kind(data: bytes) -> str:
+    """'pdf' | 'html' | 'text' by magic bytes (S3/P2 analog)."""
+    head = data[:256].lstrip()
+    if head.startswith(_PDF_MAGIC):
+        return "pdf"
+    if head[:1] == b"<" or b"<html" in head.lower() or b"<!doctype" in head.lower():
+        return "html"
+    return "text"
+
+
+def _segment(data: bytes) -> list[Block]:
+    kind = sniff_kind(data)
+    text = decode_html(data)
+    if kind != "html":
+        # plain text / pdf-stub: one pre-like block, kept verbatim
+        return [Block(text, len(text), 0, True, False)] if text else []
+    collector = _BlockCollector()
+    try:
+        collector.feed(text)
+        collector.close()
+    except Exception:
+        # malformed markup: degrade to tag-stripped text, never crash a batch
+        stripped = unescape(re.sub(r"<[^>]*>", " ", text))
+        stripped = _RE_WS.sub(" ", stripped).strip()
+        return [Block(stripped, len(stripped), 0, False, False)] if stripped else []
+    return collector.blocks
+
+
+def extract_tier1(data: Optional[bytes], mode: str = "standard") -> tuple[str, float]:
+    """Cheap boilerplate strip.  Returns (text, confidence 0-100).
+
+    Keep rule: ``<pre>`` always; otherwise a block survives when it is long
+    enough, not link-dominated, and (in ``aggressive`` mode) not inside a
+    nav/footer/aside/header/form container.  Confidence is the kept-text
+    fraction — the cheap tier *underreports* on boilerplate-heavy pages,
+    which is exactly what routes them to tier 2 (T5/T6).
+    """
+    if not data:
+        return "", 0.0
+    blocks = _segment(data)
+    total = sum(b.n_chars for b in blocks)
+    if total == 0:
+        return "", 0.0
+    kept: list[Block] = []
+    for b in blocks:
+        if b.is_pre:
+            kept.append(b)
+        elif b.n_chars >= _T1_MIN_CHARS and b.link_density <= _T1_MAX_LINK_DENSITY:
+            if mode == "aggressive" and b.in_boilerplate:
+                continue
+            kept.append(b)
+    text = "\n".join(b.text for b in kept)
+    confidence = 100.0 * sum(b.n_chars for b in kept) / total
+    return text, confidence
+
+
+# T3 analog: field-span detection over extracted text.
+_SPAN_PATTERNS = (
+    ("doc_number", re.compile(r"\b(\d{8}[A-Z]|[XYZ]\d{7}[A-Z])\b")),
+    ("cif", re.compile(r"\b[ABCDEFGHJKLMNPQRSUVW]\d{7}[A-J0-9]\b")),
+    ("plate", re.compile(r"\b\d{4}[A-Z]{3}\b")),
+    ("vin", re.compile(r"\b[A-HJ-NPR-Z0-9]{17}\b")),
+    ("date", re.compile(r"\b\d{2}[-/.]\d{2}[-/.]\d{4}\b")),
+    ("postal_code", re.compile(r"\b\d{5}\b")),
+)
+
+
+def detect_spans(text: str) -> list[dict]:
+    """Character spans of recognizable field shapes (tier-2 extra, T3)."""
+    spans = []
+    for field, pattern in _SPAN_PATTERNS:
+        for m in pattern.finditer(text):
+            spans.append({"field": field, "start": m.start(), "end": m.end()})
+    spans.sort(key=lambda s: (s["start"], s["end"], s["field"]))
+    return spans
+
+
+def extract_tier2(data: Optional[bytes], mode: str = "standard",
+                  with_spans: bool = True) -> tuple[str, float, list[dict]]:
+    """Permissive full-tree extraction + field spans.
+
+    Keeps every block below 0.9 link density (only pure link lists drop), so
+    short labeled values that tier 1 discards survive.  Confidence is the
+    reference's hardcoded Vision 95.0.
+    """
+    if not data:
+        return "", 0.0, []
+    blocks = _segment(data)
+    kept = [b for b in blocks if b.is_pre or b.link_density <= _T2_MAX_LINK_DENSITY]
+    text = "\n".join(b.text for b in kept)
+    if not text:
+        return "", 0.0, []
+    return text, 95.0, (detect_spans(text) if with_spans else [])

@@ -1,0 +1,248 @@
+"""The batch extraction pipeline (SURVEY.md §3.4 / §7).
+
+    pages (url, warc_ts, html, text, lang)
+      → admission gates (size cap, decodable) + quarantine      [S2–S4]
+      → resume anti-join                                        [§4.3]
+      → repartition(P, xxhash64(url) [+ salt])                  [§4.2-1]
+      → tier-1 extraction pUDF (boilerplate strip)              [T1]
+      → doc-type router (native when/contains)                  [R4]
+      → per-type fused parse+validate pUDF                      [§2.4–2.7]
+      → tier-2 branch: filter(needs_tier2) → permissive
+        extraction → re-route → re-parse → unionByName          [T2/T5/T6]
+      → write per-type datos tables + unified table + lineage
+
+Scale notes (designed for 10^12 docs / 1000 executors, tested on local[*]):
+* the only shuffle is the single explicit ``repartition`` — everything after
+  is narrow (filters, pUDFs, unions), so scaling is governed by the parse
+  stage which is embarrassingly parallel;
+* hot hosts are spread by hashing the full url (doc-level, not host-level);
+  ``--salt`` adds an extra random-ish key term for pathological cases;
+* AQE left on for post-shuffle coalesce; Arrow batch size capped because a
+  page can be ~100 KB of text (``§4.2-2``);
+* the tier-2 branch reuses the *persisted* tier-1 result, so the expensive
+  pass touches only the rows that failed the cheap pass — the reference's
+  "≤1 Vision credit per document" cost rule (``docs/API.md:85-86``).
+
+CLI::
+
+    python -m ocr_spark.job --input pages.parquet --output /out \
+        --run-date 2026-08-16 --partitions 256 [--salt 8] [--resume]
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+import uuid
+from datetime import date
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ocr_spark import lineage as lin
+from ocr_spark.functions import udfs
+from ocr_spark.functions.native import doc_type_router
+from ocr_spark.schema import PAGES_SCHEMA
+
+MAX_HTML_BYTES = 5 * 1024 * 1024  # reference's 5 MB admission cap (S4)
+
+DOC_TYPES = ("dni", "permiso_circulacion", "nif")
+
+# unified output row (same schema for every doc type → single table)
+_UNIFIED_COLS = ("url", "warc_ts", "lang", "doc_type", "tier", "tier2_reason",
+                 "extracted_text", "ocr_engine", "ocr_confidence",
+                 "valido", "confianza_global")
+
+
+def build_session(app: str = "ocr_spark", master: Optional[str] = None,
+                  shuffle_partitions: int = 64) -> SparkSession:
+    builder = (
+        SparkSession.builder.appName(app)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # pages are big rows — keep Arrow batches small enough for worker RAM
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "512")
+        .config("spark.sql.parquet.compression.codec", "zstd")
+    )
+    if master:
+        builder = builder.master(master)
+    return builder.getOrCreate()
+
+
+def read_pages(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.schema(PAGES_SCHEMA).parquet(path)
+
+
+def admission_split(pages: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(admitted, quarantined) — S2–S4 gates as native filters.
+
+    Oversized html or rows with neither html nor text are quarantined with a
+    reason instead of failing the job (the batch analog of HTTP 400).
+    """
+    reason = (
+        F.when(F.col("url").isNull(), F.lit("missing_url"))
+        .when(F.col("html").isNull() & F.col("text").isNull(), F.lit("empty_payload"))
+        .when(F.length("html") > MAX_HTML_BYTES, F.lit("oversize"))
+    )
+    tagged = pages.withColumn("_q_reason", reason)
+    admitted = tagged.filter(F.col("_q_reason").isNull()).drop("_q_reason")
+    quarantined = (tagged.filter(F.col("_q_reason").isNotNull())
+                   .select("url", F.col("_q_reason").alias("reason")))
+    return admitted, quarantined
+
+
+def spread_partitions(pages: DataFrame, partitions: int, salt: int = 0) -> DataFrame:
+    """Balance work by document, not by input-file layout (§4.2-1).
+
+    Hashing the full url already splits hot hosts across partitions; the
+    optional salt adds a second key term for adversarial key collisions.
+    """
+    if salt > 1:
+        return pages.repartition(partitions, F.xxhash64("url"),
+                                 F.pmod(F.xxhash64("url", F.lit(salt)), F.lit(salt)))
+    return pages.repartition(partitions, F.xxhash64("url"))
+
+
+def _flatten(parsed: DataFrame, doc_type: str, tier: int) -> DataFrame:
+    """routed-parse row → unified schema + the typed response struct."""
+    r = F.col("_r")
+    return parsed.select(
+        "url", "warc_ts", "lang",
+        F.lit(doc_type).alias("doc_type"),
+        F.lit(tier).alias("tier"),
+        F.col("_r.tier2_reason").alias("tier2_reason"),
+        F.col("_x.text").alias("extracted_text"),
+        r["response"]["raw"]["ocr_engine"].alias("ocr_engine"),
+        r["response"]["raw"]["ocr_confidence"].alias("ocr_confidence"),
+        r["response"]["valido"].alias("valido"),
+        r["response"]["confianza_global"].alias("confianza_global"),
+        r["response"].alias("response"),
+    )
+
+
+def run_pipeline(spark: SparkSession, input_path: str, output_path: str,
+                 run_date: date, partitions: int = 64, salt: int = 0,
+                 mode: str = "standard", resume: bool = False,
+                 tier2_enabled: bool = True, run_id: Optional[str] = None,
+                 input_df: Optional[DataFrame] = None) -> dict:
+    """Execute the full pipeline; returns run metrics (counts, digest, wall)."""
+    t0 = time.monotonic()
+    run_id = run_id or uuid.uuid4().hex[:12]
+
+    pages = input_df if input_df is not None else read_pages(spark, input_path)
+    admitted, quarantined = admission_split(pages)
+    if resume:
+        admitted = lin.anti_join_done(admitted, f"{output_path}/data")
+    admitted = spread_partitions(admitted, partitions, salt)
+
+    # --- tier 1: cheap extraction + routing ---------------------------------
+    t1 = udfs.tier1_extract_udf(mode)
+    extracted = (admitted
+                 .withColumn("_x", t1("html"))
+                 # pages with no html fall back to the text column verbatim
+                 .withColumn("_x", F.when(
+                     F.col("html").isNull(),
+                     F.struct(F.col("text").alias("text"),
+                              F.lit(100.0).alias("confidence")))
+                     .otherwise(F.col("_x")))
+                 .withColumn("doc_type", doc_type_router(F.col("_x.text"))))
+    extracted.persist()
+
+    tier2 = udfs.tier2_extract_udf(mode)
+    typed_outputs: dict[str, DataFrame] = {}
+    unified_parts: list[DataFrame] = []
+    fallback_parts: list[DataFrame] = []
+
+    for doc_type in DOC_TYPES:
+        factory, _ = udfs.PARSE_UDFS[doc_type]
+        parse1 = factory(run_date, engine=udfs.TIER1_ENGINE, route=tier2_enabled)
+        subset = extracted.filter(F.col("doc_type") == doc_type)
+        parsed = subset.withColumn("_r", parse1(F.col("_x.text"), F.col("_x.confidence")))
+        ok = parsed.filter(~F.col("_r.needs_tier2"))
+        flat = _flatten(ok, doc_type, tier=1)
+        unified_parts.append(flat.drop("response"))
+        typed_outputs[doc_type] = flat.select("url", "extracted_text", "response")
+        if tier2_enabled:
+            fallback_parts.append(
+                parsed.filter(F.col("_r.needs_tier2"))
+                .select("url", "warc_ts", "lang", "html",
+                        F.col("_r.tier2_reason").alias("_t2_reason")))
+
+    # --- tier 2: permissive extraction on the failed slice only --------------
+    if tier2_enabled and fallback_parts:
+        fallback = fallback_parts[0]
+        for part in fallback_parts[1:]:
+            fallback = fallback.unionByName(part)
+        re_extracted = (fallback
+                        .withColumn("_x2", tier2("html"))
+                        .withColumn("_x", F.struct(
+                            F.col("_x2.text").alias("text"),
+                            F.col("_x2.confidence").alias("confidence")))
+                        # re-route: the better text may reveal the true type
+                        .withColumn("doc_type", doc_type_router(F.col("_x.text"))))
+        re_extracted.persist()
+        for doc_type in DOC_TYPES:
+            factory, _ = udfs.PARSE_UDFS[doc_type]
+            parse2 = factory(run_date, engine=udfs.TIER2_ENGINE, route=False)
+            subset = re_extracted.filter(F.col("doc_type") == doc_type)
+            parsed = (subset
+                      .withColumn("_r", parse2(F.col("_x.text"), F.col("_x.confidence")))
+                      .withColumn("_r", F.col("_r").withField("tier2_reason",
+                                                              F.col("_t2_reason"))))
+            flat = _flatten(parsed, doc_type, tier=2)
+            unified_parts.append(flat.drop("response"))
+            typed_outputs[doc_type] = typed_outputs[doc_type].unionByName(
+                flat.select("url", "extracted_text", "response"))
+
+    unified = unified_parts[0]
+    for part in unified_parts[1:]:
+        unified = unified.unionByName(part)
+
+    # --- writes (data first, lineage last: write-audit-publish order) --------
+    quarantined.write.mode("overwrite").parquet(f"{output_path}/quarantine")
+    for doc_type, df in typed_outputs.items():
+        df.write.mode("overwrite").parquet(f"{output_path}/datos_{doc_type}")
+    unified.select(*_UNIFIED_COLS).write.mode("overwrite").parquet(f"{output_path}/data")
+
+    written = spark.read.parquet(f"{output_path}/data")
+    lin.lineage_rows(written, run_id).write.mode("append").parquet(
+        f"{output_path}/lineage")
+    wall_ms = int((time.monotonic() - t0) * 1000)
+    summary_df = lin.global_summary(written, run_id, wall_ms)
+    summary_df.write.mode("append").parquet(f"{output_path}/lineage_summary")
+    summary = summary_df.collect()[0].asDict()
+
+    extracted.unpersist()
+    summary["wall_ms"] = int((time.monotonic() - t0) * 1000)
+    return summary
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description="ocr_spark batch extraction pipeline")
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--run-date", required=True, help="YYYY-MM-DD (freezes the clock)")
+    ap.add_argument("--partitions", type=int, default=64)
+    ap.add_argument("--salt", type=int, default=0)
+    ap.add_argument("--mode", default="standard",
+                    choices=["standard", "aggressive", "layout"])
+    ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--no-tier2", action="store_true")
+    ap.add_argument("--master", default=None)
+    args = ap.parse_args()
+
+    spark = build_session(master=args.master, shuffle_partitions=args.partitions)
+    summary = run_pipeline(
+        spark, args.input, args.output, date.fromisoformat(args.run_date),
+        partitions=args.partitions, salt=args.salt, mode=args.mode,
+        resume=args.resume, tier2_enabled=not args.no_tier2)
+    print({k: summary[k] for k in ("run_id", "input_count", "extracted_count",
+                                   "valid_count", "tier2_count", "digest", "wall_ms")})
+
+
+if __name__ == "__main__":
+    main()

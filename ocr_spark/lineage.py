@@ -1,0 +1,78 @@
+"""Per-partition lineage rows + resume-from-checkpoint (SURVEY.md §4.3).
+
+Each run appends one row per *output partition*::
+
+    (run_id, partition_id, input_count, extracted_count, valid_count,
+     tier2_count, digest)
+
+plus one ``partition_id = -1`` summary row carrying the global digest and
+wall-clock.  ``digest`` is an **XOR-aggregate of xxhash64(url,
+extracted_text, valido, confianza)** — order-independent and
+overflow-free, so the global digest is identical at any parallelism level
+(the N vs 4N determinism check in BASELINE.md) and per-partition digests
+are stable for a fixed partition count (partition = xxhash64(url) % P).
+
+Resume = left-anti join of the input against already-written output urls —
+the durable analog of the reference's stateless "delete after use" service
+turned idempotent batch (``ROADMAP.md:155-163`` result-cache design).
+
+No PII ever lands here: only counts and hashes (Z6 redaction contract,
+``app/utils/redact.py``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+LINEAGE_COLS = ("run_id", "partition_id", "input_count", "extracted_count",
+                "valid_count", "tier2_count", "digest")
+
+
+def row_digest_col() -> F.Column:
+    """Per-row 64-bit content hash of the extraction contract fields."""
+    return F.xxhash64("url", "extracted_text", "valido", "confianza_global")
+
+
+def lineage_rows(unified: DataFrame, run_id: str) -> DataFrame:
+    """One lineage row per physical output partition of *unified*."""
+    return (
+        unified
+        .withColumn("partition_id", F.spark_partition_id())
+        .groupBy("partition_id")
+        .agg(
+            F.count("*").alias("input_count"),
+            F.count(F.when(F.length("extracted_text") > 0, 1)).alias("extracted_count"),
+            F.count(F.when(F.col("valido"), 1)).alias("valid_count"),
+            F.count(F.when(F.col("tier") == 2, 1)).alias("tier2_count"),
+            F.bit_xor(row_digest_col()).alias("digest"),
+        )
+        .withColumn("run_id", F.lit(run_id))
+        .select(*LINEAGE_COLS)
+    )
+
+
+def global_summary(unified: DataFrame, run_id: str, wall_ms: int) -> DataFrame:
+    """Single order/parallelism-independent summary row (partition_id = -1)."""
+    return (
+        unified.agg(
+            F.count("*").alias("input_count"),
+            F.count(F.when(F.length("extracted_text") > 0, 1)).alias("extracted_count"),
+            F.count(F.when(F.col("valido"), 1)).alias("valid_count"),
+            F.count(F.when(F.col("tier") == 2, 1)).alias("tier2_count"),
+            F.bit_xor(row_digest_col()).alias("digest"),
+        )
+        .withColumn("run_id", F.lit(run_id))
+        .withColumn("partition_id", F.lit(-1))
+        .withColumn("wall_ms", F.lit(wall_ms))
+        .select(*LINEAGE_COLS, "wall_ms")
+    )
+
+
+def anti_join_done(pages: DataFrame, output_data_path: str) -> DataFrame:
+    """Drop pages whose url already exists in the output (resume)."""
+    spark = pages.sparkSession
+    try:
+        done = spark.read.parquet(output_data_path).select("url")
+    except Exception:
+        return pages  # no prior output — nothing to resume from
+    return pages.join(done, on="url", how="left_anti")

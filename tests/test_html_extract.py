@@ -1,0 +1,89 @@
+"""HTML tier extraction: byte-identity of <pre> recovery + boilerplate strip."""
+
+from __future__ import annotations
+
+from html import escape
+
+import pytest
+
+from ocr_spark import pagegen
+from ocr_spark.html_extract import (decode_html, detect_spans, extract_tier1,
+                                    extract_tier2, sniff_kind)
+from tests.fixture_texts import DNI_TEXTS, NIF_TEXTS, PERMIS_TEXTS
+
+
+def wrap(text: str) -> bytes:
+    """FIXTURES.md §1 minimal wrapper."""
+    return f"<html><body><pre>{escape(text)}</pre></body></html>".encode()
+
+
+ALL_TEXTS = {f"dni/{k}": v for k, v in DNI_TEXTS.items()}
+ALL_TEXTS.update({f"permis/{k}": v for k, v in PERMIS_TEXTS.items()})
+ALL_TEXTS.update({f"nif/{k}": v for k, v in NIF_TEXTS.items()})
+
+
+@pytest.mark.parametrize("name", sorted(ALL_TEXTS))
+def test_pre_roundtrip_byte_identical(name):
+    """pipeline(html) must recover the text column byte-exactly (both tiers)."""
+    text = ALL_TEXTS[name]
+    t1, conf1 = extract_tier1(wrap(text))
+    t2, conf2, _ = extract_tier2(wrap(text))
+    if text:
+        assert t1 == text
+        assert t2 == text
+        assert conf1 == 100.0
+        assert conf2 == 95.0  # reference Vision hardcode parity
+
+
+def test_generated_pages_recoverable():
+    for i in range(300):
+        page = pagegen.page_for(i)
+        t1, c1 = extract_tier1(page["html"])
+        assert page["text"] in t1, i
+        assert 0 < c1 <= 100
+
+
+def test_boilerplate_is_stripped():
+    page = pagegen.page_for(0)  # heavy nav wrapper
+    t1, c1 = extract_tier1(page["html"])
+    assert "section 3 link" not in t1          # nav link list dropped
+    assert "var x=" not in t1                  # script dropped
+    assert "color:red" not in t1               # style dropped
+    t2, _, _ = extract_tier2(page["html"])
+    assert c1 < 100.0
+
+
+def test_aggressive_mode_drops_footer():
+    page = pagegen.page_for(1)
+    t_std, _ = extract_tier1(page["html"], mode="standard")
+    t_aggr, _ = extract_tier1(page["html"], mode="aggressive")
+    assert "example corporation" in t_std
+    assert "example corporation" not in t_aggr
+    assert page["text"] in t_aggr
+
+
+def test_sniff_and_decode():
+    assert sniff_kind(b"%PDF-1.4 ...") == "pdf"
+    assert sniff_kind(b"<!doctype html><html>") == "html"
+    assert sniff_kind("plain words".encode()) == "text"
+    assert decode_html("café".encode("utf-8")) == "café"
+    latin = "a\xf1o".encode("latin-1")
+    assert decode_html(latin) == "a\xf1o"
+    declared = b'<meta charset="latin-1"><p>a\xf1o</p>'
+    assert "a\xf1o" in decode_html(declared)
+
+
+def test_malformed_html_degrades_not_crashes():
+    text, conf = extract_tier1(b"<div><<<>>> <p unterminated")
+    assert isinstance(text, str)
+    t2, _, spans = extract_tier2(b"\x00\xff\xfe garbage bytes <")
+    assert isinstance(t2, str) and isinstance(spans, list)
+
+
+def test_spans_detect_field_shapes():
+    text = "DNI 77612097T\nCIF B76261874\nmatricula 1177MTM\n26-07-2016"
+    spans = detect_spans(text)
+    fields = {s["field"] for s in spans}
+    assert {"doc_number", "cif", "plate", "date"} <= fields
+    for s in spans:
+        assert text[s["start"]:s["end"]]  # spans index the extracted text

@@ -1,0 +1,139 @@
+"""Spark pipeline integration: routing, tiers, lineage, determinism, resume."""
+
+from __future__ import annotations
+
+from datetime import date
+from html import escape
+
+import pytest
+from pyspark.sql import functions as F
+
+from ocr_spark import pagegen
+from ocr_spark.functions.native import doc_type_router
+from ocr_spark.job import admission_split, run_pipeline
+from ocr_spark.parsers import dni as dni_parser
+from tests.conftest import RUN_DATE
+from tests.fixture_texts import DNI_TEXTS
+
+N_PAGES = 240
+
+
+@pytest.fixture(scope="module")
+def pages_path(tmp_path_factory):
+    path = tmp_path_factory.mktemp("pages") / "pages.parquet"
+    pagegen.write_local(N_PAGES, str(path))
+    return str(path)
+
+
+@pytest.fixture(scope="module")
+def pipeline_out(spark, pages_path, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("out") / "run1")
+    summary = run_pipeline(spark, pages_path, out, RUN_DATE, partitions=8)
+    return out, summary
+
+
+def test_counts_and_coverage(spark, pipeline_out, pages_path):
+    out, summary = pipeline_out
+    assert summary["input_count"] == N_PAGES
+    assert summary["extracted_count"] == N_PAGES
+    data = spark.read.parquet(f"{out}/data")
+    assert data.count() == N_PAGES
+    assert data.select("url").distinct().count() == N_PAGES  # exactly-once
+    types = {r["doc_type"] for r in data.select("doc_type").distinct().collect()}
+    assert types == {"dni", "permiso_circulacion", "nif"}
+
+
+def test_extracted_text_contains_source_block(spark, pipeline_out, pages_path):
+    out, _ = pipeline_out
+    data = spark.read.parquet(f"{out}/data")
+    src = spark.read.parquet(pages_path).select("url", F.col("text").alias("expected"))
+    lost = data.join(src, "url").filter(F.instr("extracted_text", F.col("expected")) == 0)
+    assert lost.count() == 0
+
+
+def test_typed_outputs_match_pure_parser(spark, pipeline_out, pages_path):
+    """Spark response struct == pure-Python kernel on the same extracted text."""
+    out, _ = pipeline_out
+    rows = (spark.read.parquet(f"{out}/datos_dni")
+            .select("url", "extracted_text", "response").limit(30).collect())
+    assert rows
+    for row in rows:
+        datos, raw_mrz = dni_parser.parse(row["extracted_text"], RUN_DATE)
+        resp = dni_parser.validate(datos, raw_mrz,
+                                   row["response"]["raw"]["ocr_engine"],
+                                   row["response"]["raw"]["ocr_confidence"], RUN_DATE)
+        got = row["response"].asDict(recursive=True)
+        assert got["valido"] == resp["valido"]
+        assert got["confianza_global"] == resp["confianza_global"]
+        assert got["datos"]["numero_documento"] == resp["datos"]["numero_documento"]
+        assert got["datos"]["apellidos"] == resp["datos"]["apellidos"]
+        assert [e["code"] for e in got["errores_detectados"]] == \
+               [e["code"] for e in resp["errores_detectados"]]
+
+
+def test_rerun_digest_identical(spark, pages_path, tmp_path):
+    """Same input + same run-date ⇒ identical global digest (determinism)."""
+    s1 = run_pipeline(spark, pages_path, str(tmp_path / "a"), RUN_DATE, partitions=8)
+    s2 = run_pipeline(spark, pages_path, str(tmp_path / "b"), RUN_DATE, partitions=4)
+    assert s1["digest"] == s2["digest"]
+    assert s1["valid_count"] == s2["valid_count"]
+
+
+def test_lineage_rows(spark, pipeline_out):
+    out, summary = pipeline_out
+    lineage = spark.read.parquet(f"{out}/lineage")
+    assert lineage.agg(F.sum("input_count")).collect()[0][0] == N_PAGES
+    got = lineage.agg(F.bit_xor("digest")).collect()[0][0]
+    # XOR of per-partition digests == global digest (order independence)
+    assert got == summary["digest"]
+
+
+def test_quarantine(spark, tmp_path):
+    big = b"x" * (6 * 1024 * 1024)
+    df = spark.createDataFrame(
+        [("u-big", None, big, None, "es"), ("u-null", None, None, None, "es"),
+         ("u-ok", None, b"<html><body><pre>APELLIDOS</pre></body></html>", None, "es")],
+        schema="url string, warc_ts timestamp, html binary, text string, lang string")
+    admitted, quarantined = admission_split(df)
+    q = {r["url"]: r["reason"] for r in quarantined.collect()}
+    assert q == {"u-big": "oversize", "u-null": "empty_payload"}
+    assert [r["url"] for r in admitted.collect()] == ["u-ok"]
+
+
+def test_resume_skips_done(spark, pages_path, tmp_path):
+    out = str(tmp_path / "resume")
+    run_pipeline(spark, pages_path, out, RUN_DATE, partitions=4)
+    # second run with resume: everything already extracted → 0 new rows
+    s2 = run_pipeline(spark, pages_path, out, RUN_DATE, partitions=4, resume=True,
+                      run_id="resume2")
+    assert s2["input_count"] == 0
+
+
+def test_doc_router(spark):
+    rows = [("PERMISO DE CIRCULACIÓN\nA 1177MTM", "permiso_circulacion"),
+            ("TARJETA DE IDENTIFICACIÓN FISCAL\nB76261874", "nif"),
+            ("APELLIDOS\nCOLL", "dni"),
+            ("IDESPBHV1227380", "dni"),
+            ("random prose", "dni"),
+            ("B76261874 something", "nif"),
+            ("D.1\nTOYOTA", "permiso_circulacion")]
+    df = spark.createDataFrame([(t,) for t, _ in rows], ["text"])
+    got = [r[0] for r in df.select(doc_type_router(F.col("text"))).collect()]
+    assert got == [expected for _, expected in rows]
+
+
+def test_fixture_pages_through_pipeline(spark, tmp_path):
+    """FIXTURES.md §2 replay: per-url extracted text byte-identical."""
+    rows = [(f"fixture://dni/{name}", None,
+             f"<html><body><pre>{escape(text)}</pre></body></html>".encode(),
+             text, "es")
+            for name, text in DNI_TEXTS.items() if text.strip()]
+    df = spark.createDataFrame(
+        rows, schema="url string, warc_ts timestamp, html binary, text string, lang string")
+    out = str(tmp_path / "fixtures")
+    run_pipeline(spark, None, out, RUN_DATE, partitions=2, input_df=df)
+    data = spark.read.parquet(f"{out}/data").select("url", "extracted_text").collect()
+    expected = {f"fixture://dni/{n}": t for n, t in DNI_TEXTS.items()}
+    assert len(data) == len(rows)
+    for row in data:
+        assert row["extracted_text"] == expected[row["url"]], row["url"]
