@@ -1,38 +1,588 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship extraction over sf0.001.
+``queries()``   — one entry per implemented operator (SURVEY.md §2 + the
+                  training-data operator suite), each taking (spark, sf_dir).
+``oracle_sql()``— DuckDB twins for the SQL-expressible subset; operators with
+                  no SQL form (MinHash/SimHash LSH, IVF ANN, the full fused
+                  parser UDFs, media decode) are rows-only checks.
+
+Engine-portability rules used throughout (so value-hashes match):
+  * money/measure sums are integer cents (``CAST(round(x*100) AS BIGINT)``)
+    — order-independent, no float summation drift;
+  * ratios are scaled integers via ``floor``;
+  * every computed column is aliased identically in both engines;
+  * timestamps are compared as formatted strings.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
+from datetime import date
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from ocr_spark.functions import native, udfs
+from ocr_spark.operators import dedup, similarity, textstats
+from ocr_spark.operators import multimodal
+
+RUN_DATE = date(2026, 8, 16)  # frozen clock for byte-stable outputs
+RUN_YEAR = RUN_DATE.year
+
+_DOCS = "{sf}/documents.parquet"
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(_DOCS.format(sf=sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# flagship
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Extraction over the sf0.001 documents table: route each text through
+    the doc-type router, run the fused DNI parse+validate UDF, and summarize
+    validity/confidence per routed type — the 'how many are valido?' query.
+    """
+    docs = _docs(spark, "/root/testdata/sf0.001")
+    parse = udfs.dni_parse_udf(RUN_DATE, engine=udfs.TIER1_ENGINE, route=True)
+    routed = (docs
+              .withColumn("doc_type", native.doc_type_router(F.col("text")))
+              .withColumn("_r", parse(F.col("text"), F.lit(95.0))))
+    return (routed
+            .groupBy("doc_type")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum(F.col("_r.response.valido").cast("int")).alias("n_valido"),
+                 F.sum("_r.response.confianza_global").alias("sum_conf"),
+                 F.sum(F.col("_r.needs_tier2").cast("int")).alias("n_tier2"))
+            .orderBy("doc_type"))
+
+
+# ---------------------------------------------------------------------------
+# queries — SQL-expressible operators (oracle-checked)
+# ---------------------------------------------------------------------------
+
+def q_token_count(spark, sf_dir):
+    return (_docs(spark, sf_dir)
+            .select("doc_id", textstats.token_count(F.col("text")).alias("n_tokens"))
+            .orderBy("doc_id"))
+
+
+def q_language_id(spark, sf_dir):
+    return (_docs(spark, sf_dir)
+            .select("doc_id", textstats.language_id(F.col("text")).alias("lang_guess")))
+
+
+def q_quality_features(spark, sf_dir):
+    return (textstats.quality_features(_docs(spark, sf_dir))
+            .select("doc_id", "n_chars_calc", "n_tokens", "avg_token_len_x100",
+                    "digit_ratio_x1000", "upper_ratio_x1000", "quality_ok"))
+
+
+def q_fingerprint(spark, sf_dir):
+    return (_docs(spark, sf_dir)
+            .select("doc_id", textstats.fingerprint(F.col("text")).alias("fp")))
+
+
+def q_exact_duplicates(spark, sf_dir):
+    return dedup.exact_duplicates(_docs(spark, sf_dir))
+
+
+def q_fingerprint_groups(spark, sf_dir):
+    return (_docs(spark, sf_dir)
+            .select(textstats.fingerprint(F.col("text")).alias("fp"), "doc_id")
+            .groupBy("fp")
+            .agg(F.count("*").cast("bigint").alias("n_dups"),
+                 F.min("doc_id").alias("keep_id")))
+
+
+def _synth_docnum(doc_id):
+    """8-digit number + letter; letter correct only for even ids."""
+    num = (doc_id * F.lit(48271)) % 100000000
+    shift = doc_id % 2
+    letter = F.substring(F.lit(native.DNI_CHECK_LETTERS),
+                         ((num % 23 + shift) % 23 + 1).cast("int"), 1)
+    return F.concat(F.lpad(num.cast("string"), 8, "0"), letter)
+
+
+def q_dni_check_letter(spark, sf_dir):
+    doc = _synth_docnum(F.col("doc_id"))
+    return (_docs(spark, sf_dir)
+            .select("doc_id", doc.alias("doc_num"),
+                    native.dni_expected_letter(doc).alias("expected_letter"),
+                    native.dni_is_valid(doc).alias("is_valid")))
+
+
+def q_cif_control(spark, sf_dir):
+    body = F.lpad(((F.col("doc_id") * 7919) % 10000000).cast("string"), 7, "0")
+    cif = F.concat(F.lit("B"), body, F.lit("0"))
+    return (_docs(spark, sf_dir)
+            .select("doc_id", cif.alias("cif_raw"),
+                    native.cif_control_digit(cif).cast("int").alias("control_digit"),
+                    native.cif_is_valid(
+                        F.concat(F.lit("B"), body,
+                                 native.cif_control_digit(cif).cast("string"))
+                    ).alias("valid_when_correct")))
+
+
+def q_plate_ocr_correct(spark, sf_dir):
+    raw = F.concat(F.substring(F.lit("OISBZG"), (F.col("doc_id") % 6 + 1).cast("int"), 1),
+                   F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+                   F.lit("MT"),
+                   F.substring(F.lit("081"), (F.col("doc_id") % 3 + 1).cast("int"), 1))
+    return (_docs(spark, sf_dir)
+            .select("doc_id", raw.alias("raw_plate"),
+                    native.plate_ocr_correct(raw).alias("corrected")))
+
+
+def q_id_ocr_correct(spark, sf_dir):
+    confusion = F.substring(F.lit("OISBZ"), (F.col("doc_id") % 5 + 1).cast("int"), 1)
+    digits = F.lpad((F.col("doc_id") % 1000000).cast("string"), 6, "0")
+    # leading char must be a digit (DNI) or X (NIE) or the corrector —
+    # faithfully to the reference — leaves the string untouched
+    raw = (F.when(F.col("doc_id") % 2 == 0,
+                  F.concat(F.lit("7"), confusion, digits, F.lit("T")))
+           .otherwise(F.concat(F.lit("X"), confusion, digits, F.lit("L"))))
+    return (_docs(spark, sf_dir)
+            .select("doc_id", raw.alias("raw_id"),
+                    native.id_ocr_correct(raw).alias("corrected")))
+
+
+def q_iso_from_dmy(spark, sf_dir):
+    dd = F.col("doc_id") % 35
+    mm = F.col("doc_id") % 15
+    yyyy = F.lit(1980) + F.col("doc_id") % 50
+    raw = F.concat(F.lpad(dd.cast("string"), 2, "0"), F.lit("/"),
+                   F.lpad(mm.cast("string"), 2, "0"), F.lit("/"),
+                   yyyy.cast("string"))
+    return (_docs(spark, sf_dir)
+            .select("doc_id", raw.alias("raw_date"),
+                    native.iso_from_dmy(raw).alias("iso")))
+
+
+def q_confidence_score(spark, sf_dir):
+    d = F.col("doc_id")
+    return (_docs(spark, sf_dir)
+            .select("doc_id",
+                    native.confidence_native(
+                        d % 3, d % 4, d % 6, d % 5,
+                        (d % 101).cast("double")).alias("confianza")))
+
+
+def q_mrz_year_pivot(spark, sf_dir):
+    yy = (F.col("doc_id") % 100).cast("int")
+    return (_docs(spark, sf_dir)
+            .select("doc_id", native.mrz_year_pivot(yy, RUN_YEAR).alias("year4")))
+
+
+def q_doc_type_router(spark, sf_dir):
+    probe = (F.when(F.col("doc_id") % 4 == 0, F.lit("PERMISO DE CIRCULACIÓN A 1177MTM"))
+             .when(F.col("doc_id") % 4 == 1,
+                   F.lit("TARJETA DE IDENTIFICACIÓN FISCAL B76261874"))
+             .when(F.col("doc_id") % 4 == 2, F.lit("APELLIDOS GARCIA"))
+             .otherwise(F.col("text")))
+    return (_docs(spark, sf_dir)
+            .select("doc_id", native.doc_type_router(probe).alias("doc_type")))
+
+
+def q_regex_extract_doc(spark, sf_dir):
+    return (_docs(spark, sf_dir)
+            .select("doc_id",
+                    F.nullif(F.regexp_extract(
+                        F.col("text"), native.RE_DOC, 1), F.lit("")).alias("doc_num")))
+
+
+def q_corpus_rollup(spark, sf_dir):
+    return (_docs(spark, sf_dir)
+            .groupBy("lang", "source")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("n_chars").alias("sum_chars"),
+                 F.min("n_chars").alias("min_chars"),
+                 F.max("n_chars").alias("max_chars")))
+
+
+def q_tpch_q1(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    cents = lambda c: F.sum(F.round(F.col(c) * 100).cast("bigint"))  # noqa: E731
+    return (li.filter(F.col("l_shipdate") <= "1998-09-02")
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(cents("l_quantity").alias("sum_qty_x100"),
+                 cents("l_extendedprice").alias("sum_base_x100"),
+                 F.sum(F.round(F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                               * 100).cast("bigint")).alias("sum_disc_x100"),
+                 F.count("*").alias("count_order")))
+
+
+def q_revenue_by_region(spark, sf_dir):
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    region = spark.read.parquet(f"{sf_dir}/region.parquet")
+    return (orders
+            .join(customer, orders.o_custkey == customer.c_custkey)
+            .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+            .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+            .groupBy("r_name")
+            .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+                 .alias("revenue_x100"),
+                 F.count("*").alias("n_orders")))
+
+
+def q_events_hourly(spark, sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    hour = F.date_format("ts", "yyyy-MM-dd HH").alias("hour")
+    return (ev.groupBy("event_type", hour)
+            .agg(F.count("*").alias("n_events"),
+                 F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("sum_value_x100")))
+
+
+def q_embedding_norms(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    norm = F.expr("sqrt(aggregate(transform(embedding, x -> CAST(x AS DOUBLE) * x), "
+                  "0D, (acc, x) -> acc + x))")
+    return emb.select("vec_id", "label", F.round(norm, 4).alias("l2_norm"))
+
+
+def q_embedding_topk(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return similarity.cosine_topk_bruteforce(emb, queries, k=5)
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    return dedup.ngram_jaccard_pairs(_docs(spark, sf_dir), n=3, threshold=0.3)
+
+
+# ---------------------------------------------------------------------------
+# queries — rows-only (no clean SQL form; driver records weaker check)
+# ---------------------------------------------------------------------------
+
+def q_minhash_near_dups(spark, sf_dir):
+    return dedup.near_duplicates_minhash(_docs(spark, sf_dir), threshold=0.5)
+
+
+def q_simhash_near_dups(spark, sf_dir):
+    return dedup.near_duplicates_simhash(_docs(spark, sf_dir), max_hamming=3)
+
+
+def q_embedding_near_dups(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return dedup.near_duplicates_embedding(emb, threshold=0.9)
+
+
+def q_embedding_ann_ivf(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    centroids, assigned = similarity.ivf_build(emb, n_cells=8)
+    queries = emb.filter(F.col("vec_id") < 5)
+    return similarity.cosine_topk_ivf(assigned, centroids, queries, k=5, n_probe=3)
+
+
+def q_extract_dni(spark, sf_dir):
+    parse = udfs.dni_parse_udf(RUN_DATE, engine=udfs.TIER1_ENGINE, route=True)
+    return (_docs(spark, sf_dir)
+            .withColumn("_r", parse(F.col("text"), F.lit(95.0)))
+            .select("doc_id",
+                    F.col("_r.response.valido").alias("valido"),
+                    F.col("_r.response.confianza_global").alias("confianza_global"),
+                    F.col("_r.response.datos.numero_documento").alias("numero_documento"),
+                    F.col("_r.needs_tier2").alias("needs_tier2")))
+
+
+def q_extract_permis(spark, sf_dir):
+    parse = udfs.permis_parse_udf(RUN_DATE, engine=udfs.TIER1_ENGINE, route=True)
+    return (_docs(spark, sf_dir)
+            .withColumn("_r", parse(F.col("text"), F.lit(95.0)))
+            .select("doc_id",
+                    F.col("_r.response.valido").alias("valido"),
+                    F.col("_r.response.confianza_global").alias("confianza_global"),
+                    F.col("_r.response.datos.matricula").alias("matricula")))
+
+
+def q_extract_nif(spark, sf_dir):
+    parse = udfs.nif_parse_udf(RUN_DATE, engine=udfs.TIER1_ENGINE, route=True)
+    return (_docs(spark, sf_dir)
+            .withColumn("_r", parse(F.col("text"), F.lit(95.0)))
+            .select("doc_id",
+                    F.col("_r.response.valido").alias("valido"),
+                    F.col("_r.response.confianza_global").alias("confianza_global"),
+                    F.col("_r.response.datos.numero_nif").alias("numero_nif")))
+
+
+def q_media_features(spark, sf_dir):
+    media = multimodal.synthetic_media(spark, rows=64)
+    return multimodal.extract_media_features(media, deterministic_fake=True) \
+        .select("media_id", "kind", "n_bytes", "sha_prefix")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        # text analysis
+        "token_count": q_token_count,
+        "language_id": q_language_id,
+        "quality_features": q_quality_features,
+        "fingerprint": q_fingerprint,
+        # dedup
+        "exact_duplicates": q_exact_duplicates,
+        "fingerprint_groups": q_fingerprint_groups,
+        "ngram_jaccard": q_ngram_jaccard,
+        "minhash_near_dups": q_minhash_near_dups,
+        "simhash_near_dups": q_simhash_near_dups,
+        "embedding_near_dups": q_embedding_near_dups,
+        # extraction scalar operators (native forms)
+        "dni_check_letter": q_dni_check_letter,
+        "cif_control": q_cif_control,
+        "plate_ocr_correct": q_plate_ocr_correct,
+        "id_ocr_correct": q_id_ocr_correct,
+        "iso_from_dmy": q_iso_from_dmy,
+        "confidence_score": q_confidence_score,
+        "mrz_year_pivot": q_mrz_year_pivot,
+        "doc_type_router": q_doc_type_router,
+        "regex_extract_doc": q_regex_extract_doc,
+        # full fused extraction (rows-only)
+        "extract_dni": q_extract_dni,
+        "extract_permis": q_extract_permis,
+        "extract_nif": q_extract_nif,
+        # relational infrastructure
+        "corpus_rollup": q_corpus_rollup,
+        "tpch_q1": q_tpch_q1,
+        "revenue_by_region": q_revenue_by_region,
+        "events_hourly": q_events_hourly,
+        # similarity / embeddings
+        "embedding_norms": q_embedding_norms,
+        "embedding_topk": q_embedding_topk,
+        "embedding_ann_ivf": q_embedding_ann_ivf,
+        # multimodal plumbing
+        "media_features": q_media_features,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles
+# ---------------------------------------------------------------------------
+
+_TOKENS_SQL = "len(regexp_split_to_array(trim(text), '\\s+'))"
+_NTOK = f"CASE WHEN length(trim(text)) = 0 THEN 0 ELSE {_TOKENS_SQL} END"
+
+_LANG_SQL = """
+CASE WHEN regexp_matches(text, '[一-鿿]') THEN 'zh'
+     WHEN {de} THEN 'de' WHEN {fr} THEN 'fr' WHEN {es} THEN 'es'
+     WHEN {en} THEN 'en' ELSE 'und' END
+""".format(**{
+    lang: " OR ".join(
+        f"contains(' ' || lower(text) || ' ', ' {w} ')" for w in words)
+    for lang, words in
+    [("de", ("der", "und", "die", "nicht", "das")),
+     ("fr", ("le", "les", "des", "une", "est")),
+     ("es", ("el", "los", "que", "una", "del")),
+     ("en", ("the", "and", "of", "is", "that"))]
+})
+
+_FP_SQL = "md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))"
+
+_DNI_TABLE = "TRWAGMYFPDXBNJZSQVHLCKE"
+
+_SYNTH_DOC = ("lpad(CAST((doc_id * 48271) % 100000000 AS VARCHAR), 8, '0') || "
+              f"substr('{_DNI_TABLE}', CAST(((doc_id * 48271) % 100000000) % 23 "
+              "+ (doc_id % 2) AS INT) % 23 + 1, 1)")
+
+_CIF_FOLD = ("(CASE WHEN 2*{d} >= 10 THEN 2*{d} - 9 ELSE 2*{d} END)")
+
+
+def _cif_control_sql(body: str) -> str:
+    def d(i: int) -> str:
+        return f"CAST(substr({body}, {i}, 1) AS INT)"
+    odd = " + ".join(_CIF_FOLD.format(d=d(i)) for i in (1, 3, 5, 7))
+    even = " + ".join(d(i) for i in (2, 4, 6))
+    return f"((10 - ({odd} + {even}) % 10) % 10)"
+
+
+_NGRAM_SQL = """
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+  FROM documents
+), grams AS (
+  SELECT doc_id, len(t) AS nt,
+         list_distinct(list_transform(
+             generate_series(0, greatest(len(t) - 3, 0)),
+             i -> array_to_string(t[i+1:i+3], ' '))) AS g
+  FROM toks
+), sizes AS (
+  SELECT doc_id, len(g) AS n_grams FROM grams
+), exploded AS (
+  SELECT doc_id, unnest(g) AS gram FROM grams
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+  FROM exploded a JOIN exploded b USING (gram)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       round(inter * 1.0 / (sa.n_grams + sb.n_grams - inter), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE inter * 1.0 / (sa.n_grams + sb.n_grams - inter) >= 0.3
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    doc = _SYNTH_DOC
+    body = "lpad(CAST((doc_id * 7919) % 10000000 AS VARCHAR), 7, '0')"
+    control = _cif_control_sql(body)
+    raw_plate = ("substr('OISBZG', CAST(doc_id % 6 AS INT) + 1, 1) || "
+                 "lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || 'MT' || "
+                 "substr('081', CAST(doc_id % 3 AS INT) + 1, 1)")
+    confusion = "substr('OISBZ', CAST(doc_id % 5 AS INT) + 1, 1)"
+    digits6 = "lpad(CAST(doc_id % 1000000 AS VARCHAR), 6, '0')"
+    raw_id = (f"CASE WHEN doc_id % 2 = 0 THEN '7' || {confusion} || {digits6} || 'T' "
+              f"ELSE 'X' || {confusion} || {digits6} || 'L' END")
+    raw_date = ("lpad(CAST(doc_id % 35 AS VARCHAR), 2, '0') || '/' || "
+                "lpad(CAST(doc_id % 15 AS VARCHAR), 2, '0') || '/' || "
+                "CAST(1980 + doc_id % 50 AS VARCHAR)")
+    return {
+        "token_count": f"SELECT doc_id, CAST({_NTOK} AS BIGINT) AS n_tokens "
+                       "FROM documents ORDER BY doc_id",
+        "language_id": f"SELECT doc_id, {_LANG_SQL} AS lang_guess FROM documents",
+        "quality_features": f"""
+            SELECT doc_id,
+                   CAST(length(text) AS BIGINT) AS n_chars_calc,
+                   CAST({_NTOK} AS BIGINT) AS n_tokens,
+                   CASE WHEN {_NTOK} > 0 THEN CAST(floor(length(text) * 100.0 / ({_NTOK})) AS BIGINT) ELSE 0 END AS avg_token_len_x100,
+                   CASE WHEN length(text) > 0 THEN CAST(floor((length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))) * 1000.0 / length(text)) AS BIGINT) ELSE 0 END AS digit_ratio_x1000,
+                   CASE WHEN length(text) > 0 THEN CAST(floor((length(text) - length(regexp_replace(text, '[A-Z]', '', 'g'))) * 1000.0 / length(text)) AS BIGINT) ELSE 0 END AS upper_ratio_x1000,
+                   (length(text) >= 20 AND {_NTOK} >= 5
+                    AND (CASE WHEN {_NTOK} > 0 THEN CAST(floor(length(text) * 100.0 / ({_NTOK})) AS BIGINT) ELSE 0 END) BETWEEN 200 AND 1200
+                    AND (CASE WHEN length(text) > 0 THEN CAST(floor((length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))) * 1000.0 / length(text)) AS BIGINT) ELSE 0 END) < 300) AS quality_ok
+            FROM documents""",
+        "fingerprint": f"SELECT doc_id, {_FP_SQL} AS fp FROM documents",
+        "exact_duplicates": f"""
+            SELECT {_FP_SQL} AS fingerprint, CAST(count(*) AS BIGINT) AS n_dups,
+                   min(doc_id) AS keep_id
+            FROM documents GROUP BY 1 HAVING count(*) >= 2""",
+        "fingerprint_groups": f"""
+            SELECT {_FP_SQL} AS fp, CAST(count(*) AS BIGINT) AS n_dups,
+                   min(doc_id) AS keep_id
+            FROM documents GROUP BY 1""",
+        "ngram_jaccard": _NGRAM_SQL,
+        "dni_check_letter": f"""
+            SELECT doc_id, {doc} AS doc_num,
+                   substr('{_DNI_TABLE}',
+                          CAST(CAST(substr({doc}, 1, 8) AS BIGINT) % 23 AS INT) + 1,
+                          1) AS expected_letter,
+                   substr({doc}, 9, 1) = substr('{_DNI_TABLE}',
+                          CAST(CAST(substr({doc}, 1, 8) AS BIGINT) % 23 AS INT) + 1,
+                          1) AS is_valid
+            FROM documents""",
+        "cif_control": f"""
+            SELECT doc_id, 'B' || {body} || '0' AS cif_raw,
+                   CAST({control} AS INT) AS control_digit,
+                   true AS valid_when_correct
+            FROM documents""",
+        "plate_ocr_correct": f"""
+            SELECT doc_id, {raw_plate} AS raw_plate,
+                   translate(substr({raw_plate}, 1, 4), 'OISBZG', '015826') ||
+                   translate(substr({raw_plate}, 5, 3), '081', 'OBI') AS corrected
+            FROM documents""",
+        "id_ocr_correct": f"""
+            SELECT doc_id, {raw_id} AS raw_id,
+                   CASE WHEN doc_id % 2 = 0
+                        THEN translate(substr({raw_id}, 1, 8), 'OISBZ', '01582') || substr({raw_id}, 9)
+                        ELSE substr({raw_id}, 1, 1) || translate(substr({raw_id}, 2, 7), 'OISBZ', '01582') || substr({raw_id}, 9) END AS corrected
+            FROM documents""",
+        "iso_from_dmy": f"""
+            SELECT doc_id, {raw_date} AS raw_date,
+                   CASE WHEN (doc_id % 35) BETWEEN 1 AND 31 AND (doc_id % 15) BETWEEN 1 AND 12
+                        THEN CAST(1980 + doc_id % 50 AS VARCHAR) || '-' ||
+                             lpad(CAST(doc_id % 15 AS VARCHAR), 2, '0') || '-' ||
+                             lpad(CAST(doc_id % 35 AS VARCHAR), 2, '0')
+                   END AS iso
+            FROM documents""",
+        "confidence_score": """
+            SELECT doc_id,
+                   CAST(greatest(0, least(100, floor(
+                       (100 - (doc_id % 3) * 35 - (doc_id % 4) * 15
+                            - (doc_id % 6) * 5 - (doc_id % 5) * 20) * 0.85
+                       + (doc_id % 101) * 0.15 + 0.5))) AS INT) AS confianza
+            FROM documents""",
+        "mrz_year_pivot": f"""
+            SELECT doc_id,
+                   CASE WHEN doc_id % 100 > {RUN_YEAR % 100 + 10} THEN '19' ELSE '20' END
+                   || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') AS year4
+            FROM documents""",
+        "doc_type_router": """
+            SELECT doc_id,
+              CASE WHEN doc_id % 4 = 0 THEN 'permiso_circulacion'
+                   WHEN doc_id % 4 = 1 THEN 'nif'
+                   WHEN doc_id % 4 = 2 THEN 'dni'
+                   ELSE (
+                     CASE
+                       WHEN contains(upper(text), 'PERMISO DE CIRCULACIÓN')
+                            OR contains(upper(text), 'PERMIS DE CIRCULACIO') THEN 'permiso_circulacion'
+                       WHEN contains(upper(text), 'TARJETA DE IDENTIFICACIÓN FISCAL')
+                            OR contains(upper(text), 'TARJETA DE IDENTIFICACION FISCAL') THEN 'nif'
+                       WHEN contains(upper(text), 'IDESP')
+                            OR contains(upper(text), 'DOCUMENTO NACIONAL DE IDENTIDAD')
+                            OR contains(upper(text), 'APELLIDOS')
+                            OR contains(upper(text), 'COGNOMS') THEN 'dni'
+                       WHEN regexp_matches(upper(text), '\\bD\\.1\\b')
+                            OR regexp_matches(upper(text), '\\b\\d{4}[A-Z]{3}\\b') THEN 'permiso_circulacion'
+                       WHEN regexp_matches(upper(text), '\\b[ABCDEFGHJKLMNPQRSUVW]\\d{7}[A-J0-9]\\b') THEN 'nif'
+                       ELSE 'dni' END)
+              END AS doc_type
+            FROM documents""",
+        "regex_extract_doc": r"""
+            SELECT doc_id,
+                   nullif(regexp_extract(text, '(\d{8}[A-Z]|[XYZ]\d{7}[A-Z])', 1), '') AS doc_num
+            FROM documents""",
+        "corpus_rollup": """
+            SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+                   min(n_chars) AS min_chars, max(n_chars) AS max_chars
+            FROM documents GROUP BY lang, source""",
+        "tpch_q1": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_x100,
+                   CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_x100,
+                   CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS sum_disc_x100,
+                   CAST(count(*) AS BIGINT) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+            GROUP BY l_returnflag, l_linestatus""",
+        "revenue_by_region": """
+            SELECT r_name,
+                   CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_x100,
+                   CAST(count(*) AS BIGINT) AS n_orders
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name""",
+        "events_hourly": """
+            SELECT event_type, strftime(ts, '%Y-%m-%d %H') AS hour,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_x100
+            FROM events GROUP BY 1, 2""",
+        "embedding_norms": """
+            SELECT vec_id, label,
+                   round(sqrt(list_sum(list_transform(embedding,
+                         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 4) AS l2_norm
+            FROM embeddings""",
+        "embedding_topk": """
+            WITH scored AS (
+              SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+                     list_sum(list_transform(range(1, len(q.embedding) + 1),
+                         i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))
+                     / (sqrt(list_sum(list_transform(q.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                        * sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cosine
+              FROM embeddings q, embeddings c
+              WHERE q.vec_id < 5 AND c.vec_id != q.vec_id
+            ), ranked AS (
+              SELECT query_id, vec_id, cosine,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY cosine DESC, vec_id ASC) AS rank
+              FROM scored)
+            SELECT query_id, CAST(rank AS INT) AS rank, vec_id,
+                   round(cosine, 6) AS cosine
+            FROM ranked WHERE rank <= 5""",
+    }

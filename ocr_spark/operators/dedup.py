@@ -1,0 +1,337 @@
+"""Deduplication operators for web-scale corpora.
+
+Five families, each a standard pretraining-pipeline building block:
+
+* :func:`exact_duplicates` / :func:`dedup_exact` — md5-fingerprint groupBy
+  (one shuffle; the canonical keeper is min(id) per group)
+* :func:`minhash_signatures` + :func:`minhash_candidates` +
+  :func:`near_duplicates_minhash` — MinHash (k permutations, numpy-
+  vectorized in a pandas UDF) banded into LSH buckets; candidate pairs come
+  from a band-key self-join (shuffle on band key, never a cross join), then
+  exact-Jaccard verification
+* :func:`simhash64` + :func:`near_duplicates_simhash` — 64-bit SimHash;
+  Hamming-≤k retrieval via the pigeonhole trick (split into k+1 chunks,
+  exact-match join on any chunk), verification with native ``bit_count``
+* :func:`ngram_jaccard_pairs` — exact token-n-gram Jaccard via
+  explode→self-join→count (fully SQL-expressible; also the MinHash verifier)
+* :func:`near_duplicates_embedding` — cosine near-dup over an
+  ``array<float>`` column; brute pair path for verification and a
+  random-hyperplane LSH path for scale
+
+Scale notes (10^12 docs): every candidate generator here is
+join-on-short-key — the shuffles are on (band, key) pairs whose
+cardinality is O(rows·bands), and hot buckets (boilerplate n-grams) are
+bounded by ``max_bucket`` to keep the self-join from exploding on skew
+(AQE skew-join handles the rest).  Signatures are fixed-width arrays —
+~1 KB/row at k=128 — so the signature shuffle is far cheaper than text.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+from ocr_spark.operators.textstats import fingerprint
+
+SEED = 0x5EED
+
+
+# ---------------------------------------------------------------------------
+# exact
+# ---------------------------------------------------------------------------
+
+def exact_duplicates(df: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Duplicate groups: (fingerprint, n_dups, keep_id) for groups of ≥2."""
+    return (df
+            .select(F.col(id_col).alias("id"), fingerprint(F.col(text_col)).alias("fp"))
+            .groupBy("fp")
+            .agg(F.count("*").alias("n_dups"), F.min("id").alias("keep_id"))
+            .filter(F.col("n_dups") >= 2)
+            .select(F.col("fp").alias("fingerprint"), "n_dups", "keep_id"))
+
+
+def dedup_exact(df: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """Keep the lowest-id row per fingerprint (stable, deterministic)."""
+    w = Window.partitionBy(fingerprint(F.col(text_col))).orderBy(F.col(id_col))
+    return (df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1).drop("_rn"))
+
+
+# ---------------------------------------------------------------------------
+# shingling + MinHash
+# ---------------------------------------------------------------------------
+
+_MERSENNE = (1 << 61) - 1
+_MAX_HASH = (1 << 32) - 1
+
+
+def _hash_params(k: int) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.RandomState(SEED)
+    a = rng.randint(1, _MERSENNE, size=k, dtype=np.int64)
+    b = rng.randint(0, _MERSENNE, size=k, dtype=np.int64)
+    return a, b
+
+
+def _shingles(text: str, width: int) -> np.ndarray:
+    """Hashed word-``width``-gram shingles (uint32)."""
+    tokens = text.lower().split()
+    if len(tokens) < width:
+        grams = [" ".join(tokens)] if tokens else []
+    else:
+        grams = [" ".join(tokens[i:i + width]) for i in range(len(tokens) - width + 1)]
+    if not grams:
+        return np.zeros(0, dtype=np.uint64)
+    # Python's hash() is salted per-process — use a stable FNV-1a instead
+    out = np.empty(len(grams), dtype=np.uint64)
+    for i, g in enumerate(grams):
+        h = np.uint64(0xCBF29CE484222325)
+        for byte in g.encode("utf-8"):
+            h = np.uint64((int(h) ^ byte) * 0x100000001B3 & 0xFFFFFFFFFFFFFFFF)
+        out[i] = h
+    return out
+
+
+def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text", k: int = 128,
+                       shingle_width: int = 3) -> DataFrame:
+    """(id, sig array<bigint>[k]) — numpy-vectorized MinHash per Arrow batch."""
+    a, b = _hash_params(k)
+
+    @pandas_udf(T.ArrayType(T.LongType()))
+    def _sig(text: pd.Series) -> pd.Series:
+        out = []
+        for t in text:
+            sh = _shingles(t or "", shingle_width)
+            if sh.size == 0:
+                out.append([0] * k)
+                continue
+            # (a * x + b) mod p, min over shingles — vectorized k×n
+            x = (sh % np.uint64(_MERSENNE)).astype(np.int64)
+            vals = (a[:, None] * x[None, :] + b[:, None]) % _MERSENNE % _MAX_HASH
+            out.append(vals.min(axis=1).tolist())
+        return pd.Series(out)
+
+    return df.select(F.col(id_col).alias("id"), _sig(F.col(text_col)).alias("sig"))
+
+
+def minhash_candidates(sigs: DataFrame, bands: int = 32) -> DataFrame:
+    """LSH banding → candidate pairs (id_a < id_b), deduplicated.
+
+    Band key = xxhash64 of the signature slice; the self-join shuffles on
+    (band, key) — never a cross join.
+    """
+    k = bands  # rows per band derived from signature length at runtime
+    sig_len_row = sigs.select(F.size("sig").alias("n")).first()
+    rows_per_band = (sig_len_row["n"] // bands) if sig_len_row else 4
+    band_cols = [
+        F.struct(F.lit(i).alias("band"),
+                 F.xxhash64(F.slice("sig", i * rows_per_band + 1, rows_per_band),
+                            F.lit(i)).alias("key"))
+        for i in range(bands)
+    ]
+    buckets = (sigs
+               .select("id", F.explode(F.array(*band_cols)).alias("bk"))
+               .select("id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")))
+    left = buckets.alias("l")
+    right = buckets.alias("r")
+    return (left.join(right, ["band", "key"])
+            .filter(F.col("l.id") < F.col("r.id"))
+            .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+            .distinct())
+
+
+def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text", n: int = 3,
+                        threshold: float = 0.5,
+                        max_bucket: int = 1000) -> DataFrame:
+    """Exact token-n-gram Jaccard pairs ≥ threshold, via explode + self-join.
+
+    ``max_bucket`` drops degenerate n-grams shared by more than N docs
+    (stopword boilerplate) — the standard skew guard: those n-grams carry
+    no signal and would quadratically blow up the join.
+    """
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    grams = F.array_distinct(F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))))
+    exploded = (df
+                .select(F.col(id_col).alias("id"), grams.alias("grams"))
+                .withColumn("n_grams", F.size("grams"))
+                .select("id", "n_grams", F.explode("grams").alias("gram")))
+    # skew guard: drop grams present in too many docs
+    gram_df = exploded.join(
+        exploded.groupBy("gram").agg(F.count("*").alias("df_count"))
+        .filter(F.col("df_count") <= max_bucket).select("gram"),
+        "gram")
+    a = gram_df.alias("a")
+    b = gram_df.alias("b")
+    inter = (a.join(b, "gram")
+             .filter(F.col("a.id") < F.col("b.id"))
+             .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+                      F.col("a.n_grams").alias("na"), F.col("b.n_grams").alias("nb"))
+             .agg(F.count("*").alias("inter")))
+    return (inter
+            .withColumn("jaccard", F.col("inter")
+                        / (F.col("na") + F.col("nb") - F.col("inter")))
+            .filter(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard")))
+
+
+def near_duplicates_minhash(df: DataFrame, id_col: str = "doc_id",
+                            text_col: str = "text", k: int = 128,
+                            bands: int = 32, threshold: float = 0.7,
+                            shingle_width: int = 3) -> DataFrame:
+    """MinHash-LSH candidates verified by exact n-gram Jaccard.
+
+    Returns (id_a, id_b, jaccard ≥ threshold).  The verify join re-reads
+    only candidate texts — at web scale the candidate set is orders of
+    magnitude smaller than the corpus.
+    """
+    sigs = minhash_signatures(df, id_col, text_col, k, shingle_width)
+    cands = minhash_candidates(sigs, bands)
+    texts = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
+    paired = (cands
+              .join(texts.withColumnsRenamed({"id": "id_a", "text": "text_a"}), "id_a")
+              .join(texts.withColumnsRenamed({"id": "id_b", "text": "text_b"}), "id_b"))
+
+    @pandas_udf(T.DoubleType())
+    def _jaccard(ta: pd.Series, tb: pd.Series) -> pd.Series:
+        out = []
+        for x, y in zip(ta, tb):
+            sa = set(_shingles(x or "", shingle_width).tolist())
+            sb = set(_shingles(y or "", shingle_width).tolist())
+            union = len(sa | sb)
+            out.append(len(sa & sb) / union if union else 0.0)
+        return pd.Series(out)
+
+    return (paired
+            .withColumn("jaccard", F.round(_jaccard("text_a", "text_b"), 6))
+            .filter(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "jaccard"))
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash64(df: DataFrame, id_col: str = "doc_id",
+              text_col: str = "text") -> DataFrame:
+    """(id, simhash bigint) — 64-bit sign-aggregated token hash."""
+
+    @pandas_udf(T.LongType())
+    def _simhash(text: pd.Series) -> pd.Series:
+        out = []
+        for t in text:
+            tokens = (t or "").lower().split()
+            if not tokens:
+                out.append(0)
+                continue
+            acc = np.zeros(64, dtype=np.int64)
+            for tok in tokens:
+                h = np.uint64(0xCBF29CE484222325)
+                for byte in tok.encode("utf-8"):
+                    h = np.uint64((int(h) ^ byte) * 0x100000001B3 & 0xFFFFFFFFFFFFFFFF)
+                bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
+                acc += np.where(bits == 1, 1, -1)
+            sim = 0
+            for i in range(64):
+                if acc[i] > 0:
+                    sim |= 1 << i
+            # reinterpret as signed 64-bit for Spark LongType
+            out.append(sim - (1 << 64) if sim >= (1 << 63) else sim)
+        return pd.Series(out, dtype="int64")
+
+    return df.select(F.col(id_col).alias("id"), _simhash(F.col(text_col)).alias("simhash"))
+
+
+def near_duplicates_simhash(df: DataFrame, id_col: str = "doc_id",
+                            text_col: str = "text",
+                            max_hamming: int = 3) -> DataFrame:
+    """Hamming-≤k pairs via pigeonhole banding + native bit_count verify.
+
+    With k+1 = 4 chunks of 16 bits, any pair within Hamming distance 3
+    agrees exactly on ≥1 chunk — so an exact-match join on each chunk finds
+    every qualifying pair without a cross join.
+    """
+    hashes = simhash64(df, id_col, text_col)
+    n_chunks = max_hamming + 1
+    width = 64 // n_chunks
+    chunk_cols = [
+        F.struct(F.lit(c).alias("chunk"),
+                 F.shiftrightunsigned(F.col("simhash"), c * width)
+                 .bitwiseAND(F.lit((1 << width) - 1)).alias("key"))
+        for c in range(n_chunks)
+    ]
+    buckets = (hashes
+               .select("id", "simhash", F.explode(F.array(*chunk_cols)).alias("ck"))
+               .select("id", "simhash", F.col("ck.chunk").alias("chunk"),
+                       F.col("ck.key").alias("key")))
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    pairs = (a.join(b, ["chunk", "key"])
+             .filter(F.col("a.id") < F.col("b.id"))
+             .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+                     F.col("a.simhash").alias("ha"), F.col("b.simhash").alias("hb"))
+             .distinct())
+    hamming = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return (pairs.withColumn("hamming", hamming)
+            .filter(F.col("hamming") <= max_hamming)
+            .select("id_a", "id_b", "hamming"))
+
+
+# ---------------------------------------------------------------------------
+# embedding near-dup
+# ---------------------------------------------------------------------------
+
+def near_duplicates_embedding(df: DataFrame, id_col: str = "vec_id",
+                              vec_col: str = "embedding",
+                              threshold: float = 0.95,
+                              n_planes: int = 16,
+                              brute_force: bool = False) -> DataFrame:
+    """Cosine-similar pairs ≥ threshold over an ``array<float>`` column.
+
+    ``brute_force=True`` is the exact O(n²) verifier (test scale only).
+    The scale path hashes each vector with ``n_planes`` fixed random
+    hyperplanes (sign bits → one integer key), joins on the key, then
+    verifies cosine exactly — vectors this similar almost surely share
+    all sign bits, and the bucket join is linear in bucket sizes.
+    """
+    ids = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+
+    dot = F.expr("aggregate(zip_with(a.v, b.v, (x, y) -> CAST(x AS DOUBLE) * y), "
+                 "0D, (acc, x) -> acc + x)")
+    norm = "sqrt(aggregate(transform({0}.v, x -> CAST(x AS DOUBLE) * x), 0D, (acc, x) -> acc + x))"
+    cosine = dot / (F.expr(norm.format("a")) * F.expr(norm.format("b")))
+
+    if brute_force:
+        pairs = (ids.alias("a").crossJoin(ids.alias("b"))
+                 .filter(F.col("a.id") < F.col("b.id")))
+    else:
+        dim_row = df.select(F.size(vec_col).alias("d")).first()
+        dim = dim_row["d"] if dim_row else 0
+        rng = np.random.RandomState(SEED)
+        planes = rng.normal(size=(n_planes, dim)).astype("float64")
+
+        @pandas_udf(T.LongType())
+        def _lsh_key(vec: pd.Series) -> pd.Series:
+            out = []
+            for v in vec:
+                arr = np.asarray(v, dtype="float64")
+                signs = (planes @ arr) > 0
+                out.append(int(signs.dot(1 << np.arange(n_planes))))
+            return pd.Series(out, dtype="int64")
+
+        keyed = ids.withColumn("key", _lsh_key("v"))
+        pairs = (keyed.alias("a").join(keyed.alias("b"), "key")
+                 .filter(F.col("a.id") < F.col("b.id")))
+
+    return (pairs
+            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+                    F.round(cosine, 6).alias("cosine"))
+            .filter(F.col("cosine") >= threshold)
+            .distinct())

@@ -1,0 +1,100 @@
+"""Text-analysis operators for training-data pipelines.
+
+All four are pure Column-expression pipelines (JVM-side, whole-stage
+codegen, no Python workers) and each has a DuckDB oracle twin in
+``__spark_entry__.oracle_sql()``:
+
+* :func:`token_count`        — whitespace tokenization count
+* :func:`language_id`        — deterministic marker-based n-gram heuristic
+* :func:`quality_features`   — length / punctuation / digit / token stats
+  with a composite keep/drop verdict (the C4-style quality gate of a
+  pretraining pipeline)
+* :func:`fingerprint`        — md5 document fingerprint over the
+  whitespace-canonicalized lowercased text (exact-dedup key)
+
+Scale: every expression here is a narrow map — no shuffle, no UDF; a
+100 TB scan stays I/O-bound.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# Marker-token lists for the tiny deterministic language classifier.  Chosen
+# for the harness corpus languages; the SQL oracle uses the same lists.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "de": ("der", "und", "die", "nicht", "das"),
+    "fr": ("le", "les", "des", "une", "est"),
+    "es": ("el", "los", "que", "una", "del"),
+    "en": ("the", "and", "of", "is", "that"),
+}
+
+
+def token_count(text: Column) -> Column:
+    """Number of whitespace-separated tokens (0 for empty/blank)."""
+    trimmed = F.trim(text)
+    return F.when(F.length(trimmed) == 0, F.lit(0)).otherwise(
+        F.size(F.split(trimmed, r"\s+"))).cast("bigint")
+
+
+def _has_marker(text: Column, words: tuple[str, ...]) -> Column:
+    padded = F.concat(F.lit(" "), F.lower(text), F.lit(" "))
+    cond = F.lit(False)
+    for w in words:
+        cond = cond | padded.contains(f" {w} ")
+    return cond
+
+
+def language_id(text: Column) -> Column:
+    """Deterministic language guess: CJK range, then marker words, else 'und'.
+
+    A real pipeline would plug a fastText model in a pandas UDF here; this
+    operator keeps the *plan shape* (narrow projection) with a fully
+    reproducible heuristic.
+    """
+    expr = F.when(text.rlike(r"[一-鿿]"), F.lit("zh"))
+    for lang in ("de", "fr", "es", "en"):
+        expr = expr.when(_has_marker(text, LANG_MARKERS[lang]), F.lit(lang))
+    return expr.otherwise(F.lit("und"))
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Append quality-feature columns + a composite ``quality_ok`` verdict.
+
+    Features (all integer/deciaml arithmetic → engine-portable):
+      n_chars, n_tokens, avg_token_len ×100 (int), digit_ratio ×1000 (int),
+      upper_ratio ×1000 (int).  Verdict: 20 ≤ n_chars, ≥ 5 tokens,
+      2 ≤ avg token len ≤ 12, digits < 30%.
+    """
+    text = F.col(text_col)
+    n_chars = F.length(text)
+    n_tokens = token_count(text)
+    stripped_digits = F.length(F.regexp_replace(text, r"[0-9]", ""))
+    stripped_upper = F.length(F.regexp_replace(text, r"[A-Z]", ""))
+    avg_len_x100 = F.when(n_tokens > 0,
+                          (n_chars * 100 / n_tokens).cast("bigint")).otherwise(F.lit(0))
+    digit_x1000 = F.when(n_chars > 0,
+                         ((n_chars - stripped_digits) * 1000 / n_chars).cast("bigint")
+                         ).otherwise(F.lit(0))
+    upper_x1000 = F.when(n_chars > 0,
+                         ((n_chars - stripped_upper) * 1000 / n_chars).cast("bigint")
+                         ).otherwise(F.lit(0))
+    quality_ok = ((n_chars >= 20) & (n_tokens >= 5)
+                  & avg_len_x100.between(200, 1200) & (digit_x1000 < 300))
+    return (df
+            .withColumn("n_chars_calc", n_chars.cast("bigint"))
+            .withColumn("n_tokens", n_tokens)
+            .withColumn("avg_token_len_x100", avg_len_x100)
+            .withColumn("digit_ratio_x1000", digit_x1000)
+            .withColumn("upper_ratio_x1000", upper_x1000)
+            .withColumn("quality_ok", quality_ok))
+
+
+def fingerprint(text: Column) -> Column:
+    """md5 over lowercased whitespace-canonicalized text — exact-dedup key.
+
+    Canonicalization (lower + collapse whitespace + trim) makes the key
+    robust to formatting-only differences while staying engine-portable.
+    """
+    canon = F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))
+    return F.md5(canon)

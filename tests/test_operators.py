@@ -1,0 +1,190 @@
+"""Training-data operators: dedup, similarity, textstats, multimodal."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ocr_spark.operators import dedup, multimodal, similarity, textstats
+
+BASE = ("the quick brown fox jumps over the lazy dog and runs far away "
+        "into the green forest while the rain keeps falling all day long")
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    """Corpus with exact dupes, near dupes, and distinct docs."""
+    rows = [
+        (0, BASE, "en"),
+        (1, BASE, "en"),                                   # exact dup of 0
+        (2, BASE.replace("green", "dark"), "en"),          # near dup of 0
+        (3, BASE.replace("quick", "slow").replace("rain", "snow"), "en"),
+        (4, "completely different text about spark query engines and "
+            "columnar execution with vectorized operators", "en"),
+        (5, "der hund und die katze sind nicht das problem heute", "de"),
+        (6, "el perro y los gatos que viven en una casa del pueblo", "es"),
+        (7, "数据库 系统 的 查询 优化", "zh"),
+        (8, "", "und"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+
+
+# --- textstats ----------------------------------------------------------------
+
+def test_token_count(spark, docs):
+    got = {r["doc_id"]: r["n"] for r in
+           docs.select("doc_id", textstats.token_count(F.col("text")).alias("n")).collect()}
+    assert got[0] == len(BASE.split())
+    assert got[8] == 0
+
+
+def test_language_id(spark, docs):
+    got = {r["doc_id"]: r["lang"] for r in
+           docs.select("doc_id", textstats.language_id(F.col("text")).alias("lang")).collect()}
+    assert got[5] == "de"
+    assert got[6] == "es"
+    assert got[7] == "zh"
+    assert got[0] == "en"
+    assert got[8] == "und"
+
+
+def test_quality(spark, docs):
+    got = {r["doc_id"]: r["quality_ok"] for r in
+           textstats.quality_features(docs).collect()}
+    assert got[0] is True
+    assert got[8] is False
+
+
+def test_fingerprint_ignores_formatting(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello  World"), (2, "hello world"), (3, " HELLO\tWORLD ")],
+        ["doc_id", "text"])
+    fps = {r[0] for r in df.select(textstats.fingerprint(F.col("text"))).collect()}
+    assert len(fps) == 1
+
+
+# --- exact dedup ----------------------------------------------------------------
+
+def test_exact_duplicates(spark, docs):
+    groups = dedup.exact_duplicates(docs).collect()
+    assert len(groups) == 1
+    assert groups[0]["n_dups"] == 2 and groups[0]["keep_id"] == 0
+    kept = dedup.dedup_exact(docs)
+    assert kept.count() == docs.count() - 1
+    assert kept.filter("doc_id = 1").count() == 0  # keeper is min id
+
+
+# --- MinHash / n-gram Jaccard -----------------------------------------------------
+
+def test_ngram_jaccard_exact(spark, docs):
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"]
+             for r in dedup.ngram_jaccard_pairs(docs, threshold=0.3).collect()}
+    assert pairs[(0, 1)] == 1.0          # identical
+    assert (0, 2) in pairs               # near dup
+    assert all(j >= 0.3 for j in pairs.values())
+    assert not any({a, b} == {0, 4} for a, b in pairs)  # unrelated not paired
+
+
+def test_minhash_finds_near_dups(spark, docs):
+    found = {(r["id_a"], r["id_b"]): r["jaccard"]
+             for r in dedup.near_duplicates_minhash(docs, threshold=0.5).collect()}
+    assert (0, 1) in found and found[(0, 1)] == 1.0
+    assert (0, 2) in found               # high-jaccard near dup retrieved
+    exact = {(r["id_a"], r["id_b"]) for r in
+             dedup.ngram_jaccard_pairs(docs, threshold=0.5).collect()}
+    # verified minhash pairs are a subset of exact pairs at same threshold
+    # (thresholds use different shingle defs; check retrieval not equality)
+    assert (0, 1) in exact
+
+
+def test_minhash_signature_deterministic(spark, docs):
+    s1 = {r["id"]: r["sig"] for r in dedup.minhash_signatures(docs, k=32).collect()}
+    s2 = {r["id"]: r["sig"] for r in dedup.minhash_signatures(docs, k=32).collect()}
+    assert s1 == s2
+    assert s1[0] == s1[1]  # identical text → identical signature
+
+
+# --- SimHash -----------------------------------------------------------------------
+
+def test_simhash_near_dups(spark, docs):
+    hashes = {r["id"]: r["simhash"] for r in dedup.simhash64(docs).collect()}
+    assert hashes[0] == hashes[1]
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"]
+             for r in dedup.near_duplicates_simhash(docs, max_hamming=3).collect()}
+    assert pairs[(0, 1)] == 0
+    assert (0, 2) in pairs  # one-word change → tiny hamming distance
+    assert all(h <= 3 for h in pairs.values())
+
+
+# --- embeddings ----------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    import numpy as np
+    rng = np.random.RandomState(7)
+    base = rng.normal(size=(6, 16))
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((i, [float(x) for x in v]))
+    # 100+i = slightly perturbed copy of i (cosine ≈ 1)
+    for i, v in enumerate(base[:3]):
+        rows.append((100 + i, [float(x) for x in v + rng.normal(scale=0.01, size=16)]))
+    return spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+
+
+def test_embedding_near_dups_brute_vs_lsh(spark, vectors):
+    brute = {(r["id_a"], r["id_b"]) for r in
+             dedup.near_duplicates_embedding(vectors, threshold=0.95,
+                                             brute_force=True).collect()}
+    lsh = {(r["id_a"], r["id_b"]) for r in
+           dedup.near_duplicates_embedding(vectors, threshold=0.95).collect()}
+    assert {(0, 100), (1, 101), (2, 102)} <= brute
+    assert lsh <= brute          # LSH never invents pairs
+    assert {(0, 100), (1, 101), (2, 102)} <= lsh  # ~identical vectors share all signs
+
+
+def test_topk_bruteforce(spark, vectors):
+    queries = vectors.filter("vec_id < 2")
+    top = similarity.cosine_topk_bruteforce(vectors, queries, k=3).collect()
+    by_query = {}
+    for r in top:
+        by_query.setdefault(r["query_id"], []).append(r)
+    for qid, rows in by_query.items():
+        assert [r["rank"] for r in sorted(rows, key=lambda r: r["rank"])] == [1, 2, 3]
+        assert rows[0]["vec_id"] == 100 + qid  # perturbed copy is nearest
+
+
+def test_ivf_recall(spark, vectors):
+    centroids, assigned = similarity.ivf_build(vectors, n_cells=3, sample=64)
+    queries = vectors.filter("vec_id < 2")
+    brute = {(r["query_id"], r["vec_id"]) for r in
+             similarity.cosine_topk_bruteforce(vectors, queries, k=3).collect()}
+    approx = {(r["query_id"], r["vec_id"]) for r in
+              similarity.cosine_topk_ivf(assigned, centroids, queries,
+                                         k=3, n_probe=2).collect()}
+    recall = len(brute & approx) / len(brute)
+    assert recall >= 0.5
+
+
+# --- multimodal -------------------------------------------------------------------------
+
+def test_media_features_deterministic(spark):
+    media = multimodal.synthetic_media(spark, rows=12)
+    f1 = {r["media_id"]: (r["sha_prefix"], tuple(r["features"])) for r in
+          multimodal.extract_media_features(media).collect()}
+    f2 = {r["media_id"]: (r["sha_prefix"], tuple(r["features"])) for r in
+          multimodal.extract_media_features(media).collect()}
+    assert f1 == f2
+    assert all(len(v[1]) == multimodal.FEATURE_DIM for v in f1.values())
+
+
+def test_media_stub_guard(spark):
+    media = multimodal.synthetic_media(spark, rows=3)
+    with pytest.raises(Exception):  # NotImplementedError inside the executor
+        multimodal.extract_media_features(media, deterministic_fake=False).collect()
+
+
+def test_media_metadata_stats(spark):
+    media = multimodal.synthetic_media(spark, rows=30)
+    stats = {r["kind"]: r["n"] for r in multimodal.media_metadata_stats(media).collect()}
+    assert stats == {"image": 10, "audio": 10, "video": 10}
