@@ -1,0 +1,109 @@
+"""Per-round benchmark harness (driver contract).
+
+Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+``/root/testdata/sf0.1``) on ``local[$SPARK_GRAFT_CPUS]`` (default 32) and
+prints ONE JSON line::
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {...per-query sec...}, "sf": 0.1, "pages_per_sec": N, ...}
+
+The headline number is the full extraction pipeline (tier-1 HTML boilerplate
+strip → doc-type route → fused parse+validate pUDFs → tier-2 fallback branch →
+parquet write + lineage) over ``$SPARK_GRAFT_BENCH_PAGES`` (default 20000)
+deterministic synthetic Common-Crawl-style pages (ocr_spark.pagegen — Zipf
+host skew, every validation path exercised).  The remaining queries are the
+operator suite from ``__spark_entry__.queries()`` over the sf tables.
+
+Scaling-efficiency evidence (N vs 4N cores) lives in
+``tools/bench_scaling.py`` → ``BENCH/BASELINE.md``; this file is the
+fast per-round loop.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+from datetime import date
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+BENCH_PAGES = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "20000"))
+RUN_DATE = date(2026, 8, 16)
+
+# operator-suite queries timed at the sf dir (fast, representative subset —
+# every family: text stats, dedup, scalar extraction, relational, similarity)
+SUITE = (
+    "token_count", "quality_features", "fingerprint_groups",
+    "exact_duplicates", "minhash_near_dups", "simhash_near_dups",
+    "dni_check_letter", "cif_control", "confidence_score",
+    "extract_dni", "extract_permis", "extract_nif",
+    "tpch_q1", "revenue_by_region", "events_hourly",
+    "embedding_norms", "embedding_topk", "embedding_ann_ivf",
+)
+
+
+def _force(df) -> int:
+    """Materialize the full plan without shipping rows to the driver."""
+    return df.count()
+
+
+def main() -> None:
+    from ocr_spark import job, pagegen
+
+    sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in SF_DIR else 0.0
+    spark = job.build_session(app="ocr_spark-bench", master=f"local[{CPUS}]",
+                              shuffle_partitions=max(CPUS, 32))
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+    extras: dict[str, object] = {}
+    tmp = tempfile.mkdtemp(prefix="ocr_spark_bench_")
+    try:
+        # --- headline: full extraction pipeline over synthetic pages --------
+        pages_path = f"{tmp}/pages.parquet"
+        pagegen.generate_df(spark, BENCH_PAGES, partitions=CPUS * 2) \
+            .write.mode("overwrite").parquet(pages_path)  # setup, not timed
+
+        t0 = time.monotonic()
+        summary = job.run_pipeline(
+            spark, pages_path, f"{tmp}/out", RUN_DATE,
+            partitions=max(CPUS * 2, 64), mode="standard")
+        dt = time.monotonic() - t0
+        timings["extract_pipeline"] = round(dt, 3)
+        extras["pages_per_sec"] = round(BENCH_PAGES / dt, 1)
+        extras["bench_pages"] = BENCH_PAGES
+        extras["pipeline_digest"] = summary["digest"]
+        extras["tier2_count"] = summary["tier2_count"]
+
+        # --- operator suite at the sf dir ------------------------------------
+        import __spark_entry__ as entrymod
+        qs = entrymod.queries()
+        for name in SUITE:
+            t0 = time.monotonic()
+            _force(qs[name](spark, SF_DIR))
+            timings[name] = round(time.monotonic() - t0, 3)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+        spark.stop()
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "pages/sec extraction throughput + operator suite wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "cpus": CPUS,
+        **extras,
+    }))
+
+
+if __name__ == "__main__":
+    main()
