@@ -16,6 +16,8 @@ executors, so re-runs and resumes are byte-identical.
 
 from __future__ import annotations
 
+import json
+import re
 from datetime import date
 
 import pandas as pd
@@ -165,3 +167,157 @@ PARSE_UDFS = {
     "permiso_circulacion": (permis_parse_udf, PERMIS_RESPONSE_STRUCT),
     "nif": (nif_parse_udf, NIF_RESPONSE_STRUCT),
 }
+
+RESPONSE_STRUCTS = {
+    "dni": DNI_RESPONSE_STRUCT,
+    "permiso_circulacion": PERMIS_RESPONSE_STRUCT,
+    "nif": NIF_RESPONSE_STRUCT,
+}
+
+
+# ---------------------------------------------------------------------------
+# Fused pipeline stages (one Python pass per row per tier)
+# ---------------------------------------------------------------------------
+#
+# The per-field pandas_udf factories above are the contract surface for
+# ``__spark_entry__.queries()``; the batch job uses these *fused* mapInPandas
+# stages instead, because a pandas_udf referenced by a filter AND a projection
+# gets planned as two ArrowEvalPython nodes (the extraction runs twice), and
+# the three per-type branches multiply that further.  Fusing
+# extract → route → parse → validate into one mapInPandas means each row
+# crosses the JVM↔Python boundary exactly once per tier, and the nested
+# response travels back as a JSON string decoded JVM-side with ``from_json``
+# (an order of magnitude cheaper than Arrow-converting per-row nested dicts).
+
+_RE_ROUTE_PERMIS = re.compile(r"\bD\.1\b|\b\d{4}[A-Z]{3}\b")
+_RE_ROUTE_CIF = re.compile(r"\b[ABCDEFGHJKLMNPQRSUVW]\d{7}[A-J0-9]\b")
+
+
+def route_doc_type(text: str) -> str:
+    """Python twin of :func:`ocr_spark.functions.native.doc_type_router` (R4).
+
+    Keyword heuristic from the reference roadmap (``ROADMAP.md:116-127``):
+    explicit card titles first, shape fallbacks second, default dni.  Parity
+    with the native Column form is asserted in tests.
+    """
+    up = (text or "").upper()
+    if "PERMISO DE CIRCULACIÓN" in up or "PERMIS DE CIRCULACIO" in up:
+        return "permiso_circulacion"
+    if ("TARJETA DE IDENTIFICACIÓN FISCAL" in up
+            or "TARJETA DE IDENTIFICACION FISCAL" in up):
+        return "nif"
+    if ("IDESP" in up or "DOCUMENTO NACIONAL DE IDENTIDAD" in up
+            or "APELLIDOS" in up or "COGNOMS" in up):
+        return "dni"
+    if _RE_ROUTE_PERMIS.search(up):
+        return "permiso_circulacion"
+    if _RE_ROUTE_CIF.search(up):
+        return "nif"
+    return "dni"
+
+
+FUSED_SCHEMA = T.StructType([
+    T.StructField("url", T.StringType()),
+    T.StructField("warc_ts", T.TimestampType()),
+    T.StructField("lang", T.StringType()),
+    T.StructField("html", T.BinaryType()),       # passthrough for the tier-2 branch
+    T.StructField("src_text", T.StringType()),   # passthrough for html-less rows
+    T.StructField("doc_type", T.StringType()),
+    T.StructField("tier", T.IntegerType()),
+    T.StructField("needs_tier2", T.BooleanType()),
+    T.StructField("tier2_reason", T.StringType()),
+    T.StructField("extracted_text", T.StringType()),
+    T.StructField("ocr_engine", T.StringType()),
+    T.StructField("ocr_confidence", T.DoubleType()),
+    T.StructField("valido", T.BooleanType()),
+    T.StructField("confianza_global", T.IntegerType()),
+    T.StructField("response_json", T.StringType()),
+    T.StructField("spans_json", T.StringType()),
+])
+
+_FUSED_COLS = [f.name for f in FUSED_SCHEMA.fields]
+
+
+def parse_dispatch(doc_type: str, text: str, conf: float, run_date: date,
+                   engine: str, route: bool) -> tuple[dict, bool, str]:
+    """(response, needs_tier2, reason) — per-type parse+validate (§2.4–2.7)."""
+    if doc_type == "permiso_circulacion":
+        datos = permis.parse(text, run_date)
+        needs, reason = (permis.needs_tier2(datos, conf) if route
+                         else (False, "tier2_final"))
+        resp = permis.validate(datos, engine, conf, run_date)
+    elif doc_type == "nif":
+        datos = nif.parse(text, run_date)
+        resp = nif.validate(datos, engine, conf, run_date)
+        needs = bool(route and conf < 50.0)
+        reason = "confidence_baixa" if needs else (
+            "tier1_acceptat" if route else "tier2_final")
+    else:
+        datos, raw_mrz = dni.parse(text, run_date)
+        needs, reason = (dni.needs_tier2(datos, conf, text) if route
+                         else (False, "tier2_final"))
+        resp = dni.validate(datos, raw_mrz, engine, conf, run_date)
+    return resp, needs, reason
+
+
+def _dumps(obj) -> str:
+    return json.dumps(obj, ensure_ascii=False, separators=(",", ":"))
+
+
+def fused_tier1_udf(run_date: date, mode: str = "standard", route: bool = True):
+    """mapInPandas stage: html → tier-1 strip → route → parse → validate.
+
+    Input: the pages schema.  Output: :data:`FUSED_SCHEMA`.  Rows with no
+    html fall back to the ``text`` column verbatim at confidence 100.
+    """
+
+    def fn(iterator):
+        for pdf in iterator:
+            rows = []
+            for url, ts, html, text, lang in zip(
+                    pdf["url"], pdf["warc_ts"], pdf["html"], pdf["text"],
+                    pdf["lang"]):
+                if html is None:
+                    xt, conf = (text or ""), 100.0
+                else:
+                    xt, conf = html_extract.extract_tier1(bytes(html), mode)
+                dt = route_doc_type(xt)
+                resp, needs, reason = parse_dispatch(
+                    dt, xt, conf, run_date, TIER1_ENGINE, route)
+                rows.append((url, ts, lang, html, text, dt, 1, needs, reason,
+                             xt, TIER1_ENGINE, conf, resp["valido"],
+                             resp["confianza_global"], _dumps(resp), None))
+            yield pd.DataFrame(rows, columns=_FUSED_COLS)
+
+    return fn
+
+
+def fused_tier2_udf(run_date: date, mode: str = "standard",
+                    with_spans: bool = True):
+    """mapInPandas stage for the fallback branch: permissive extraction (+spans),
+    re-route, final parse.  ``tier2_reason`` passes through from tier 1.
+    """
+
+    def fn(iterator):
+        for pdf in iterator:
+            rows = []
+            for url, ts, html, text, lang, reason in zip(
+                    pdf["url"], pdf["warc_ts"], pdf["html"], pdf["text"],
+                    pdf["lang"], pdf["tier2_reason"]):
+                if html is None:
+                    xt, spans = (text or ""), (
+                        html_extract.detect_spans(text or "") if with_spans else [])
+                    conf = 95.0 if xt else 0.0
+                else:
+                    xt, conf, spans = html_extract.extract_tier2(
+                        bytes(html), mode, with_spans)
+                dt = route_doc_type(xt)
+                resp, _, _ = parse_dispatch(
+                    dt, xt, conf, run_date, TIER2_ENGINE, route=False)
+                rows.append((url, ts, lang, None, text, dt, 2, False, reason,
+                             xt, TIER2_ENGINE, conf, resp["valido"],
+                             resp["confianza_global"], _dumps(resp),
+                             _dumps(spans) if spans else None))
+            yield pd.DataFrame(rows, columns=_FUSED_COLS)
+
+    return fn

@@ -41,7 +41,6 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ocr_spark import lineage as lin
 from ocr_spark.functions import udfs
-from ocr_spark.functions.native import doc_type_router
 from ocr_spark.schema import PAGES_SCHEMA
 
 MAX_HTML_BYTES = 5 * 1024 * 1024  # reference's 5 MB admission cap (S4)
@@ -51,7 +50,9 @@ DOC_TYPES = ("dni", "permiso_circulacion", "nif")
 # unified output row (same schema for every doc type → single table)
 _UNIFIED_COLS = ("url", "warc_ts", "lang", "doc_type", "tier", "tier2_reason",
                  "extracted_text", "ocr_engine", "ocr_confidence",
-                 "valido", "confianza_global")
+                 "valido", "confianza_global", "spans")
+
+_SPANS_TYPE = "array<struct<field:string,start:int,end:int>>"
 
 
 def build_session(app: str = "ocr_spark", master: Optional[str] = None,
@@ -107,29 +108,19 @@ def spread_partitions(pages: DataFrame, partitions: int, salt: int = 0) -> DataF
     return pages.repartition(partitions, F.xxhash64("url"))
 
 
-def _flatten(parsed: DataFrame, doc_type: str, tier: int) -> DataFrame:
-    """routed-parse row → unified schema + the typed response struct."""
-    r = F.col("_r")
-    return parsed.select(
-        "url", "warc_ts", "lang",
-        F.lit(doc_type).alias("doc_type"),
-        F.lit(tier).alias("tier"),
-        F.col("_r.tier2_reason").alias("tier2_reason"),
-        F.col("_x.text").alias("extracted_text"),
-        r["response"]["raw"]["ocr_engine"].alias("ocr_engine"),
-        r["response"]["raw"]["ocr_confidence"].alias("ocr_confidence"),
-        r["response"]["valido"].alias("valido"),
-        r["response"]["confianza_global"].alias("confianza_global"),
-        r["response"].alias("response"),
-    )
-
-
 def run_pipeline(spark: SparkSession, input_path: str, output_path: str,
                  run_date: date, partitions: int = 64, salt: int = 0,
                  mode: str = "standard", resume: bool = False,
                  tier2_enabled: bool = True, run_id: Optional[str] = None,
                  input_df: Optional[DataFrame] = None) -> dict:
-    """Execute the full pipeline; returns run metrics (counts, digest, wall)."""
+    """Execute the full pipeline; returns run metrics (counts, digest, wall).
+
+    Plan shape: each row crosses the JVM↔Python boundary exactly once per
+    tier (one fused mapInPandas per stage — extract + route + parse +
+    validate); the tier-1 result is persisted so the fallback branch and
+    every sink reuse it, and the nested per-type response travels as a JSON
+    string decoded JVM-side with ``from_json`` (whole-stage codegen).
+    """
     t0 = time.monotonic()
     run_id = run_id or uuid.uuid4().hex[:12]
 
@@ -139,74 +130,39 @@ def run_pipeline(spark: SparkSession, input_path: str, output_path: str,
         admitted = lin.anti_join_done(admitted, f"{output_path}/data")
     admitted = spread_partitions(admitted, partitions, salt)
 
-    # --- tier 1: cheap extraction + routing ---------------------------------
-    t1 = udfs.tier1_extract_udf(mode)
-    extracted = (admitted
-                 .withColumn("_x", t1("html"))
-                 # pages with no html fall back to the text column verbatim
-                 .withColumn("_x", F.when(
-                     F.col("html").isNull(),
-                     F.struct(F.col("text").alias("text"),
-                              F.lit(100.0).alias("confidence")))
-                     .otherwise(F.col("_x")))
-                 .withColumn("doc_type", doc_type_router(F.col("_x.text"))))
-    extracted.persist()
+    # --- tier 1: one fused pass (extract → route → parse → validate) ---------
+    fused1 = udfs.fused_tier1_udf(run_date, mode, route=tier2_enabled)
+    p1 = admitted.mapInPandas(fused1, udfs.FUSED_SCHEMA)
+    p1.persist()
 
-    tier2 = udfs.tier2_extract_udf(mode)
-    typed_outputs: dict[str, DataFrame] = {}
-    unified_parts: list[DataFrame] = []
-    fallback_parts: list[DataFrame] = []
+    parts = [p1.filter(~F.col("needs_tier2"))]
+    # --- tier 2: permissive fused pass on the failed slice only --------------
+    if tier2_enabled:
+        fallback = p1.filter(F.col("needs_tier2")).select(
+            "url", "warc_ts", "lang", "html",
+            F.col("src_text").alias("text"), "tier2_reason")
+        p2 = fallback.mapInPandas(udfs.fused_tier2_udf(run_date, mode),
+                                  udfs.FUSED_SCHEMA)
+        p2.persist()
+        parts.append(p2)
 
-    for doc_type in DOC_TYPES:
-        factory, _ = udfs.PARSE_UDFS[doc_type]
-        parse1 = factory(run_date, engine=udfs.TIER1_ENGINE, route=tier2_enabled)
-        subset = extracted.filter(F.col("doc_type") == doc_type)
-        parsed = subset.withColumn("_r", parse1(F.col("_x.text"), F.col("_x.confidence")))
-        ok = parsed.filter(~F.col("_r.needs_tier2"))
-        flat = _flatten(ok, doc_type, tier=1)
-        unified_parts.append(flat.drop("response"))
-        typed_outputs[doc_type] = flat.select("url", "extracted_text", "response")
-        if tier2_enabled:
-            fallback_parts.append(
-                parsed.filter(F.col("_r.needs_tier2"))
-                .select("url", "warc_ts", "lang", "html",
-                        F.col("_r.tier2_reason").alias("_t2_reason")))
-
-    # --- tier 2: permissive extraction on the failed slice only --------------
-    if tier2_enabled and fallback_parts:
-        fallback = fallback_parts[0]
-        for part in fallback_parts[1:]:
-            fallback = fallback.unionByName(part)
-        re_extracted = (fallback
-                        .withColumn("_x2", tier2("html"))
-                        .withColumn("_x", F.struct(
-                            F.col("_x2.text").alias("text"),
-                            F.col("_x2.confidence").alias("confidence")))
-                        # re-route: the better text may reveal the true type
-                        .withColumn("doc_type", doc_type_router(F.col("_x.text"))))
-        re_extracted.persist()
-        for doc_type in DOC_TYPES:
-            factory, _ = udfs.PARSE_UDFS[doc_type]
-            parse2 = factory(run_date, engine=udfs.TIER2_ENGINE, route=False)
-            subset = re_extracted.filter(F.col("doc_type") == doc_type)
-            parsed = (subset
-                      .withColumn("_r", parse2(F.col("_x.text"), F.col("_x.confidence")))
-                      .withColumn("_r", F.col("_r").withField("tier2_reason",
-                                                              F.col("_t2_reason"))))
-            flat = _flatten(parsed, doc_type, tier=2)
-            unified_parts.append(flat.drop("response"))
-            typed_outputs[doc_type] = typed_outputs[doc_type].unionByName(
-                flat.select("url", "extracted_text", "response"))
-
-    unified = unified_parts[0]
-    for part in unified_parts[1:]:
+    unified = parts[0]
+    for part in parts[1:]:
         unified = unified.unionByName(part)
+    unified = unified.drop("html", "src_text").withColumn(
+        "spans", F.from_json("spans_json", _SPANS_TYPE))
 
     # --- writes (data first, lineage last: write-audit-publish order) --------
     quarantined.write.mode("overwrite").parquet(f"{output_path}/quarantine")
-    for doc_type, df in typed_outputs.items():
-        df.write.mode("overwrite").parquet(f"{output_path}/datos_{doc_type}")
-    unified.select(*_UNIFIED_COLS).write.mode("overwrite").parquet(f"{output_path}/data")
+    for doc_type in DOC_TYPES:
+        typed = (unified.filter(F.col("doc_type") == doc_type)
+                 .select("url", "extracted_text",
+                         F.from_json("response_json",
+                                     udfs.RESPONSE_STRUCTS[doc_type])
+                         .alias("response")))
+        typed.write.mode("overwrite").parquet(f"{output_path}/datos_{doc_type}")
+    unified.select(*_UNIFIED_COLS).write.mode("overwrite").parquet(
+        f"{output_path}/data")
 
     written = spark.read.parquet(f"{output_path}/data")
     lin.lineage_rows(written, run_id).write.mode("append").parquet(
@@ -216,7 +172,9 @@ def run_pipeline(spark: SparkSession, input_path: str, output_path: str,
     summary_df.write.mode("append").parquet(f"{output_path}/lineage_summary")
     summary = summary_df.collect()[0].asDict()
 
-    extracted.unpersist()
+    p1.unpersist()
+    if tier2_enabled:
+        p2.unpersist()
     summary["wall_ms"] = int((time.monotonic() - t0) * 1000)
     return summary
 

@@ -122,6 +122,19 @@ def test_doc_router(spark):
     assert got == [expected for _, expected in rows]
 
 
+def test_python_router_matches_native(spark):
+    """The fused stage's Python router is a byte-exact twin of the native
+    Column form (R4) — checked over every generated page kind."""
+    from ocr_spark.functions.udfs import route_doc_type
+    texts = [pagegen.page_for(i)["text"] for i in range(200)]
+    texts += ["", "PERMIS DE CIRCULACIO", "tarjeta de identificación fiscal",
+              "1234BCD", "X1234567L", "B76261874", "D.1", "cognoms"]
+    df = spark.createDataFrame([(t,) for t in texts], ["text"])
+    native_got = [r[0] for r in df.select(doc_type_router(F.col("text"))).collect()]
+    python_got = [route_doc_type(t) for t in texts]
+    assert native_got == python_got
+
+
 def test_fixture_pages_through_pipeline(spark, tmp_path):
     """FIXTURES.md §2 replay: per-url extracted text byte-identical."""
     rows = [(f"fixture://dni/{name}", None,
