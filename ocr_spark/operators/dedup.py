@@ -28,6 +28,8 @@ bounded by ``max_bucket`` to keep the self-join from exploding on skew
 
 from __future__ import annotations
 
+import hashlib
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window, functions as F
@@ -77,8 +79,15 @@ def _hash_params(k: int) -> tuple[np.ndarray, np.ndarray]:
     return a, b
 
 
+def _hash64(s: str) -> int:
+    """Stable 64-bit string hash (Python's ``hash()`` is salted per-process;
+    blake2b runs at C speed, unlike a per-byte Python FNV loop)."""
+    return int.from_bytes(
+        hashlib.blake2b(s.encode("utf-8"), digest_size=8).digest(), "big")
+
+
 def _shingles(text: str, width: int) -> np.ndarray:
-    """Hashed word-``width``-gram shingles (uint32)."""
+    """Hashed word-``width``-gram shingles (uint64)."""
     tokens = text.lower().split()
     if len(tokens) < width:
         grams = [" ".join(tokens)] if tokens else []
@@ -86,14 +95,8 @@ def _shingles(text: str, width: int) -> np.ndarray:
         grams = [" ".join(tokens[i:i + width]) for i in range(len(tokens) - width + 1)]
     if not grams:
         return np.zeros(0, dtype=np.uint64)
-    # Python's hash() is salted per-process — use a stable FNV-1a instead
-    out = np.empty(len(grams), dtype=np.uint64)
-    for i, g in enumerate(grams):
-        h = np.uint64(0xCBF29CE484222325)
-        for byte in g.encode("utf-8"):
-            h = np.uint64((int(h) ^ byte) * 0x100000001B3 & 0xFFFFFFFFFFFFFFFF)
-        out[i] = h
-    return out
+    return np.fromiter((_hash64(g) for g in grams), dtype=np.uint64,
+                       count=len(grams))
 
 
 def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
@@ -119,15 +122,15 @@ def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
     return df.select(F.col(id_col).alias("id"), _sig(F.col(text_col)).alias("sig"))
 
 
-def minhash_candidates(sigs: DataFrame, bands: int = 32) -> DataFrame:
+def minhash_candidates(sigs: DataFrame, bands: int = 32,
+                       k: int = 128) -> DataFrame:
     """LSH banding → candidate pairs (id_a < id_b), deduplicated.
 
     Band key = xxhash64 of the signature slice; the self-join shuffles on
-    (band, key) — never a cross join.
+    (band, key) — never a cross join.  ``k`` is the signature length
+    (passed explicitly — deriving it would cost an extra Spark action).
     """
-    k = bands  # rows per band derived from signature length at runtime
-    sig_len_row = sigs.select(F.size("sig").alias("n")).first()
-    rows_per_band = (sig_len_row["n"] // bands) if sig_len_row else 4
+    rows_per_band = max(k // bands, 1)
     band_cols = [
         F.struct(F.lit(i).alias("band"),
                  F.xxhash64(F.slice("sig", i * rows_per_band + 1, rows_per_band),
@@ -193,7 +196,7 @@ def near_duplicates_minhash(df: DataFrame, id_col: str = "doc_id",
     magnitude smaller than the corpus.
     """
     sigs = minhash_signatures(df, id_col, text_col, k, shingle_width)
-    cands = minhash_candidates(sigs, bands)
+    cands = minhash_candidates(sigs, bands, k=k)
     texts = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
     paired = (cands
               .join(texts.withColumnsRenamed({"id": "id_a", "text": "text_a"}), "id_a")
@@ -223,25 +226,26 @@ def simhash64(df: DataFrame, id_col: str = "doc_id",
               text_col: str = "text") -> DataFrame:
     """(id, simhash bigint) — 64-bit sign-aggregated token hash."""
 
+    _BITS = np.arange(64, dtype=np.uint64)
+
     @pandas_udf(T.LongType())
     def _simhash(text: pd.Series) -> pd.Series:
+        cache: dict[str, int] = {}  # token-hash memo (Zipfian token reuse)
         out = []
         for t in text:
             tokens = (t or "").lower().split()
             if not tokens:
                 out.append(0)
                 continue
-            acc = np.zeros(64, dtype=np.int64)
-            for tok in tokens:
-                h = np.uint64(0xCBF29CE484222325)
-                for byte in tok.encode("utf-8"):
-                    h = np.uint64((int(h) ^ byte) * 0x100000001B3 & 0xFFFFFFFFFFFFFFFF)
-                bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
-                acc += np.where(bits == 1, 1, -1)
-            sim = 0
-            for i in range(64):
-                if acc[i] > 0:
-                    sim |= 1 << i
+            hs = np.fromiter(
+                (cache.get(tok) or cache.setdefault(tok, _hash64(tok))
+                 for tok in tokens),
+                dtype=np.uint64, count=len(tokens))
+            # vectorized sign aggregation: n_tokens × 64 bit matrix
+            bits = (hs[:, None] >> _BITS[None, :]) & np.uint64(1)
+            acc = (2 * bits.astype(np.int64) - 1).sum(axis=0)
+            sim = int(((acc > 0).astype(np.uint64) << _BITS)
+                      .sum(dtype=np.uint64))
             # reinterpret as signed 64-bit for Spark LongType
             out.append(sim - (1 << 64) if sim >= (1 << 63) else sim)
         return pd.Series(out, dtype="int64")

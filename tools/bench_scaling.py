@@ -1,0 +1,158 @@
+"""N vs 4N scaling-efficiency evidence (BASELINE.md / north rule).
+
+The target criterion — throughput scaling efficiency ≥0.8 from N to 4N
+executors — cannot use a real cluster in this sandbox, so per the evidence
+plan in BASELINE.md we run the SAME job on the SAME input at two local
+parallelism levels in fresh JVMs:
+
+    efficiency = throughput(local[4N]) / (4 × throughput(local[N]))
+
+and additionally require the output lineage digests to be identical across
+both runs (order/parallelism independence).
+
+Usage::
+
+    python tools/bench_scaling.py [--pages 400000] [--n 8] [--out BENCH_scaling.json]
+
+Writes one JSON blob with both runs' configs + throughputs + efficiency, and
+prints a markdown table ready for BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import argparse
+import ast
+import json
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+RUN_DATE = "2026-08-16"
+
+
+def generate_input(pages: int, path: str) -> dict:
+    """Deterministic synthetic pages (seeded, Zipf host skew) via Spark."""
+    code = f"""
+import sys; sys.path.insert(0, {str(REPO)!r})
+from ocr_spark import job, pagegen
+spark = job.build_session(app="pagegen", master="local[32]")
+spark.sparkContext.setLogLevel("ERROR")
+pagegen.generate_df(spark, {pages}, partitions=64).write.mode("overwrite").parquet({path!r})
+import glob, os
+print(sum(os.path.getsize(f) for f in glob.glob({path!r} + "/*.parquet")))
+spark.stop()
+"""
+    out = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                         text=True, cwd=REPO, check=True)
+    nbytes = int(out.stdout.strip().splitlines()[-1])
+    return {"rows": pages, "parquet_bytes": nbytes}
+
+
+def run_job(cores: int, pages_path: str, warmup_path: str, out_path: str,
+            partitions: int) -> dict:
+    """One pipeline run in a fresh JVM at ``local[cores]``.
+
+    A small warmup run first amortizes one-time costs that exist on a real
+    cluster too but are not what the scaling criterion measures (JVM JIT,
+    python-worker imports, parquet reader init); the measured run is the
+    steady-state throughput.  Both walls are recorded.
+    """
+    code = f"""
+import json, sys, time
+sys.path.insert(0, {str(REPO)!r})
+from datetime import date
+from ocr_spark import job
+rd = date.fromisoformat({RUN_DATE!r})
+spark = job.build_session(app="scaling", master="local[{cores}]",
+                          shuffle_partitions={partitions})
+spark.sparkContext.setLogLevel("ERROR")
+warm = job.run_pipeline(spark, {warmup_path!r}, {out_path!r} + "_warm", rd,
+                        partitions={partitions})
+s = job.run_pipeline(spark, {pages_path!r}, {out_path!r}, rd,
+                     partitions={partitions})
+s["warmup_wall_ms"] = warm["wall_ms"]
+print("SUMMARY:" + json.dumps(s))
+spark.stop()
+"""
+    t0 = time.monotonic()
+    proc = subprocess.run([sys.executable, "-c", code],
+                          capture_output=True, text=True, cwd=REPO, check=True)
+    total_s = time.monotonic() - t0
+    line = [ln for ln in proc.stdout.splitlines() if ln.startswith("SUMMARY:")][-1]
+    summary = json.loads(line[len("SUMMARY:"):])
+    summary["cores"] = cores
+    summary["wall_s"] = round(summary["wall_ms"] / 1000.0, 2)
+    summary["warmup_wall_s"] = round(summary["warmup_wall_ms"] / 1000.0, 2)
+    summary["process_s"] = round(total_s, 2)  # incl. JVM startup, for honesty
+    summary["pages_per_sec"] = round(summary["input_count"] / (summary["wall_ms"] / 1000.0), 1)
+    return summary
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--pages", type=int, default=400_000)
+    ap.add_argument("--n", type=int, default=8, help="small run cores (big = 4N)")
+    ap.add_argument("--partitions", type=int, default=256)
+    ap.add_argument("--out", default=str(REPO / "BENCH_scaling.json"))
+    ap.add_argument("--workdir", default="/tmp/ocr_spark_scaling")
+    args = ap.parse_args()
+
+    wd = Path(args.workdir)
+    wd.mkdir(parents=True, exist_ok=True)
+    pages_path = str(wd / "pages.parquet")
+    warmup_path = str(wd / "warmup.parquet")
+
+    print(f"generating {args.pages} pages ...", flush=True)
+    gen = generate_input(args.pages, pages_path)
+    generate_input(5000, warmup_path)
+
+    runs = {}
+    for cores in (args.n, args.n * 4):
+        print(f"running pipeline at local[{cores}] ...", flush=True)
+        runs[cores] = run_job(cores, pages_path, warmup_path,
+                              str(wd / f"out_{cores}"), args.partitions)
+        print(f"  local[{cores}]: {runs[cores]['wall_s']}s "
+              f"({runs[cores]['pages_per_sec']} pages/s) "
+              f"digest={runs[cores]['digest']}", flush=True)
+
+    small, big = runs[args.n], runs[args.n * 4]
+    efficiency = round(big["pages_per_sec"] / (4.0 * small["pages_per_sec"]), 3)
+    digests_equal = small["digest"] == big["digest"]
+
+    result = {
+        "metric": "pages/sec extraction throughput, N vs 4N cores",
+        "input": gen,
+        "run_date": RUN_DATE,
+        "partitions": args.partitions,
+        "config": {
+            "arrow_max_records_per_batch": 512,
+            "aqe": True, "salt": 0,
+            "shuffle": "repartition(P, xxhash64(url)) — the only wide op",
+        },
+        "n_cores": args.n,
+        "runs": {str(c): {k: runs[c][k] for k in
+                          ("wall_s", "warmup_wall_s", "process_s",
+                           "pages_per_sec", "digest",
+                           "valid_count", "tier2_count", "input_count")}
+                 for c in runs},
+        "scaling_efficiency": efficiency,
+        "digests_equal": digests_equal,
+        "pass": bool(efficiency >= 0.8 and digests_equal),
+    }
+    Path(args.out).write_text(json.dumps(result, indent=2) + "\n")
+
+    print(json.dumps(result, indent=2))
+    print("\nmarkdown:\n")
+    print("| cores | wall s | pages/s | digest |")
+    print("|---|---|---|---|")
+    for c in (args.n, args.n * 4):
+        r = runs[c]
+        print(f"| local[{c}] | {r['wall_s']} | {r['pages_per_sec']} | `{r['digest']}` |")
+    print(f"\nscaling efficiency (4N vs N): **{efficiency}** "
+          f"(target ≥0.8) — digests equal: {digests_equal}")
+
+
+if __name__ == "__main__":
+    main()
