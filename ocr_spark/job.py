@@ -57,8 +57,13 @@ _SPANS_TYPE = "array<struct<field:string,start:int,end:int>>"
 
 def build_session(app: str = "ocr_spark", master: Optional[str] = None,
                   shuffle_partitions: int = 64) -> SparkSession:
+    import os
     builder = (
         SparkSession.builder.appName(app)
+        # local mode runs everything in one JVM — the 1g default heap cannot
+        # hold 32 concurrent task slots' shuffle+cache state (no-op if the
+        # session already exists or on a real cluster where executors size it)
+        .config("spark.driver.memory", os.environ.get("OCR_SPARK_DRIVER_MEM", "24g"))
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

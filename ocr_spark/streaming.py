@@ -1,0 +1,149 @@
+"""Structured Streaming ingest variant (SURVEY.md §7 stretch).
+
+The batch pipeline's source is an Iceberg/parquet snapshot; this module runs
+the SAME fused extraction stages over a stream of page files as they land
+(the Common-Crawl "WARC drop" pattern — at production scale the source would
+be Kafka or an Iceberg streaming read, both drop-in `readStream` swaps).
+
+Three surfaces:
+
+* :func:`read_pages_stream` — file-source stream with the canonical pages
+  schema; ``maxFilesPerTrigger`` bounds micro-batch size.
+* :func:`transform_stream` + :func:`quality_rollup` — a pure streaming
+  transformation (tier-1 fused extract+parse per micro-batch, no stateful
+  shuffle) and a watermarked windowed aggregation over it for live quality
+  monitoring (late pages up to the watermark are still counted; later ones
+  are dropped — deliberate, the batch pipeline is the source of truth).
+* :func:`run_streaming_pipeline` — the full dual-tier pipeline via
+  ``foreachBatch``: each micro-batch goes through exactly the batch stages
+  (admission → fused tier-1 → tier-2 branch → union) and is appended to the
+  same output layout as :func:`ocr_spark.job.run_pipeline`, with one lineage
+  row per micro-batch.  The streaming checkpoint gives resume-from-offset;
+  outputs are idempotent per batch_id because every write is keyed by
+  ``run_id = <run>-<batch_id>`` (an Iceberg sink would make the append
+  transactional as well).
+
+Determinism: the same frozen ``run_date`` parameter as the batch job; the
+global output digest (XOR of row digests) over all micro-batches equals the
+batch pipeline's digest on the same input — asserted in tests.
+"""
+
+from __future__ import annotations
+
+from datetime import date
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ocr_spark import job
+from ocr_spark import lineage as lin
+from ocr_spark.functions import udfs
+from ocr_spark.schema import PAGES_SCHEMA
+
+
+def read_pages_stream(spark: SparkSession, path: str,
+                      max_files_per_trigger: Optional[int] = None) -> DataFrame:
+    """File-source stream of pages (url, warc_ts, html, text, lang)."""
+    reader = spark.readStream.schema(PAGES_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(path)
+
+
+def transform_stream(stream: DataFrame, run_date: date,
+                     mode: str = "standard") -> DataFrame:
+    """Tier-1 fused extraction over a streaming DataFrame.
+
+    Stateless map — no shuffle, so it composes with any downstream streaming
+    sink or stateful operator.  Rows that would go to tier 2 in the batch
+    pipeline are flagged (``needs_tier2``) but not re-extracted here: the
+    stream is the low-latency tier, the batch job the completeness tier.
+    """
+    fused = udfs.fused_tier1_udf(run_date, mode, route=True)
+    return (stream.mapInPandas(fused, udfs.FUSED_SCHEMA)
+            .drop("html", "src_text"))
+
+
+def quality_rollup(extracted: DataFrame, window: str = "1 hour",
+                   watermark: str = "2 hours") -> DataFrame:
+    """Watermarked windowed quality monitor over the extraction stream.
+
+    Late pages within the watermark still update their window; anything
+    later is dropped (the batch pipeline remains the source of truth).
+    """
+    return (extracted
+            .withWatermark("warc_ts", watermark)
+            .groupBy(F.window("warc_ts", window).alias("w"), "doc_type")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum(F.col("valido").cast("int")).alias("n_valido"),
+                 F.avg("confianza_global").alias("avg_conf"),
+                 F.sum(F.col("needs_tier2").cast("int")).alias("n_tier2"))
+            .select(F.col("w.start").alias("window_start"),
+                    F.col("w.end").alias("window_end"),
+                    "doc_type", "n_docs", "n_valido", "avg_conf", "n_tier2"))
+
+
+def run_streaming_pipeline(spark: SparkSession, input_path: str,
+                           output_path: str, run_date: date,
+                           partitions: int = 8, mode: str = "standard",
+                           tier2_enabled: bool = True,
+                           run_id: str = "stream",
+                           max_files_per_trigger: Optional[int] = None,
+                           available_now: bool = True):
+    """Full dual-tier pipeline as a streaming query via ``foreachBatch``.
+
+    Each micro-batch runs the exact batch stages and appends to the same
+    output layout as the batch job (data / datos_* / quarantine / lineage).
+    ``available_now=True`` drains everything currently in the source and
+    stops — the batch-equivalent mode used in tests; leave it False for a
+    continuously running ingest.  Restarting with the same checkpoint
+    resumes after the last committed micro-batch.
+    """
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        admitted, quarantined = job.admission_split(batch_df)
+        admitted = job.spread_partitions(admitted, partitions)
+
+        fused1 = udfs.fused_tier1_udf(run_date, mode, route=tier2_enabled)
+        p1 = admitted.mapInPandas(fused1, udfs.FUSED_SCHEMA)
+        p1.persist()
+        parts = [p1.filter(~F.col("needs_tier2"))]
+        if tier2_enabled:
+            fallback = p1.filter(F.col("needs_tier2")).select(
+                "url", "warc_ts", "lang", "html",
+                F.col("src_text").alias("text"), "tier2_reason")
+            parts.append(fallback.mapInPandas(
+                udfs.fused_tier2_udf(run_date, mode), udfs.FUSED_SCHEMA))
+        unified = parts[0]
+        for part in parts[1:]:
+            unified = unified.unionByName(part)
+        unified = unified.drop("html", "src_text").withColumn(
+            "spans", F.from_json("spans_json", job._SPANS_TYPE))
+        unified.persist()
+
+        quarantined.write.mode("append").parquet(f"{output_path}/quarantine")
+        for doc_type in job.DOC_TYPES:
+            typed = (unified.filter(F.col("doc_type") == doc_type)
+                     .select("url", "extracted_text",
+                             F.from_json("response_json",
+                                         udfs.RESPONSE_STRUCTS[doc_type])
+                             .alias("response")))
+            typed.write.mode("append").parquet(
+                f"{output_path}/datos_{doc_type}")
+        unified.select(*job._UNIFIED_COLS).write.mode("append").parquet(
+            f"{output_path}/data")
+        lin.lineage_rows(unified.select(*job._UNIFIED_COLS),
+                         f"{run_id}-{batch_id}") \
+            .write.mode("append").parquet(f"{output_path}/lineage")
+        unified.unpersist()
+        p1.unpersist()
+
+    stream = read_pages_stream(spark, input_path, max_files_per_trigger)
+    writer = (stream.writeStream
+              .foreachBatch(_process)
+              .option("checkpointLocation", f"{output_path}/_checkpoint"))
+    if available_now:
+        query = writer.trigger(availableNow=True).start()
+        query.awaitTermination()
+        return query
+    return writer.start()

@@ -1,0 +1,73 @@
+"""Structured Streaming ingest variant: batch-equivalence, resume, watermark."""
+
+from __future__ import annotations
+
+import pytest
+
+from ocr_spark import lineage as lin
+from ocr_spark import pagegen, streaming
+from ocr_spark.job import run_pipeline
+from tests.conftest import RUN_DATE
+
+N_PAGES = 120
+
+
+@pytest.fixture(scope="module")
+def stream_input(tmp_path_factory):
+    """Two page files in one source dir — two+ micro-batches available."""
+    d = tmp_path_factory.mktemp("stream_in")
+    pagegen.write_local(N_PAGES // 2, str(d / "part0.parquet"))
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    rows = [pagegen.page_for(i) for i in range(N_PAGES // 2, N_PAGES)]
+    pq.write_table(pa.Table.from_pylist(rows), str(d / "part1.parquet"))
+    return str(d)
+
+
+def test_stream_matches_batch_digest(spark, stream_input, tmp_path):
+    """availableNow streaming output digest == batch pipeline digest."""
+    out = str(tmp_path / "stream_out")
+    streaming.run_streaming_pipeline(
+        spark, stream_input, out, RUN_DATE, partitions=4,
+        max_files_per_trigger=1)
+
+    batch_out = str(tmp_path / "batch_out")
+    batch = run_pipeline(spark, stream_input, batch_out, RUN_DATE, partitions=4)
+
+    written = spark.read.parquet(f"{out}/data")
+    stream_summary = lin.global_summary(written, "check", 0).collect()[0]
+    assert stream_summary["input_count"] == N_PAGES
+    assert stream_summary["digest"] == batch["digest"]
+    assert stream_summary["valid_count"] == batch["valid_count"]
+
+
+def test_stream_resume_is_idempotent(spark, stream_input, tmp_path):
+    """Restarting with the same checkpoint processes nothing new."""
+    out = str(tmp_path / "resume_out")
+    streaming.run_streaming_pipeline(spark, stream_input, out, RUN_DATE,
+                                     partitions=4)
+    n1 = spark.read.parquet(f"{out}/data").count()
+    streaming.run_streaming_pipeline(spark, stream_input, out, RUN_DATE,
+                                     partitions=4)
+    n2 = spark.read.parquet(f"{out}/data").count()
+    assert n1 == N_PAGES and n2 == n1
+
+
+def test_quality_rollup_watermark(spark, stream_input, tmp_path):
+    """Watermarked windowed rollup drains under availableNow and sums to input."""
+    stream = streaming.read_pages_stream(spark, stream_input)
+    extracted = streaming.transform_stream(stream, RUN_DATE)
+    rollup = streaming.quality_rollup(extracted, window="1 hour",
+                                      watermark="2 hours")
+    # complete mode: every window is visible even before the watermark closes
+    # it (the fixture's pages all land inside one hour, so append mode would
+    # emit nothing until a later event advanced the watermark past the window)
+    q = (rollup.writeStream.outputMode("complete")
+         .format("memory").queryName("qr")
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    rows = spark.sql("select * from qr").collect()
+    assert rows, "no windows emitted"
+    assert sum(r["n_docs"] for r in rows) == N_PAGES
+    assert {r["doc_type"] for r in rows} == {"dni", "permiso_circulacion", "nif"}

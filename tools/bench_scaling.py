@@ -78,7 +78,10 @@ spark.stop()
 """
     t0 = time.monotonic()
     proc = subprocess.run([sys.executable, "-c", code],
-                          capture_output=True, text=True, cwd=REPO, check=True)
+                          capture_output=True, text=True, cwd=REPO)
+    if proc.returncode != 0:
+        sys.stderr.write(proc.stdout[-4000:] + "\n" + proc.stderr[-8000:] + "\n")
+        raise RuntimeError(f"local[{cores}] run failed (rc={proc.returncode})")
     total_s = time.monotonic() - t0
     line = [ln for ln in proc.stdout.splitlines() if ln.startswith("SUMMARY:")][-1]
     summary = json.loads(line[len("SUMMARY:"):])
