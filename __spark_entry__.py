@@ -315,6 +315,19 @@ def q_media_features(spark, sf_dir):
         .select("media_id", "kind", "n_bytes", "sha_prefix")
 
 
+def q_engine_compare(spark, sf_dir):
+    from ocr_spark import compare, pagegen
+    pages = pagegen.generate_df(spark, 256, partitions=8)
+    return compare.engine_compare(pages, RUN_DATE, sample_rows=256)
+
+
+def q_engine_recommend(spark, sf_dir):
+    from ocr_spark import compare, pagegen
+    pages = pagegen.generate_df(spark, 256, partitions=8)
+    return compare.recommend(compare.engine_compare(pages, RUN_DATE,
+                                                    sample_rows=256))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # text analysis
@@ -354,6 +367,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_ann_ivf": q_embedding_ann_ivf,
         # multimodal plumbing
         "media_features": q_media_features,
+        # engine-comparison harness (S10)
+        "engine_compare": q_engine_compare,
+        "engine_recommend": q_engine_recommend,
     }
 
 

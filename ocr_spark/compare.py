@@ -1,0 +1,80 @@
+"""Engine/mode comparison harness (S10 — ``app/routes/compare.py:37-205``).
+
+The reference's ``POST /ocr/compare`` runs every {engine} × {preprocess mode}
+combination on one uploaded image and recommends the best config
+(``compare.py:172-205``: highest confidence, ties to the cheaper engine).
+The Spark analog is a config-grid benchmark: a deterministic sample of pages
+is pushed through every (tier, mode) extraction config, aggregated per
+config and doc_type, and the winner picked with a window function.
+
+Everything returned is deterministic (no wall-clock columns) so the driver's
+value-hash check is stable; latency comparison belongs to bench.py.
+"""
+
+from __future__ import annotations
+
+from datetime import date
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from ocr_spark.functions import udfs
+
+MODES = ("standard", "aggressive")
+
+
+def _extract_config(sample: DataFrame, run_date: date, tier: int,
+                    mode: str) -> DataFrame:
+    if tier == 1:
+        fused = udfs.fused_tier1_udf(run_date, mode, route=True)
+        src = sample
+    else:
+        fused = udfs.fused_tier2_udf(run_date, mode)
+        src = sample.withColumn("tier2_reason", F.lit("compare"))
+    return src.mapInPandas(fused, udfs.FUSED_SCHEMA)
+
+
+def engine_compare(pages: DataFrame, run_date: date,
+                   modes: tuple[str, ...] = MODES,
+                   sample_rows: int = 256) -> DataFrame:
+    """Per-(engine, mode, doc_type) extraction quality over a fixed sample.
+
+    Columns: engine, mode, doc_type, n_docs, n_valido, avg_conf_x100
+    (bigint — floor-scaled so the comparison is engine-portable),
+    avg_chars_x10.  Mirrors the reference's comparison matrix
+    (``compare.py:37-169``) with validity standing in for OCR confidence.
+    """
+    sample = pages.orderBy("url").limit(sample_rows)
+    parts = []
+    for tier, engine in ((1, udfs.TIER1_ENGINE), (2, udfs.TIER2_ENGINE)):
+        for mode in modes:
+            ext = _extract_config(sample, run_date, tier, mode)
+            parts.append(
+                ext.groupBy("doc_type")
+                .agg(F.count("*").alias("n_docs"),
+                     F.sum(F.col("valido").cast("int")).alias("n_valido"),
+                     F.floor(F.avg("confianza_global") * 100)
+                     .cast("bigint").alias("avg_conf_x100"),
+                     F.floor(F.avg(F.length("extracted_text")) * 10)
+                     .cast("bigint").alias("avg_chars_x10"))
+                .select(F.lit(engine).alias("engine"), F.lit(mode).alias("mode"),
+                        "doc_type", "n_docs", "n_valido", "avg_conf_x100",
+                        "avg_chars_x10"))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def recommend(comparison: DataFrame) -> DataFrame:
+    """Best (engine, mode) per doc_type — the ``compare.py:172-205`` rule:
+    highest confidence wins; ties go to the cheaper tier-1 engine, then to
+    ``standard`` mode (less preprocessing).
+    """
+    cheap_first = F.when(F.col("engine") == udfs.TIER1_ENGINE, 0).otherwise(1)
+    std_first = F.when(F.col("mode") == "standard", 0).otherwise(1)
+    w = Window.partitionBy("doc_type").orderBy(
+        F.desc("avg_conf_x100"), cheap_first, std_first)
+    return (comparison.withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") == 1).drop("_rk")
+            .select("doc_type", F.col("engine").alias("best_engine"),
+                    F.col("mode").alias("best_mode"), "avg_conf_x100"))

@@ -73,6 +73,10 @@ def build_session(app: str = "ocr_spark", master: Optional[str] = None,
         # pages are big rows — keep Arrow batches small enough for worker RAM
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "512")
         .config("spark.sql.parquet.compression.codec", "zstd")
+        # commit output files in tasks, not serially on the driver — with
+        # hundreds of partitions × several sinks the v1 driver-side rename
+        # pass becomes the serial fraction that caps scaling
+        .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
     )
     if master:
         builder = builder.master(master)
