@@ -315,6 +315,23 @@ def q_media_features(spark, sf_dir):
         .select("media_id", "kind", "n_bytes", "sha_prefix")
 
 
+def q_warc_source(spark, sf_dir):
+    """WARC connector round-trip: write a deterministic archive, read it
+    back through the Spark source, return per-url payload sizes."""
+    import os
+    import tempfile
+
+    from ocr_spark import pagegen
+    from ocr_spark.sources import warc
+
+    d = tempfile.mkdtemp(prefix="warc_q_")
+    warc.write_warc(os.path.join(d, "crawl-00.warc.gz"),
+                    (pagegen.page_for(i) for i in range(64)))
+    return (warc.read_warc(spark, d)
+            .select("url", F.length("html").alias("n_bytes"))
+            .orderBy("url"))
+
+
 def q_engine_compare(spark, sf_dir):
     from ocr_spark import compare, pagegen
     pages = pagegen.generate_df(spark, 256, partitions=8)
@@ -370,6 +387,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # engine-comparison harness (S10)
         "engine_compare": q_engine_compare,
         "engine_recommend": q_engine_recommend,
+        # sources
+        "warc_source": q_warc_source,
     }
 
 

