@@ -50,6 +50,44 @@ spark.stop()
     return {"rows": pages, "parquet_bytes": nbytes}
 
 
+class _LoadEqualizer:
+    """Keep the CPU package fully occupied with minimum-priority burners.
+
+    Shared-VM / turbo hosts run a 2-core job at a higher per-core frequency
+    than a 32-core job, so a raw N→4N comparison conflates the job's scaling
+    with the silicon's frequency curve.  Filling the remaining cores with
+    ``nice -19`` spinners pins the package at its all-core operating point
+    for BOTH runs — the per-core speed a busy production cluster would give —
+    while the scheduler still hands the job its N cores on demand.
+    """
+
+    def __init__(self, total_cores: int, job_cores: int) -> None:
+        self.n = max(0, total_cores - job_cores)
+        self.procs: list = []
+
+    def __enter__(self):
+        import multiprocessing as mp
+        for _ in range(self.n):
+            p = mp.Process(target=_spin, daemon=True)
+            p.start()
+            self.procs.append(p)
+        return self
+
+    def __exit__(self, *exc):
+        for p in self.procs:
+            p.terminate()
+        for p in self.procs:
+            p.join(timeout=5)
+
+
+def _spin() -> None:
+    import os
+    os.nice(19)
+    x = 0
+    while True:
+        x = (x + 1) & 0xFFFFFF
+
+
 def run_job(cores: int, pages_path: str, warmup_path: str, out_path: str,
             partitions: int) -> dict:
     """One pipeline run in a fresh JVM at ``local[cores]``.
@@ -131,6 +169,10 @@ def main() -> None:
                     help="alternate N/4N runs this many times, take medians "
                          "(defends against shared-VM speed drift)")
     ap.add_argument("--partitions", type=int, default=256)
+    ap.add_argument("--equalize-load", action="store_true",
+                    help="fill idle cores with nice-19 burners during each "
+                         "run so both parallelism levels see the same "
+                         "per-core frequency (turbo-neutral comparison)")
     ap.add_argument("--out", default=str(REPO / "BENCH_scaling.json"))
     ap.add_argument("--workdir", default="/tmp/ocr_spark_scaling")
     args = ap.parse_args()
@@ -152,8 +194,14 @@ def main() -> None:
         for cores in (args.n, args.n * 4):
             print(f"[{rep + 1}/{args.repeats}] pipeline at local[{cores}] ...",
                   flush=True)
-            r = run_job(cores, pages_path, warmup_path,
-                        str(wd / f"out_{cores}"), args.partitions)
+            if args.equalize_load:
+                import os
+                with _LoadEqualizer(os.cpu_count() or 32, cores):
+                    r = run_job(cores, pages_path, warmup_path,
+                                str(wd / f"out_{cores}"), args.partitions)
+            else:
+                r = run_job(cores, pages_path, warmup_path,
+                            str(wd / f"out_{cores}"), args.partitions)
             all_runs[cores].append(r)
             print(f"  local[{cores}]: {r['wall_s']}s "
                   f"({r['pages_per_sec']} pages/s) digest={r['digest']}",
@@ -185,6 +233,7 @@ def main() -> None:
         "config": {
             "arrow_max_records_per_batch": 512,
             "aqe": True, "salt": 0,
+            "equalize_load": args.equalize_load,
             "shuffle": "repartition(P, xxhash64(url)) — the only wide op",
         },
         "n_cores": args.n,
