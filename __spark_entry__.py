@@ -315,6 +315,55 @@ def q_media_features(spark, sf_dir):
         .select("media_id", "kind", "n_bytes", "sha_prefix")
 
 
+def q_dedup_keep_first(spark, sf_dir):
+    """Keep the lowest-id document per fingerprint (dedup_exact kernel)."""
+    return (dedup.dedup_exact(_docs(spark, sf_dir))
+            .select("doc_id").orderBy("doc_id"))
+
+
+def q_unit_conversions(spark, sf_dir):
+    """Permís unit math (V10 CV→kW, C17 fiscal power, C16 ratio gate) as
+    native expressions over synthesized values; floor-scaled ints so Spark
+    and DuckDB agree bit-for-bit."""
+    cv = (F.col("doc_id") % 300 + 20).cast("double")
+    kw = F.floor(cv * 0.7355 * 10 + F.lit(0.5))  # round-half-up, x10
+    cc = (F.col("doc_id") % 2200 + 900).cast("double")
+    ratio_x1000 = F.floor((kw / 10.0) / cc * 1000)
+    return (_docs(spark, sf_dir)
+            .select("doc_id",
+                    cv.cast("int").alias("cv"),
+                    kw.cast("bigint").alias("kw_x10"),
+                    F.floor(kw / 10.0 * 1.36 * 10 + F.lit(0.5))
+                    .cast("bigint").alias("fiscal_x10"),
+                    ratio_x1000.cast("bigint").alias("ratio_x1000"),
+                    ratio_x1000.between(20, 200).alias("ratio_ok")))
+
+
+def q_pdf_extract(spark, sf_dir):
+    """PDF acquisition tier: synthesize one PDF per document text, extract
+    through tier 1, verify byte-identity (rows-only)."""
+    import pandas as pd
+
+    from ocr_spark import html_extract
+    from ocr_spark.sources import pdf
+
+    def gen(iterator):
+        for pdf_batch in iterator:
+            rows = []
+            for doc_id, text in zip(pdf_batch["doc_id"], pdf_batch["text"]):
+                blob = pdf.make_pdf(text or "")
+                extracted, conf = html_extract.extract_tier1(blob)
+                rows.append((int(doc_id), len(blob),
+                             extracted == (text or ""), float(conf)))
+            yield pd.DataFrame(rows, columns=["doc_id", "pdf_bytes",
+                                              "roundtrip_ok", "confidence"])
+
+    return (_docs(spark, sf_dir).select("doc_id", "text")
+            .mapInPandas(gen, "doc_id long, pdf_bytes int, "
+                              "roundtrip_ok boolean, confidence double")
+            .orderBy("doc_id"))
+
+
 def q_warc_source(spark, sf_dir):
     """WARC connector round-trip: write a deterministic archive, read it
     back through the Spark source, return per-url payload sizes."""
@@ -389,6 +438,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "engine_recommend": q_engine_recommend,
         # sources
         "warc_source": q_warc_source,
+        "pdf_extract": q_pdf_extract,
+        # extra oracle-checked kernels
+        "dedup_keep_first": q_dedup_keep_first,
+        "unit_conversions": q_unit_conversions,
     }
 
 
@@ -603,6 +656,20 @@ def oracle_sql() -> dict[str, str]:
                    round(sqrt(list_sum(list_transform(embedding,
                          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 4) AS l2_norm
             FROM embeddings""",
+        "dedup_keep_first": f"""
+            WITH ranked AS (
+              SELECT doc_id, row_number() OVER (
+                         PARTITION BY {_FP_SQL} ORDER BY doc_id) AS rn
+              FROM documents)
+            SELECT doc_id FROM ranked WHERE rn = 1 ORDER BY doc_id""",
+        "unit_conversions": """
+            SELECT doc_id,
+                   CAST(doc_id % 300 + 20 AS INT) AS cv,
+                   CAST(floor((doc_id % 300 + 20) * 0.7355 * 10 + 0.5) AS BIGINT) AS kw_x10,
+                   CAST(floor(floor((doc_id % 300 + 20) * 0.7355 * 10 + 0.5) / 10.0 * 1.36 * 10 + 0.5) AS BIGINT) AS fiscal_x10,
+                   CAST(floor(floor((doc_id % 300 + 20) * 0.7355 * 10 + 0.5) / 10.0 / (doc_id % 2200 + 900) * 1000) AS BIGINT) AS ratio_x1000,
+                   floor(floor((doc_id % 300 + 20) * 0.7355 * 10 + 0.5) / 10.0 / (doc_id % 2200 + 900) * 1000) BETWEEN 20 AND 200 AS ratio_ok
+            FROM documents""",
         "embedding_topk": """
             WITH scored AS (
               SELECT q.vec_id AS query_id, c.vec_id AS vec_id,

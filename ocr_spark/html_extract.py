@@ -30,6 +30,8 @@ from html import unescape
 from html.parser import HTMLParser
 from typing import NamedTuple, Optional
 
+from ocr_spark.sources import pdf as pdf_extract
+
 # P2 analog: content sniffing — pick the right parser branch by magic bytes.
 _PDF_MAGIC = b"%PDF"
 _RE_META_CHARSET = re.compile(rb"""<meta[^>]+charset=["']?([A-Za-z0-9_\-]+)""", re.I)
@@ -172,9 +174,13 @@ def sniff_kind(data: bytes) -> str:
 
 def _segment(data: bytes) -> list[Block]:
     kind = sniff_kind(data)
+    if kind == "pdf":
+        # content-stream text extraction (P2 branch; sources/pdf.py)
+        text = pdf_extract.extract_pdf_text(data)
+        return [Block(text, len(text), 0, True, False)] if text else []
     text = decode_html(data)
     if kind != "html":
-        # plain text / pdf-stub: one pre-like block, kept verbatim
+        # plain text: one pre-like block, kept verbatim
         return [Block(text, len(text), 0, True, False)] if text else []
     collector = _BlockCollector()
     try:

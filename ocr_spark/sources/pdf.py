@@ -1,0 +1,164 @@
+"""Minimal deterministic PDF text extraction (north-star "PDF/layout parse").
+
+Real Common-Crawl corpora carry PDFs alongside HTML; the admission sniffer
+(`html_extract.sniff_kind`) routes ``%PDF`` payloads here.  This is a
+from-scratch, dependency-free extractor for the dominant PDF text encoding:
+
+* content streams located via ``stream``/``endstream`` object framing;
+* ``FlateDecode`` streams inflated with stdlib ``zlib`` (the standard filter
+  for text content); uncompressed streams used as-is;
+* text reassembled from the text-showing operators inside ``BT``/``ET``
+  blocks: ``(...) Tj``, ``(...) '``, and ``[(...) -250 (...)] TJ`` arrays,
+  with PDF string-escape handling (``\\n \\t \\( \\) \\\\ \\ddd``) and
+  line breaks on the ``Td/TD/T*``/``'`` line-advance operators;
+* anything unsupported (encrypted, exotic filters, CID-keyed fonts) simply
+  yields no text for that stream — a page never fails the batch.
+
+This intentionally mirrors the role Tesseract/Vision play for images in the
+reference: a deterministic bytes→text acquisition tier, not a full renderer.
+"""
+
+from __future__ import annotations
+
+import re
+import zlib
+
+_RE_STREAM = re.compile(rb"stream\r?\n(.*?)endstream", re.S)
+# One left-to-right token scan over the whole content stream.  String
+# literals are an alternative of the SAME pattern, so a literal containing
+# "BT"/"ET"/"Td" is consumed before those could match as operators (a naive
+# BT(.*?)ET split dies on text like "TARJETA").
+_RE_TOKEN = re.compile(
+    rb"\((?P<lit>(?:\\.|[^\\()])*)\)\s*(?P<after>Tj|TJ|')?"  # (..) [op]
+    rb"|\[(?P<arr>(?:\\.|[^\]])*)\]\s*TJ"                    # [ .. ] TJ
+    rb"|(?P<tok>\bBT\b|\bET\b|T\*|\bTd\b|\bTD\b)", re.S)
+_RE_ARR_LIT = re.compile(rb"\((?P<lit>(?:\\.|[^\\()])*)\)")
+
+_ESCAPES = {b"n": b"\n", b"r": b"\r", b"t": b"\t", b"b": b"\b", b"f": b"\f",
+            b"(": b"(", b")": b")", b"\\": b"\\"}
+
+
+def _unescape(lit: bytes) -> bytes:
+    out = bytearray()
+    i, n = 0, len(lit)
+    while i < n:
+        c = lit[i:i + 1]
+        if c == b"\\" and i + 1 < n:
+            nxt = lit[i + 1:i + 2]
+            if nxt.isdigit():  # \ddd octal (1-3 digits)
+                j = i + 1
+                while j < min(i + 4, n) and lit[j:j + 1].isdigit():
+                    j += 1
+                out.append(int(lit[i + 1:j], 8) & 0xFF)
+                i = j
+                continue
+            if nxt == b"\n":  # line continuation
+                i += 2
+                continue
+            out += _ESCAPES.get(nxt, nxt)
+            i += 2
+            continue
+        out += c
+        i += 1
+    return bytes(out)
+
+
+def _decode_stream(raw: bytes) -> bytes:
+    # decompressobj tolerates the framing newline before `endstream` as
+    # unused trailing data; never rstrip first — a deflate stream may
+    # legitimately END with 0x0a/0x0d bytes
+    try:
+        return zlib.decompressobj().decompress(raw)
+    except zlib.error:
+        return raw
+
+
+def _stream_text(content: bytes) -> list[bytes]:
+    """Text lines of one content stream (line breaks on BT/Td/TD/T*/')."""
+    lines: list[bytearray] = [bytearray()]
+    in_text = False
+
+    def newline() -> None:
+        if lines[-1]:
+            lines.append(bytearray())
+
+    for m in _RE_TOKEN.finditer(content):
+        tok = m.group("tok")
+        if tok is not None:
+            if tok == b"BT":
+                in_text = True
+                newline()
+            elif tok == b"ET":
+                in_text = False
+            else:  # Td / TD / T* — line advance
+                newline()
+            continue
+        if not in_text:
+            continue
+        if m.group("lit") is not None:
+            if m.group("after") == b"'":  # ' = next line + show
+                newline()
+            if m.group("after") is not None:  # plain positioning literal: skip
+                lines[-1] += _unescape(m.group("lit"))
+        elif m.group("arr") is not None:
+            for lit in _RE_ARR_LIT.finditer(m.group("arr")):
+                lines[-1] += _unescape(lit.group("lit"))
+    return [bytes(ln) for ln in lines if ln]
+
+
+def extract_pdf_text(data: bytes) -> str:
+    """All recoverable text of a PDF, text lines joined with newlines."""
+    lines: list[bytes] = []
+    for sm in _RE_STREAM.finditer(data):
+        content = _decode_stream(sm.group(1))
+        if b"BT" in content:
+            lines.extend(_stream_text(content))
+    return b"\n".join(lines).decode("utf-8", errors="replace")
+
+
+# ---------------------------------------------------------------------------
+# writer (tests / synthetic corpora): one valid single-page PDF per text
+# ---------------------------------------------------------------------------
+
+def _escape(text: bytes) -> bytes:
+    return (text.replace(b"\\", b"\\\\")
+            .replace(b"(", b"\\(").replace(b")", b"\\)"))
+
+
+def make_pdf(text: str, compress: bool = True) -> bytes:
+    """Minimal valid one-page PDF whose extracted text round-trips *text*."""
+    ops = [b"BT", b"/F1 10 Tf", b"12 700 Td"]
+    for i, line in enumerate(text.split("\n")):
+        if i:
+            ops.append(b"0 -12 Td")
+        ops.append(b"(" + _escape(line.encode("utf-8")) + b") Tj")
+    ops.append(b"ET")
+    content = b"\n".join(ops)
+    filt = b""
+    if compress:
+        content = zlib.compress(content)
+        filt = b" /Filter /FlateDecode"
+    stream_obj = (b"<< /Length " + str(len(content)).encode() + filt +
+                  b" >>\nstream\n" + content + b"\nendstream")
+    objects = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        b"/Contents 4 0 R /Resources << /Font << /F1 5 0 R >> >> >>",
+        stream_obj,
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+    ]
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = []
+    for i, obj in enumerate(objects, start=1):
+        offsets.append(len(out))
+        out += f"{i} 0 obj\n".encode() + obj + b"\nendobj\n"
+    xref = len(out)
+    out += f"xref\n0 {len(objects) + 1}\n".encode()
+    out += b"0000000000 65535 f \n"
+    for off in offsets:
+        out += f"{off:010d} 00000 n \n".encode()
+    out += (b"trailer\n<< /Size " + str(len(objects) + 1).encode() +
+            b" /Root 1 0 R >>\nstartxref\n" + str(xref).encode()
+            + b"\n%%EOF\n")
+    return bytes(out)

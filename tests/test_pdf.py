@@ -1,0 +1,71 @@
+"""PDF acquisition tier: round-trip, escapes, filters, pipeline integration."""
+
+from __future__ import annotations
+
+from datetime import datetime, timezone
+
+import pytest
+
+from ocr_spark import html_extract, pagegen
+from ocr_spark.job import run_pipeline
+from ocr_spark.sources import pdf
+from tests.conftest import RUN_DATE
+
+N_PDF = 24
+
+
+def test_roundtrip_compressed_and_raw():
+    text = "APELLIDOS\nGARCIA LOPEZ\nNOMBRE\nMARIA\nDNI\n12345678Z"
+    for compress in (True, False):
+        blob = pdf.make_pdf(text, compress=compress)
+        assert blob.startswith(b"%PDF-")
+        assert pdf.extract_pdf_text(blob) == text
+
+
+def test_escapes_and_special_chars():
+    text = "paren (dentro) y \\ backslash\nsegona línia àéü"
+    assert pdf.extract_pdf_text(pdf.make_pdf(text)) == text
+
+
+def test_tj_array_and_quote_operator():
+    import zlib
+    content = (b"BT [(Hola ) -250 (mon)] TJ 0 -12 Td (adeu) Tj ET"
+               b" BT (bloc2) ' ET")
+    stream = zlib.compress(content)
+    blob = (b"%PDF-1.4\n1 0 obj\n<< /Length " + str(len(stream)).encode()
+            + b" /Filter /FlateDecode >>\nstream\n" + stream
+            + b"\nendstream\nendobj\n%%EOF")
+    assert pdf.extract_pdf_text(blob) == "Hola mon\nadeu\nbloc2"
+
+
+def test_garbage_and_encrypted_safe():
+    assert pdf.extract_pdf_text(b"%PDF-1.4 nothing here") == ""
+    assert pdf.extract_pdf_text(b"%PDF-1.4\nstream\n\x00\x01\x02endstream") == ""
+
+
+def test_sniff_routes_pdf_through_tiers():
+    body = pagegen.page_for(3)["text"]
+    blob = pdf.make_pdf(body)
+    assert html_extract.sniff_kind(blob) == "pdf"
+    t1, conf1 = html_extract.extract_tier1(blob)
+    assert t1 == body and conf1 == 100.0
+    t2, conf2, spans = html_extract.extract_tier2(blob)
+    assert t2 == body and conf2 == 95.0
+
+
+def test_pdf_pages_through_pipeline(spark, tmp_path):
+    """PDF payloads in the html column: text recovered byte-identically."""
+    ts = datetime(2026, 1, 15, tzinfo=timezone.utc).replace(tzinfo=None)
+    rows = []
+    for i in range(N_PDF):
+        body = pagegen.page_for(i)["text"]
+        rows.append((f"pdf://doc/{i}", ts, pdf.make_pdf(body), body, "es"))
+    df = spark.createDataFrame(
+        rows, schema="url string, warc_ts timestamp, html binary, text string, lang string")
+    out = str(tmp_path / "out")
+    summary = run_pipeline(spark, None, out, RUN_DATE, partitions=2, input_df=df)
+    assert summary["input_count"] == N_PDF
+    data = {r["url"]: r["extracted_text"]
+            for r in spark.read.parquet(f"{out}/data").collect()}
+    for url, _, _, body, _ in rows:
+        assert data[url] == body, url
