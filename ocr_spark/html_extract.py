@@ -63,10 +63,15 @@ class Block(NamedTuple):
     link_chars: int
     is_pre: bool
     in_boilerplate: bool
+    in_main: bool = False
 
     @property
     def link_density(self) -> float:
         return self.link_chars / self.n_chars if self.n_chars else 0.0
+
+
+# Content-root containers (P8 analog: document-boundary detection).
+_MAIN_TAGS = frozenset({"main", "article"})
 
 
 class _BlockCollector(HTMLParser):
@@ -81,6 +86,7 @@ class _BlockCollector(HTMLParser):
         self._a_depth = 0
         self._pre_depth = 0
         self._boiler_depth = 0
+        self._main_depth = 0
 
     # -- block lifecycle ----------------------------------------------------
 
@@ -94,7 +100,8 @@ class _BlockCollector(HTMLParser):
         self._link_chars = 0
         if text:
             self.blocks.append(Block(text, len(text), min(link_chars, len(text)),
-                                     self._pre_depth > 0, self._boiler_depth > 0))
+                                     self._pre_depth > 0, self._boiler_depth > 0,
+                                     self._main_depth > 0))
 
     # -- HTMLParser hooks ----------------------------------------------------
 
@@ -115,6 +122,8 @@ class _BlockCollector(HTMLParser):
             self._flush()
             if tag in _BOILERPLATE_TAGS:
                 self._boiler_depth += 1
+            if tag in _MAIN_TAGS:
+                self._main_depth += 1
 
     def handle_endtag(self, tag):
         if tag in _SKIP_SUBTREE:
@@ -131,6 +140,8 @@ class _BlockCollector(HTMLParser):
             self._flush()
             if tag in _BOILERPLATE_TAGS:
                 self._boiler_depth = max(0, self._boiler_depth - 1)
+            if tag in _MAIN_TAGS:
+                self._main_depth = max(0, self._main_depth - 1)
 
     def handle_data(self, data):
         if self._skip_depth or not data:
@@ -199,9 +210,11 @@ def extract_tier1(data: Optional[bytes], mode: str = "standard") -> tuple[str, f
 
     Keep rule: ``<pre>`` always; otherwise a block survives when it is long
     enough, not link-dominated, and (in ``aggressive`` mode) not inside a
-    nav/footer/aside/header/form container.  Confidence is the kept-text
-    fraction — the cheap tier *underreports* on boilerplate-heavy pages,
-    which is exactly what routes them to tier 2 (T5/T6).
+    nav/footer/aside/header/form container.  ``layout`` mode (P8 analog —
+    document-boundary detection) additionally restricts candidates to the
+    ``<main>/<article>`` subtree when one exists.  Confidence is the
+    kept-text fraction — the cheap tier *underreports* on boilerplate-heavy
+    pages, which is exactly what routes them to tier 2 (T5/T6).
     """
     if not data:
         return "", 0.0
@@ -209,8 +222,11 @@ def extract_tier1(data: Optional[bytes], mode: str = "standard") -> tuple[str, f
     total = sum(b.n_chars for b in blocks)
     if total == 0:
         return "", 0.0
+    candidates = blocks
+    if mode == "layout" and any(b.in_main for b in blocks):
+        candidates = [b for b in blocks if b.in_main or b.is_pre]
     kept: list[Block] = []
-    for b in blocks:
+    for b in candidates:
         if b.is_pre:
             kept.append(b)
         elif b.n_chars >= _T1_MIN_CHARS and b.link_density <= _T1_MAX_LINK_DENSITY:

@@ -84,6 +84,14 @@ def build_session(app: str = "ocr_spark", master: Optional[str] = None,
 
 
 def read_pages(spark: SparkSession, path: str) -> DataFrame:
+    """Pages source: parquet path, or ``table:<catalog.db.tbl>`` for an
+    Iceberg (or any catalog) table — same schema contract either way.
+    Iceberg gives the scan partition pruning on ``warc_ts`` and atomic
+    commit semantics; the parquet path mirrors the layout 1:1 for
+    environments (like this sandbox) without the runtime jars.
+    """
+    if path.startswith("table:"):
+        return spark.read.table(path[len("table:"):])
     return spark.read.schema(PAGES_SCHEMA).parquet(path)
 
 

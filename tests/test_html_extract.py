@@ -62,6 +62,22 @@ def test_aggressive_mode_drops_footer():
     assert page["text"] in t_aggr
 
 
+def test_layout_mode_restricts_to_main():
+    html = (b"<html><body><div>outside prose that is long enough to keep</div>"
+            b"<main><article><p>inside the article body block</p>"
+            b"<pre>FIELD\nVALUE</pre></article></main>"
+            b"<div>trailing junk also long enough to keep</div></body></html>")
+    t_std, _ = extract_tier1(html, mode="standard")
+    t_lay, _ = extract_tier1(html, mode="layout")
+    assert "outside prose" in t_std and "trailing junk" in t_std
+    assert "outside prose" not in t_lay and "trailing junk" not in t_lay
+    assert "inside the article" in t_lay and "FIELD\nVALUE" in t_lay
+    # pages without a <main>/<article> fall back to the standard rule
+    no_main = b"<html><body><div>just one block of prose here</div></body></html>"
+    assert extract_tier1(no_main, mode="layout") == \
+        extract_tier1(no_main, mode="standard")
+
+
 def test_sniff_and_decode():
     assert sniff_kind(b"%PDF-1.4 ...") == "pdf"
     assert sniff_kind(b"<!doctype html><html>") == "html"

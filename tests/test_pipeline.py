@@ -72,11 +72,14 @@ def test_typed_outputs_match_pure_parser(spark, pipeline_out, pages_path):
 
 
 def test_rerun_digest_identical(spark, pages_path, tmp_path):
-    """Same input + same run-date ⇒ identical global digest (determinism)."""
+    """Same input + same run-date ⇒ identical global digest (determinism),
+    at any partition count and with salting on or off."""
     s1 = run_pipeline(spark, pages_path, str(tmp_path / "a"), RUN_DATE, partitions=8)
     s2 = run_pipeline(spark, pages_path, str(tmp_path / "b"), RUN_DATE, partitions=4)
-    assert s1["digest"] == s2["digest"]
-    assert s1["valid_count"] == s2["valid_count"]
+    s3 = run_pipeline(spark, pages_path, str(tmp_path / "c"), RUN_DATE,
+                      partitions=8, salt=4)
+    assert s1["digest"] == s2["digest"] == s3["digest"]
+    assert s1["valid_count"] == s2["valid_count"] == s3["valid_count"]
 
 
 def test_lineage_rows(spark, pipeline_out):
