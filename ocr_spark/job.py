@@ -116,12 +116,18 @@ def admission_split(pages: DataFrame) -> tuple[DataFrame, DataFrame]:
 def spread_partitions(pages: DataFrame, partitions: int, salt: int = 0) -> DataFrame:
     """Balance work by document, not by input-file layout (§4.2-1).
 
-    Hashing the full url already splits hot hosts across partitions; the
-    optional salt adds a second key term for adversarial key collisions.
+    Hashing the full url already splits hot hosts across partitions.  The
+    optional salt handles the case url-hashing cannot: one url re-crawled
+    millions of times.  The salt term must therefore vary *across captures
+    of the same url* — it hashes the capture identity (timestamp + content),
+    not the url again (which would be a per-url constant and spread
+    nothing).  Rows identical in every column still co-locate; that is
+    dedup's job, not placement's.
     """
     if salt > 1:
-        return pages.repartition(partitions, F.xxhash64("url"),
-                                 F.pmod(F.xxhash64("url", F.lit(salt)), F.lit(salt)))
+        capture = F.pmod(F.xxhash64("url", "warc_ts", "text", F.lit(salt)),
+                         F.lit(salt))
+        return pages.repartition(partitions, F.xxhash64("url"), capture)
     return pages.repartition(partitions, F.xxhash64("url"))
 
 

@@ -125,6 +125,27 @@ def test_doc_router(spark):
     assert got == [expected for _, expected in rows]
 
 
+def test_salt_spreads_duplicate_urls(spark):
+    """xxhash64(url) alone lands re-crawls of one hot url in one partition;
+    the salt term spreads them (the adversarial-skew guard of §4.2-1)."""
+    from ocr_spark.job import spread_partitions
+    rows = [(f"https://hot.example/page", None, None, f"crawl {i}", "es")
+            for i in range(400)]
+    rows += [(f"https://host-{i}.example/x", None, None, "t", "es")
+             for i in range(100)]
+    df = spark.createDataFrame(
+        rows, schema="url string, warc_ts timestamp, html binary, text string, lang string")
+
+    def max_partition(df2):
+        return (df2.withColumn("p", F.spark_partition_id())
+                .groupBy("p").count().agg(F.max("count")).collect()[0][0])
+
+    unsalted = max_partition(spread_partitions(df, 16, salt=0))
+    salted = max_partition(spread_partitions(df, 16, salt=8))
+    assert unsalted >= 400          # all dups in one partition
+    assert salted <= 150            # spread across salt buckets
+
+
 def test_python_router_matches_native(spark):
     """The fused stage's Python router is a byte-exact twin of the native
     Column form (R4) — checked over every generated page kind."""
