@@ -85,6 +85,26 @@ def q_fingerprint(spark, sf_dir):
             .select("doc_id", textstats.fingerprint(F.col("text")).alias("fp")))
 
 
+def q_token_count_bpe(spark, sf_dir):
+    return (_docs(spark, sf_dir)
+            .select("doc_id",
+                    textstats.token_count_bpe(F.col("text")).alias("n_bpe")))
+
+
+def q_winnow_fingerprints(spark, sf_dir):
+    return (textstats.winnowing_fingerprints(_docs(spark, sf_dir))
+            .select("id", F.size("fingerprints").alias("n_fp"),
+                    F.element_at("fingerprints", 1).alias("first_fp"))
+            .orderBy("id"))
+
+
+def q_frame_sample(spark, sf_dir):
+    media = multimodal.synthetic_media(spark, rows=48)
+    return (multimodal.sample_frames(media, every_ms=5000)
+            .select("media_id", "frame_idx", "ts_ms",
+                    F.length("frame").alias("n_bytes")))
+
+
 def q_exact_duplicates(spark, sf_dir):
     return dedup.exact_duplicates(_docs(spark, sf_dir))
 
@@ -398,9 +418,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # text analysis
         "token_count": q_token_count,
+        "token_count_bpe": q_token_count_bpe,
         "language_id": q_language_id,
         "quality_features": q_quality_features,
         "fingerprint": q_fingerprint,
+        "winnow_fingerprints": q_winnow_fingerprints,
         # dedup
         "exact_duplicates": q_exact_duplicates,
         "fingerprint_groups": q_fingerprint_groups,
@@ -433,6 +455,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_ann_ivf": q_embedding_ann_ivf,
         # multimodal plumbing
         "media_features": q_media_features,
+        "frame_sample": q_frame_sample,
         # engine-comparison harness (S10)
         "engine_compare": q_engine_compare,
         "engine_recommend": q_engine_recommend,
@@ -544,6 +567,13 @@ def oracle_sql() -> dict[str, str]:
                     AND (CASE WHEN length(text) > 0 THEN CAST(floor((length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))) * 1000.0 / length(text)) AS BIGINT) ELSE 0 END) < 300) AS quality_ok
             FROM documents""",
         "fingerprint": f"SELECT doc_id, {_FP_SQL} AS fp FROM documents",
+        "token_count_bpe": r"""
+            SELECT doc_id,
+                   CASE WHEN length(text) = 0 THEN 0 ELSE
+                     CAST(len(regexp_extract_all(text,
+                       '''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+'))
+                       AS BIGINT) END AS n_bpe
+            FROM documents""",
         "exact_duplicates": f"""
             SELECT {_FP_SQL} AS fingerprint, CAST(count(*) AS BIGINT) AS n_dups,
                    min(doc_id) AS keep_id

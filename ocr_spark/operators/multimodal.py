@@ -108,6 +108,84 @@ def extract_media_features(df: DataFrame, deterministic_fake: bool = True,
     return slim.mapInPandas(process, schema=FEATURES_SCHEMA)
 
 
+RESIZED_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("kind", T.StringType(), True),
+    T.StructField("payload", T.BinaryType(), True),
+    T.StructField("width", T.IntegerType(), True),
+    T.StructField("height", T.IntegerType(), True),
+])
+
+FRAME_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("frame_idx", T.IntegerType(), False),
+    T.StructField("ts_ms", T.IntegerType(), True),
+    T.StructField("frame", T.BinaryType(), True),
+])
+
+
+def resize_images(df: DataFrame, max_px: int = 512,
+                  deterministic_fake: bool = True) -> DataFrame:
+    """Image rows → capped-dimension payloads (P7 resize analog).
+
+    Real path: decode → Lanczos downscale → re-encode (stubbed, no codec in
+    this container).  The deterministic fake scales the recorded dims and
+    truncates the payload proportionally, so schema, batch shape, and the
+    byte-budget behavior are exercised end-to-end.
+    """
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                if not deterministic_fake:
+                    raise NotImplementedError("image codecs not present")
+                w = row["meta"]["width"] or max_px
+                h = row["meta"]["height"] or max_px
+                scale = min(1.0, max_px / max(w, h, 1))
+                payload = bytes(row["payload"] or b"")
+                keep = max(1, int(len(payload) * scale * scale))
+                rows.append({"media_id": row["media_id"], "kind": row["kind"],
+                             "payload": payload[:keep],
+                             "width": int(w * scale), "height": int(h * scale)})
+            yield pd.DataFrame(rows, columns=[f.name for f in RESIZED_SCHEMA])
+
+    slim = df.filter(F.col("kind") == "image") \
+        .select("media_id", "kind", "payload", "meta")
+    return slim.mapInPandas(process, schema=RESIZED_SCHEMA)
+
+
+def sample_frames(df: DataFrame, every_ms: int = 1000,
+                  deterministic_fake: bool = True) -> DataFrame:
+    """Video/audio rows → one row per sampled frame (1→N mapInPandas shape).
+
+    Real path: demux + keyframe decode at the sampling grid (stubbed).  The
+    fake emits duration//every_ms frames, each a deterministic payload
+    slice, exercising the explode-shaped batch contract downstream feature
+    extraction depends on.
+    """
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                if not deterministic_fake:
+                    raise NotImplementedError("av codecs not present")
+                duration = row["meta"]["duration_ms"] or 0
+                payload = bytes(row["payload"] or b"")
+                n = max(1, duration // every_ms) if duration else 1
+                step = max(1, len(payload) // n)
+                for i in range(n):
+                    rows.append({"media_id": row["media_id"], "frame_idx": i,
+                                 "ts_ms": i * every_ms,
+                                 "frame": payload[i * step:(i + 1) * step]})
+            yield pd.DataFrame(rows, columns=[f.name for f in FRAME_SCHEMA])
+
+    slim = df.filter(F.col("kind").isin("video", "audio")) \
+        .select("media_id", "payload", "meta")
+    return slim.mapInPandas(process, schema=FRAME_SCHEMA)
+
+
 def media_metadata_stats(df: DataFrame) -> DataFrame:
     """Metadata-only rollup — never touches the binary column (pruned scan)."""
     return (df.groupBy("kind")

@@ -11,14 +11,22 @@ codegen, no Python workers) and each has a DuckDB oracle twin in
   pretraining pipeline)
 * :func:`fingerprint`        — md5 document fingerprint over the
   whitespace-canonicalized lowercased text (exact-dedup key)
+* :func:`token_count_bpe`    — GPT-2-style pre-tokenizer count (RE2-safe
+  regex, so the DuckDB oracle counts identically)
+* :func:`winnowing_fingerprints` — rolling-hash winnowing (MOSS scheme);
+  the one pandas-UDF operator here, numpy-vectorized per Arrow batch
 
-Scale: every expression here is a narrow map — no shuffle, no UDF; a
-100 TB scan stays I/O-bound.
+Scale: everything except winnowing is a narrow Column-expression map — no
+shuffle, no Python; a 100 TB scan stays I/O-bound.
 """
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
 
 # Marker-token lists for the tiny deterministic language classifier.  Chosen
 # for the harness corpus languages; the SQL oracle uses the same lists.
@@ -98,3 +106,61 @@ def fingerprint(text: Column) -> Column:
     """
     canon = F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))
     return F.md5(canon)
+
+
+# GPT-2-style pre-tokenizer, restricted to the RE2-compatible subset (no
+# lookahead) so Spark (Java regex) and DuckDB (RE2) count identically:
+# contractions | optional-space letters | optional-space digits |
+# optional-space punctuation run | whitespace run.
+BPE_PRETOKEN_RE = (r"'(?:s|t|re|ve|m|ll|d)"
+                   r"| ?\p{L}+"
+                   r"| ?\p{N}+"
+                   r"| ?[^\s\p{L}\p{N}]+"
+                   r"|\s+")
+
+
+def token_count_bpe(text: Column) -> Column:
+    """Token count under a BPE-ish pre-tokenizer regex (whitespace runs are
+    tokens too, as in GPT-2 pre-tokenization) — the cheap proxy for "how
+    many LLM tokens is this document" used for corpus budgeting."""
+    return F.when(F.length(text) == 0, F.lit(0)).otherwise(
+        F.size(F.regexp_extract_all(text, F.lit(BPE_PRETOKEN_RE), 0))
+    ).cast("bigint")
+
+
+def winnowing_fingerprints(df: DataFrame, id_col: str = "doc_id",
+                           text_col: str = "text", k: int = 8,
+                           window: int = 4) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer et al., SIGMOD'03).
+
+    Rolling polynomial hash over character ``k``-grams; within every window
+    of ``window`` consecutive hashes the minimum is selected (rightmost on
+    ties), giving a position-robust fingerprint set whose overlap measures
+    local near-duplication — the classic MOSS scheme.  Vectorized numpy per
+    Arrow batch; output is the sorted distinct selected hashes.
+    """
+    BASE = np.uint64(1000003)
+    POWERS = BASE ** np.arange(k - 1, -1, -1, dtype=np.uint64)  # mod 2^64
+
+    def _one(text: str) -> list[int]:
+        data = np.frombuffer(text.lower().encode("utf-8"), dtype=np.uint8)
+        n = len(data) - k + 1
+        if n <= 0:
+            return []
+        # polynomial hash of every k-gram, ring Z/2^64 (numpy wraparound) —
+        # fully vectorized: n×k window view · powers
+        sw = np.lib.stride_tricks.sliding_window_view(data, k).astype(np.uint64)
+        h = (sw * POWERS).sum(axis=1, dtype=np.uint64)
+        if n <= window:
+            return [int(h.min())]
+        mins = np.lib.stride_tricks.sliding_window_view(h, window).min(axis=1)
+        return sorted({int(x) for x in mins})
+
+    @pandas_udf(T.ArrayType(T.LongType()))
+    def _winnow(text: pd.Series) -> pd.Series:
+        return pd.Series([
+            [v - (1 << 64) if v >= (1 << 63) else v for v in _one(t or "")]
+            for t in text])
+
+    return df.select(F.col(id_col).alias("id"),
+                     _winnow(F.col(text_col)).alias("fingerprints"))

@@ -116,6 +116,45 @@ def test_simhash_near_dups(spark, docs):
     assert all(h <= 5 for h in pairs.values())
 
 
+def test_token_count_bpe(spark, docs):
+    rows = {r["doc_id"]: r["n"] for r in docs.select(
+        "doc_id", textstats.token_count_bpe(F.col("text")).alias("n")).collect()}
+    assert rows[8] == 0                      # empty text
+    assert rows[0] > 0
+    # a contraction splits into word + suffix token
+    df = spark.createDataFrame([("it's fine",), ("its fine",)], ["text"])
+    n = [r[0] for r in df.select(textstats.token_count_bpe(F.col("text"))).collect()]
+    assert n[0] == n[1] + 1
+
+
+def test_winnowing_fingerprints(spark, docs):
+    fps = {r["id"]: r["fingerprints"] for r in
+           textstats.winnowing_fingerprints(docs).collect()}
+    assert fps[0] == fps[1]                  # exact dup → identical set
+    a, c = set(fps[0]), set(fps[2])          # near dup → high overlap
+    overlap = len(a & c) / len(a | c)
+    assert overlap > 0.5
+    far = len(a & set(fps[4])) / len(a | set(fps[4]))
+    assert far < overlap
+    assert fps[8] == []                      # empty text
+
+
+def test_resize_and_frame_sample(spark):
+    media = multimodal.synthetic_media(spark, rows=30)
+    resized = multimodal.resize_images(media, max_px=320).collect()
+    assert resized and all(r["width"] <= 320 and r["height"] <= 320
+                           for r in resized)
+    frames = multimodal.sample_frames(media, every_ms=5000).collect()
+    by_media = {}
+    for f in frames:
+        by_media.setdefault(f["media_id"], []).append(f)
+    assert by_media
+    for mid, fs in by_media.items():
+        idx = sorted(f["frame_idx"] for f in fs)
+        assert idx == list(range(len(idx)))  # dense frame grid
+        assert all(f["ts_ms"] == f["frame_idx"] * 5000 for f in fs)
+
+
 # --- embeddings ----------------------------------------------------------------------
 
 @pytest.fixture(scope="module")
