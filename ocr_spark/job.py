@@ -95,6 +95,17 @@ def read_pages(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.schema(PAGES_SCHEMA).parquet(path)
 
 
+def preflight(pages: DataFrame) -> None:
+    """S9 health-check analog: fail fast with a clear message if the input
+    does not carry the pages contract (before any executor work starts)."""
+    missing = [f.name for f in PAGES_SCHEMA.fields
+               if f.name not in pages.columns]
+    if missing:
+        raise ValueError(
+            f"input is missing pages columns {missing}; expected schema "
+            f"{PAGES_SCHEMA.simpleString()}")
+
+
 def admission_split(pages: DataFrame) -> tuple[DataFrame, DataFrame]:
     """(admitted, quarantined) — S2–S4 gates as native filters.
 
@@ -148,6 +159,7 @@ def run_pipeline(spark: SparkSession, input_path: str, output_path: str,
     run_id = run_id or uuid.uuid4().hex[:12]
 
     pages = input_df if input_df is not None else read_pages(spark, input_path)
+    preflight(pages)
     admitted, quarantined = admission_split(pages)
     if resume:
         admitted = lin.anti_join_done(admitted, f"{output_path}/data")

@@ -91,6 +91,13 @@ def test_lineage_rows(spark, pipeline_out):
     assert got == summary["digest"]
 
 
+def test_preflight_rejects_wrong_schema(spark, tmp_path):
+    from ocr_spark.job import preflight
+    bad = spark.createDataFrame([(1, "x")], ["id", "body"])
+    with pytest.raises(ValueError, match="missing pages columns"):
+        preflight(bad)
+
+
 def test_quarantine(spark, tmp_path):
     big = b"x" * (6 * 1024 * 1024)
     df = spark.createDataFrame(
