@@ -146,7 +146,8 @@ def run_pipeline(spark: SparkSession, input_path: str, output_path: str,
                  run_date: date, partitions: int = 64, salt: int = 0,
                  mode: str = "standard", resume: bool = False,
                  tier2_enabled: bool = True, run_id: Optional[str] = None,
-                 input_df: Optional[DataFrame] = None) -> dict:
+                 input_df: Optional[DataFrame] = None,
+                 storage_level: str = "MEMORY_AND_DISK") -> dict:
     """Execute the full pipeline; returns run metrics (counts, digest, wall).
 
     Plan shape: each row crosses the JVM↔Python boundary exactly once per
@@ -166,9 +167,13 @@ def run_pipeline(spark: SparkSession, input_path: str, output_path: str,
     admitted = spread_partitions(admitted, partitions, salt)
 
     # --- tier 1: one fused pass (extract → route → parse → validate) ---------
+    # the cache is ~input-sized; DISK_ONLY is the right level when the input
+    # does not fit the cluster's memory (100 TB story, docs/SCALE.md)
+    from pyspark import StorageLevel
+    level = getattr(StorageLevel, storage_level)
     fused1 = udfs.fused_tier1_udf(run_date, mode, route=tier2_enabled)
     p1 = admitted.mapInPandas(fused1, udfs.FUSED_SCHEMA)
-    p1.persist()
+    p1.persist(level)
 
     parts = [p1.filter(~F.col("needs_tier2"))]
     # --- tier 2: permissive fused pass on the failed slice only --------------
@@ -178,7 +183,7 @@ def run_pipeline(spark: SparkSession, input_path: str, output_path: str,
             F.col("src_text").alias("text"), "tier2_reason")
         p2 = fallback.mapInPandas(udfs.fused_tier2_udf(run_date, mode),
                                   udfs.FUSED_SCHEMA)
-        p2.persist()
+        p2.persist(level)
         parts.append(p2)
 
     unified = parts[0]
@@ -225,6 +230,8 @@ def main() -> None:
                     choices=["standard", "aggressive", "layout"])
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--no-tier2", action="store_true")
+    ap.add_argument("--storage-level", default="MEMORY_AND_DISK",
+                    choices=["MEMORY_AND_DISK", "DISK_ONLY", "MEMORY_ONLY"])
     ap.add_argument("--master", default=None)
     args = ap.parse_args()
 
@@ -232,7 +239,8 @@ def main() -> None:
     summary = run_pipeline(
         spark, args.input, args.output, date.fromisoformat(args.run_date),
         partitions=args.partitions, salt=args.salt, mode=args.mode,
-        resume=args.resume, tier2_enabled=not args.no_tier2)
+        resume=args.resume, tier2_enabled=not args.no_tier2,
+        storage_level=args.storage_level)
     print({k: summary[k] for k in ("run_id", "input_count", "extracted_count",
                                    "valid_count", "tier2_count", "digest", "wall_ms")})
 

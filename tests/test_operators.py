@@ -155,6 +155,20 @@ def test_resize_and_frame_sample(spark):
         assert all(f["ts_ms"] == f["frame_idx"] * 5000 for f in fs)
 
 
+def test_ivf_recall_vs_bruteforce(spark):
+    """IVF with n_probe=half-the-cells recovers most of the exact top-k."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 8)
+    exact = similarity.cosine_topk_bruteforce(emb, queries, k=5).collect()
+    centroids, assigned = similarity.ivf_build(emb, n_cells=8)
+    approx = similarity.cosine_topk_ivf(assigned, centroids, queries,
+                                        k=5, n_probe=4).collect()
+    exact_set = {(r["query_id"], r["vec_id"]) for r in exact}
+    approx_set = {(r["query_id"], r["vec_id"]) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.6, recall
+
+
 # --- embeddings ----------------------------------------------------------------------
 
 @pytest.fixture(scope="module")
