@@ -43,6 +43,24 @@ def test_garbage_and_encrypted_safe():
     assert pdf.extract_pdf_text(b"%PDF-1.4\nstream\n\x00\x01\x02endstream") == ""
 
 
+from hypothesis import given, settings, strategies as st
+
+# non-empty lines only: a blank line emits no text-showing operator in a
+# PDF, so no extractor can round-trip it — same loss as any PDF-to-text
+_line = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs",),
+                           blacklist_characters="\r"),
+    min_size=1, max_size=80).map(lambda s: s.replace("\n", " ") or "x")
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(_line, min_size=1, max_size=8).map("\n".join))
+def test_roundtrip_fuzz(text):
+    for compress in (True, False):
+        assert pdf.extract_pdf_text(pdf.make_pdf(text, compress=compress)) \
+            == text
+
+
 def test_sniff_routes_pdf_through_tiers():
     body = pagegen.page_for(3)["text"]
     blob = pdf.make_pdf(body)
