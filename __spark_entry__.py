@@ -401,6 +401,36 @@ def q_warc_source(spark, sf_dir):
             .orderBy("url"))
 
 
+def q_stream_vs_batch(spark, sf_dir):
+    """Structured Streaming ingest equivalence: run the dual-tier pipeline
+    both as an availableNow stream (foreachBatch + checkpoint) and as a
+    batch job on the same 60 generated pages; return the per-doc_type counts
+    plus digest equality (rows-only)."""
+    import shutil
+    import tempfile
+
+    from ocr_spark import job, lineage, pagegen, streaming
+
+    wd = tempfile.mkdtemp(prefix="stream_q_")
+    try:
+        pagegen.generate_df(spark, 60, partitions=2) \
+            .write.mode("overwrite").parquet(f"{wd}/in")
+        streaming.run_streaming_pipeline(spark, f"{wd}/in", f"{wd}/s",
+                                         RUN_DATE, partitions=2)
+        batch = job.run_pipeline(spark, f"{wd}/in", f"{wd}/b", RUN_DATE,
+                                 partitions=2)
+        written = spark.read.parquet(f"{wd}/s/data")
+        sdig = lineage.global_summary(written, "q", 0).collect()[0]["digest"]
+        rows = (written.groupBy("doc_type")
+                .agg(F.count("*").alias("n_docs"),
+                     F.sum(F.col("valido").cast("int")).alias("n_valido"))
+                .withColumn("digests_equal", F.lit(sdig == batch["digest"]))
+                .orderBy("doc_type"))
+        return spark.createDataFrame(rows.collect(), rows.schema)
+    finally:
+        shutil.rmtree(wd, ignore_errors=True)
+
+
 def q_engine_compare(spark, sf_dir):
     from ocr_spark import compare, pagegen
     pages = pagegen.generate_df(spark, 256, partitions=8)
@@ -459,6 +489,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # engine-comparison harness (S10)
         "engine_compare": q_engine_compare,
         "engine_recommend": q_engine_recommend,
+        # streaming ingest (rows-only)
+        "stream_vs_batch": q_stream_vs_batch,
         # sources
         "warc_source": q_warc_source,
         "pdf_extract": q_pdf_extract,
