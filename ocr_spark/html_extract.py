@@ -183,6 +183,90 @@ def sniff_kind(data: bytes) -> str:
     return "text"
 
 
+# --- fast tag scanner --------------------------------------------------------
+#
+# html.parser.HTMLParser spends most of its time in per-tag regex machinery
+# (parse_starttag/parse_endtag/updatepos) — ~30 ms for a 100 KB page, which
+# at Common-Crawl page sizes makes the DOM walk the pipeline bottleneck.
+# This scanner finds tags with str.find and drives the SAME _BlockCollector
+# handlers, so block semantics are identical (differential-tested); any
+# surprise falls back to the HTMLParser path.
+
+_RE_TAGNAME = re.compile(r"[a-zA-Z][-a-zA-Z0-9:._]*")
+# rest-of-tag matcher: respects ">" inside quoted attribute values
+_RE_TAG_REST = re.compile(r"""[^>"']*(?:"[^"]*"[^>"']*|'[^']*'[^>"']*)*>""")
+_CDATA_TAGS = ("script", "style")  # HTMLParser raw-text (CDATA) elements
+_RE_CDATA_END = {t: re.compile("</" + t, re.I) for t in _CDATA_TAGS}
+
+
+def _fast_scan(text: str, col: _BlockCollector) -> None:
+    n = len(text)
+    pos = 0
+    find = text.find
+
+    def emit(chunk: str) -> None:
+        if chunk:
+            col.handle_data(unescape(chunk) if "&" in chunk else chunk)
+
+    while pos < n:
+        lt = find("<", pos)
+        if lt < 0:
+            emit(text[pos:])
+            break
+        if lt > pos:
+            emit(text[pos:lt])
+        nxt = text[lt + 1: lt + 2]
+        if nxt == "/":
+            m = _RE_TAGNAME.match(text, lt + 2)
+            if m:
+                gt = find(">", m.end())
+                if gt < 0:  # unterminated at EOF: HTMLParser emits as data
+                    emit(text[lt:])
+                    break
+                col.handle_endtag(m.group().lower())
+                pos = gt + 1
+            else:  # "</>" or bogus: HTMLParser treats as bogus comment
+                gt = find(">", lt)
+                if gt < 0:  # "</" at EOF: HTMLParser emits as data
+                    emit(text[lt:])
+                    break
+                pos = gt + 1
+        elif nxt == "!" or nxt == "?":
+            if text.startswith("<!--", lt):
+                end = find("-->", lt + 4)
+                pos = (end + 3) if end >= 0 else n
+            else:
+                gt = find(">", lt)
+                pos = (gt + 1) if gt >= 0 else n
+        elif nxt and ("a" <= nxt <= "z" or "A" <= nxt <= "Z"):
+            m = _RE_TAGNAME.match(text, lt + 1)
+            tag = m.group().lower()
+            rest = _RE_TAG_REST.match(text, m.end())
+            if rest is None:  # unterminated at EOF: HTMLParser emits as data
+                emit(text[lt:])
+                break
+            self_closing = text[rest.end() - 2: rest.end() - 1] == "/"
+            col.handle_starttag(tag, ())
+            if self_closing:
+                col.handle_endtag(tag)
+                pos = rest.end()
+                continue
+            pos = rest.end()
+            if tag in _CDATA_TAGS:
+                # raw-text element: scan straight for its own end tag
+                em = _RE_CDATA_END[tag].search(text, pos)
+                if em is None:
+                    pos = n
+                    break
+                gt = find(">", em.start())
+                col.handle_endtag(tag)
+                pos = (gt + 1) if gt >= 0 else n
+        else:
+            # stray "<" is literal text
+            emit("<")
+            pos = lt + 1
+
+
 def _segment(data: bytes) -> list[Block]:
     kind = sniff_kind(data)
     if kind == "pdf":
@@ -193,6 +277,18 @@ def _segment(data: bytes) -> list[Block]:
     if kind != "html":
         # plain text: one pre-like block, kept verbatim
         return [Block(text, len(text), 0, True, False)] if text else []
+    try:
+        collector = _BlockCollector()
+        _fast_scan(text, collector)
+        collector._flush()
+        return collector.blocks
+    except Exception:
+        pass
+    return _segment_htmlparser(text)
+
+
+def _segment_htmlparser(text: str) -> list[Block]:
+    """Reference segmentation via html.parser (fallback + differential twin)."""
     collector = _BlockCollector()
     try:
         collector.feed(text)

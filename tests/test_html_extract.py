@@ -78,6 +78,70 @@ def test_layout_mode_restricts_to_main():
         extract_tier1(no_main, mode="standard")
 
 
+NASTY_HTML = [
+    "<div>a < b but <b>bold</b> & &lt;escaped&gt;</div>",
+    "<script>if (a<b) { document.write('</div>'); }</script><p>after</p>",
+    "<SCRIPT>x</SCRIPT><P>upper tags</P>",
+    "<style>p > span { color: red }</style><p>styled</p>",
+    "<!-- comment with <div> inside --><p>ok</p>",
+    "<!doctype html><?xml version='1.0'?><p>decl</p>",
+    '<img src="a>b.png"><p>gt inside quoted attr</p>',
+    "<br/><br /><hr/><p>self closing</p>",
+    "<pre>MRZ &lt;&lt;&lt; line\n  spaced   text</pre>",
+    "<p>truncated <b>tag at end<",
+    "<p>unterminated <div attr='x",
+    "<div>&amp;&quot;&#65;&#x42;&lt</div>",
+    "</bogus></><p>stray closers</p>",
+    "text before any tag <em>x</em> text after",
+    "<main><article><p>in main</p></article></main><footer>f</footer>",
+    "",
+]
+
+
+def test_fast_scanner_matches_htmlparser():
+    """The fast tag scanner must produce the identical block list as the
+    html.parser twin on every page kind and on adversarial markup."""
+    from ocr_spark.html_extract import (_BlockCollector, _fast_scan,
+                                        _segment_htmlparser)
+
+    def fast(text):
+        col = _BlockCollector()
+        _fast_scan(text, col)
+        col._flush()
+        return col.blocks
+
+    samples = [pagegen.page_for(i)["html"].decode("utf-8") for i in range(300)]
+    samples += [wrap(t).decode("utf-8") for t in ALL_TEXTS.values()]
+    samples += NASTY_HTML
+    for i, text in enumerate(samples):
+        assert fast(text) == _segment_htmlparser(text), (i, text[:120])
+
+
+def test_fast_scanner_fuzz_matches_htmlparser():
+    from hypothesis import given, settings, strategies as st
+
+    from ocr_spark.html_extract import (_BlockCollector, _fast_scan,
+                                        _segment_htmlparser)
+
+    frag = st.one_of(
+        st.sampled_from(["<div>", "</div>", "<p>", "</p>", "<a href=x>",
+                         "</a>", "<pre>", "</pre>", "<script>", "</script>",
+                         "<br/>", "<!-- c -->", "<", ">", "&lt;", "&amp;",
+                         "&#65;", "&", "<main>", "</main>", "<nav>", "</nav>",
+                         '<img src="a>b">', "<b", "</", "<!doctype h>"]),
+        st.text(max_size=12))
+
+    @settings(max_examples=150, deadline=None)
+    @given(st.lists(frag, max_size=25).map("".join))
+    def inner(text):
+        col = _BlockCollector()
+        _fast_scan(text, col)
+        col._flush()
+        assert col.blocks == _segment_htmlparser(text), text[:200]
+
+    inner()
+
+
 def test_sniff_and_decode():
     assert sniff_kind(b"%PDF-1.4 ...") == "pdf"
     assert sniff_kind(b"<!doctype html><html>") == "html"
