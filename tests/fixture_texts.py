@@ -83,6 +83,15 @@ FECHA DE NACIMIENTO/DATA DE NAIXEMENT
       "08348 CABRILS\nBARCELONA",
     "empty": "",
     "garbage": "zzz 123 %%%\n\n\nxx",
+    "padre_madre": ("APELLIDOS\nCOLL CARRERAS\nNOMBRE\nMARTI\nHIJO/A DE\n"
+                    "PADRE\nJORDI\nMADRE\nASSUMPCIO"),
+    "lugar_nacimiento": ("APELLIDOS\nPUIG SERRA\nNOMBRE\nLAIA\n"
+                         "LUGAR DE NACIMIENTO\nGIRONA"),
+    "expedicion_validez": ("DNI\n38752127W\nAPELLIDOS\nCEREZO BAS\nNOMBRE\n"
+                           "VICTORIA\nVALIDEZ\n28/08/2028"),
+    "sexo_mujer_variants": "APELLIDOS\nROCA\nNOMBRE\nANA\nSEXO\nMUJER",
+    "nacionalidad_espanola": ("APELLIDOS\nVIDAL\nNOMBRE\nPAU\nNACIONALIDAD\n"
+                              "ESPAÑOLA"),
 }
 
 PERMIS_BASIC = """\
@@ -121,6 +130,13 @@ PERMIS_TEXTS: dict[str, str] = {
     "observaciones": PERMIS_BASIC + "OBSERVACIONES\nGANCHO REMOLQUE\nHOMOLOGADO\n",
     "provincia_line": "A 1177MTM\nD.1\nSEAT\nBARCELONA\n",
     "garbage": "lorem ipsum 99\n:::\n",
+    "plate_needs_ocr_fix": "A 1I77MTM\nD.1\nTOYOTA\nD.3\nTOYOTA YARIS\n",
+    "owner_nif": PERMIS_BASIC + "C.1.3\n77612097T\n",
+    "owner_nif_ocr": PERMIS_BASIC + "C.1.3\n776I2O97T\n",
+    "g_mass_with_sublabel": "A 1177MTM\nD.1\nSEAT\nF.1\n1850\nG\nI\n1200\n",
+    "p1_with_sublabel": "A 1177MTM\nD.1\nSEAT\nP.1\n(1.2)\n1490\n",
+    "registration_date_fallback": "SEAT IBIZA 1234BCF matriculado el 15/03/2019",
+    "category_m2": PERMIS_BASIC.replace("S.1\n5", "S.1\n12"),
 }
 
 NIF_BASIC = """\
@@ -172,4 +188,12 @@ NIF_TEXTS: dict[str, str] = {
     "razon_social_only": "B76261874\nRazón Social: ACME IBERIA S.A.\nDomicilio Fiscal\nCALLE MAYOR 1\n28001 MADRID\n",
     "empty": "",
     "garbage": "///???\n123\n",
+    "domicilio_bare_social": ("B76261874\nDenominación\nACME S.L.\nDOMICILIO\n"
+                              "SOCIAL\nCALLE EXAMPLE 123\n28001 MADRID\nMADRID\n"),
+    "domicilio_bare_fiscal": ("B76261874\nDenominación\nACME S.L.\nDOMICILIO\n"
+                              "FISCAL\nCALLE MAYOR 1\n08001 BARCELONA\nBARCELONA\n"),
+    "denominacion_sameline": "B76261874\nDENOMINACIÓN: ACME IBERIA S.A.\n",
+    "codigo_electronico": ("B76261874\nDenominación\nACME S.L.\n"
+                           "Código Electrónico\nA1B2C3D4E5F6A7B8\n"),
+    "invalid_cif_control": NIF_BASIC.replace("B76261874", "B76261875"),
 }
