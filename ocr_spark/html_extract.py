@@ -192,11 +192,20 @@ def sniff_kind(data: bytes) -> str:
 # handlers, so block semantics are identical (differential-tested); any
 # surprise falls back to the HTMLParser path.
 
-_RE_TAGNAME = re.compile(r"[a-zA-Z][-a-zA-Z0-9:._]*")
-# rest-of-tag matcher: respects ">" inside quoted attribute values
-_RE_TAG_REST = re.compile(r"""[^>"']*(?:"[^"]*"[^>"']*|'[^']*'[^>"']*)*>""")
+# Reuse html.parser's own tolerant tokenization regexes so tag/attr edge
+# behavior ("<P<div" is a tag named "p<div"; quotes only delimit after "=")
+# is identical by construction — the speedup comes from skipping the
+# goahead/updatepos machinery, not from different lexing.
+from html import parser as _hp
+
+_RE_TAGNAME = _hp.tagfind_tolerant            # also consumes trailing ws
+_RE_LOCATE_START = _hp.locatestarttagend_tolerant
+_RE_ATTR = _hp.attrfind_tolerant
+_RE_ENDTAGFIND = _hp.endtagfind               # </ \s* name \s* >
 _CDATA_TAGS = ("script", "style")  # HTMLParser raw-text (CDATA) elements
 _RE_CDATA_END = {t: re.compile("</" + t, re.I) for t in _CDATA_TAGS}
+_ATTR_CONTINUE = frozenset("abcdefghijklmnopqrstuvwxyz=/"
+                           "ABCDEFGHIJKLMNOPQRSTUVWXYZ")
 
 
 def _fast_scan(text: str, col: _BlockCollector) -> None:
@@ -217,41 +226,98 @@ def _fast_scan(text: str, col: _BlockCollector) -> None:
             emit(text[pos:lt])
         nxt = text[lt + 1: lt + 2]
         if nxt == "/":
-            m = _RE_TAGNAME.match(text, lt + 2)
+            # mirror of html.parser.parse_endtag
+            gt_any = find(">", lt + 1)
+            if gt_any < 0:  # unterminated at EOF: emitted as data
+                emit(text[lt:])
+                break
+            m = _RE_ENDTAGFIND.match(text, lt)  # </ \s* name \s* >
             if m:
-                gt = find(">", m.end())
-                if gt < 0:  # unterminated at EOF: HTMLParser emits as data
-                    emit(text[lt:])
-                    break
-                col.handle_endtag(m.group().lower())
-                pos = gt + 1
-            else:  # "</>" or bogus: HTMLParser treats as bogus comment
-                gt = find(">", lt)
-                if gt < 0:  # "</" at EOF: HTMLParser emits as data
-                    emit(text[lt:])
-                    break
-                pos = gt + 1
+                col.handle_endtag(m.group(1).lower())
+                pos = m.end()
+            else:
+                nm = _RE_TAGNAME.match(text, lt + 2)
+                if nm:
+                    gt = find(">", nm.end())
+                    col.handle_endtag(nm.group(1).lower())
+                    pos = gt + 1  # gt >= 0 because gt_any existed
+                elif text.startswith("</>", lt):
+                    pos = lt + 3
+                else:  # bogus comment: skip to ">"
+                    pos = gt_any + 1
+            if pos <= lt:  # defensive: always advance
+                pos = gt_any + 1
         elif nxt == "!" or nxt == "?":
             if text.startswith("<!--", lt):
                 end = find("-->", lt + 4)
-                pos = (end + 3) if end >= 0 else n
+                if end < 0:
+                    # html.parser quirk: unterminated comment containing a
+                    # ">" is emitted as data up to it and parsing resumes;
+                    # with no ">" at all, "<" + rest become data at EOF
+                    gt = find(">", lt + 4)
+                    if gt >= 0:
+                        emit(text[lt:gt + 1])
+                        pos = gt + 1
+                        continue
+                    emit("<")
+                    emit(text[lt + 1:])
+                    break
+                pos = end + 3
+            elif text.startswith("<![", lt):  # marked section <![...]]>
+                end = find("]]>", lt + 3)
+                if end < 0:
+                    emit("<")
+                    emit(text[lt + 1:])
+                    break
+                pos = end + 3
             else:
                 gt = find(">", lt)
-                pos = (gt + 1) if gt >= 0 else n
+                if gt < 0:
+                    emit("<")
+                    emit(text[lt + 1:])
+                    break
+                pos = gt + 1
         elif nxt and ("a" <= nxt <= "z" or "A" <= nxt <= "Z"):
-            m = _RE_TAGNAME.match(text, lt + 1)
-            tag = m.group().lower()
-            rest = _RE_TAG_REST.match(text, m.end())
-            if rest is None:  # unterminated at EOF: HTMLParser emits as data
+            # mirror of check_for_whole_start_tag + parse_starttag
+            lm = _RE_LOCATE_START.match(text, lt)
+            j = lm.end()
+            after = text[j: j + 1]
+            if after == ">":
+                endpos = j + 1
+            elif after == "/":
+                if text.startswith("/>", j):
+                    endpos = j + 2
+                else:  # "/" at EOF: incomplete
+                    emit(text[lt:])
+                    break
+            elif after == "" or after in _ATTR_CONTINUE:
+                # EOF inside tag / attribute value: emitted as data
                 emit(text[lt:])
                 break
-            self_closing = text[rest.end() - 2: rest.end() - 1] == "/"
-            col.handle_starttag(tag, ())
-            if self_closing:
-                col.handle_endtag(tag)
-                pos = rest.end()
+            else:
+                endpos = j if j > lt else lt + 1
+            nm = _RE_TAGNAME.match(text, lt + 1)
+            tag = nm.group(1).lower()
+            k = nm.end()
+            while k < endpos:  # walk attrs to find where they stop
+                am = _RE_ATTR.match(text, k)
+                if not am:
+                    break
+                k = am.end()
+            end = text[k:endpos].strip()
+            if end not in (">", "/>"):
+                # bogus input: the whole tag text becomes data — RAW, no
+                # charref conversion (parse_starttag calls handle_data
+                # directly, bypassing the convert_charrefs path)
+                col.handle_data(text[lt:endpos])
+                pos = endpos
                 continue
-            pos = rest.end()
+            col.handle_starttag(tag, ())
+            if end == "/>":
+                col.handle_endtag(tag)
+                pos = endpos
+                continue
+            pos = endpos
             if tag in _CDATA_TAGS:
                 # raw-text element: scan straight for its own end tag
                 em = _RE_CDATA_END[tag].search(text, pos)

@@ -123,21 +123,29 @@ def test_fast_scanner_fuzz_matches_htmlparser():
     from ocr_spark.html_extract import (_BlockCollector, _fast_scan,
                                         _segment_htmlparser)
 
+    # NUL bytes are excluded: html.parser has its own NUL quirks and no
+    # decoded real-world page contains them; the scanner must merely not
+    # crash there (covered by test_malformed_html_degrades_not_crashes).
     frag = st.one_of(
         st.sampled_from(["<div>", "</div>", "<p>", "</p>", "<a href=x>",
                          "</a>", "<pre>", "</pre>", "<script>", "</script>",
                          "<br/>", "<!-- c -->", "<", ">", "&lt;", "&amp;",
                          "&#65;", "&", "<main>", "</main>", "<nav>", "</nav>",
-                         '<img src="a>b">', "<b", "</", "<!doctype h>"]),
-        st.text(max_size=12))
+                         '<img src="a>b">', "<b", "</", "<!doctype h>",
+                         "</p attr=x>", "</ p>", "<p/q>", "<p =>", "'", '"',
+                         "/", "<!", "<?", "<!-", "-->", "<![CDATA[x]]>",
+                         "<![CDATA[a>b]]>", "<?php x?>", "]]>", "<!--",
+                         "<style>", "</style>", "--"]),
+        st.text(max_size=12,
+                alphabet=st.characters(blacklist_characters="\x00")))
 
-    @settings(max_examples=150, deadline=None)
+    @settings(max_examples=400, deadline=None)
     @given(st.lists(frag, max_size=25).map("".join))
     def inner(text):
         col = _BlockCollector()
         _fast_scan(text, col)
         col._flush()
-        assert col.blocks == _segment_htmlparser(text), text[:200]
+        assert col.blocks == _segment_htmlparser(text), repr(text[:200])
 
     inner()
 
