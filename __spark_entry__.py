@@ -270,6 +270,14 @@ def q_embedding_topk(spark, sf_dir):
     return similarity.cosine_topk_bruteforce(emb, queries, k=5)
 
 
+def q_embedding_topk_matmul(spark, sf_dir):
+    """BLAS scale path — identical results to the SQL form, so it shares
+    the embedding_topk DuckDB oracle."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return similarity.cosine_topk_matmul(emb, queries, k=5)
+
+
 def q_ngram_jaccard(spark, sf_dir):
     return dedup.ngram_jaccard_pairs(_docs(spark, sf_dir), n=3, threshold=0.3)
 
@@ -482,6 +490,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # similarity / embeddings
         "embedding_norms": q_embedding_norms,
         "embedding_topk": q_embedding_topk,
+        "embedding_topk_matmul": q_embedding_topk_matmul,
         "embedding_ann_ivf": q_embedding_ann_ivf,
         # multimodal plumbing
         "media_features": q_media_features,
@@ -583,7 +592,7 @@ def oracle_sql() -> dict[str, str]:
     raw_date = ("lpad(CAST(doc_id % 35 AS VARCHAR), 2, '0') || '/' || "
                 "lpad(CAST(doc_id % 15 AS VARCHAR), 2, '0') || '/' || "
                 "CAST(1980 + doc_id % 50 AS VARCHAR)")
-    return {
+    oracles = {
         "token_count": f"SELECT doc_id, CAST({_NTOK} AS BIGINT) AS n_tokens "
                        "FROM documents ORDER BY doc_id",
         "language_id": f"SELECT doc_id, {_LANG_SQL} AS lang_guess FROM documents",
@@ -750,3 +759,6 @@ def oracle_sql() -> dict[str, str]:
                    round(cosine, 6) AS cosine
             FROM ranked WHERE rank <= 5""",
     }
+    # the BLAS matmul path returns exactly the SQL top-k → same oracle
+    oracles["embedding_topk_matmul"] = oracles["embedding_topk"]
+    return oracles

@@ -41,7 +41,9 @@ def cosine_topk_bruteforce(corpus: DataFrame, queries: DataFrame, k: int = 5,
 
     The query side is broadcast (queries are few); the corpus is scanned
     once — the optimal plan at any corpus size when queries ≪ corpus.
-    Ties break on vec_id ascending for full determinism.
+    Ties break on vec_id ascending for full determinism.  This is the
+    SQL-expressible oracle form (DuckDB twin in ``oracle_sql``); the scale
+    path is :func:`cosine_topk_matmul`.
     """
     c = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")).alias("c")
     q = queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("v")).alias("q")
@@ -53,6 +55,57 @@ def cosine_topk_bruteforce(corpus: DataFrame, queries: DataFrame, k: int = 5,
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .select("query_id", "rank", "vec_id", F.round("cosine", 6).alias("cosine")))
+
+
+def cosine_topk_matmul(corpus: DataFrame, queries: DataFrame, k: int = 5,
+                       id_col: str = "vec_id",
+                       vec_col: str = "embedding") -> DataFrame:
+    """Exact top-k via per-partition numpy matmul + global re-rank.
+
+    The scale path: the (small) normalized query matrix is closed over and
+    shipped once per executor; each corpus partition computes Q·Cᵀ as one
+    BLAS call and emits only its local top-k per query (candidate count =
+    partitions × k, not corpus size), then a window takes the global top-k.
+    Same results as :func:`cosine_topk_bruteforce` (asserted in tests) at a
+    fraction of the per-row SQL higher-order-function cost.
+    """
+    import numpy as np
+    import pandas as pd
+
+    qrows = queries.select(F.col(id_col).alias("qid"),
+                           F.col(vec_col).alias("v")).collect()
+    qids = np.array([r["qid"] for r in qrows], dtype=np.int64)
+    qmat = np.array([r["v"] for r in qrows], dtype=np.float64)
+    qmat /= np.linalg.norm(qmat, axis=1, keepdims=True)
+
+    def local_topk(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf["id"].to_numpy(dtype=np.int64)
+            cmat = np.array(list(pdf["v"]), dtype=np.float64)
+            cmat /= np.maximum(np.linalg.norm(cmat, axis=1, keepdims=True),
+                               1e-30)
+            sims = qmat @ cmat.T                      # nq × nc, one BLAS call
+            take = min(k + 1, sims.shape[1])          # +1 absorbs self-match
+            idx = np.argpartition(-sims, take - 1, axis=1)[:, :take]
+            out = {"query_id": [], "vec_id": [], "cosine": []}
+            for qi in range(len(qids)):
+                for ci in idx[qi]:
+                    out["query_id"].append(int(qids[qi]))
+                    out["vec_id"].append(int(ids[ci]))
+                    out["cosine"].append(float(sims[qi, ci]))
+            yield pd.DataFrame(out)
+
+    c = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    cands = c.mapInPandas(local_topk,
+                          "query_id long, vec_id long, cosine double")
+    cands = cands.filter(F.col("query_id") != F.col("vec_id"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (cands.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "rank", "vec_id",
+                    F.round("cosine", 6).alias("cosine")))
 
 
 # ---------------------------------------------------------------------------

@@ -155,6 +155,20 @@ def test_resize_and_frame_sample(spark):
         assert all(f["ts_ms"] == f["frame_idx"] * 5000 for f in fs)
 
 
+def test_matmul_topk_matches_sql_bruteforce(spark):
+    """The BLAS scale path returns exactly the SQL oracle's top-k."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 6)
+    sql_rows = {(r["query_id"], r["rank"]): (r["vec_id"], r["cosine"])
+                for r in similarity.cosine_topk_bruteforce(emb, queries, k=5).collect()}
+    mm_rows = {(r["query_id"], r["rank"]): (r["vec_id"], r["cosine"])
+               for r in similarity.cosine_topk_matmul(emb, queries, k=5).collect()}
+    assert set(sql_rows) == set(mm_rows)
+    for key, (vid, cos) in sql_rows.items():
+        m_vid, m_cos = mm_rows[key]
+        assert m_vid == vid and abs(m_cos - cos) < 1e-6, key
+
+
 def test_ivf_recall_vs_bruteforce(spark):
     """IVF with n_probe=half-the-cells recovers most of the exact top-k."""
     emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
