@@ -192,17 +192,34 @@ def run_pipeline(spark: SparkSession, input_path: str, output_path: str,
     unified = unified.drop("html", "src_text").withColumn(
         "spans", F.from_json("spans_json", _SPANS_TYPE))
 
-    # --- writes (data first, lineage last: write-audit-publish order) --------
-    quarantined.write.mode("overwrite").parquet(f"{output_path}/quarantine")
+    # --- writes (independent sinks in parallel; lineage strictly last:
+    #     write-audit-publish order).  Concurrent actions share the Spark
+    #     scheduler and the persisted tier outputs, so the per-action fixed
+    #     cost (~1-2 s each: job setup, plan analysis, commit) overlaps
+    #     instead of serializing across 5 sinks.
+    def _write(df: DataFrame, sub: str) -> None:
+        df.write.mode("overwrite").parquet(f"{output_path}/{sub}")
+
+    # materialize the tier caches once, serially — otherwise the concurrent
+    # sink jobs race to compute the same uncached partitions
+    p1.count()
+    if tier2_enabled:
+        p2.count()
+
+    sinks = [(quarantined, "quarantine"),
+             (unified.select(*_UNIFIED_COLS), "data")]
     for doc_type in DOC_TYPES:
         typed = (unified.filter(F.col("doc_type") == doc_type)
                  .select("url", "extracted_text",
                          F.from_json("response_json",
                                      udfs.RESPONSE_STRUCTS[doc_type])
                          .alias("response")))
-        typed.write.mode("overwrite").parquet(f"{output_path}/datos_{doc_type}")
-    unified.select(*_UNIFIED_COLS).write.mode("overwrite").parquet(
-        f"{output_path}/data")
+        sinks.append((typed, f"datos_{doc_type}"))
+    from concurrent.futures import ThreadPoolExecutor
+    with ThreadPoolExecutor(max_workers=len(sinks)) as pool:
+        futures = [pool.submit(_write, df, sub) for df, sub in sinks]
+        for fut in futures:
+            fut.result()  # surface the first failure
 
     written = spark.read.parquet(f"{output_path}/data")
     lin.lineage_rows(written, run_id).write.mode("append").parquet(
