@@ -203,7 +203,7 @@ _RE_LOCATE_START = _hp.locatestarttagend_tolerant
 _RE_ATTR = _hp.attrfind_tolerant
 _RE_ENDTAGFIND = _hp.endtagfind               # </ \s* name \s* >
 _CDATA_TAGS = ("script", "style")  # HTMLParser raw-text (CDATA) elements
-_RE_CDATA_END = {t: re.compile("</" + t, re.I) for t in _CDATA_TAGS}
+_RE_CDATA_END = {t: re.compile(r"</\s*%s\s*>" % t, re.I) for t in _CDATA_TAGS}
 _ATTR_CONTINUE = frozenset("abcdefghijklmnopqrstuvwxyz=/"
                            "ABCDEFGHIJKLMNOPQRSTUVWXYZ")
 
@@ -319,14 +319,17 @@ def _fast_scan(text: str, col: _BlockCollector) -> None:
                 continue
             pos = endpos
             if tag in _CDATA_TAGS:
-                # raw-text element: scan straight for its own end tag
+                # raw-text element: scan for the FULL end tag, mirroring
+                # html.parser.set_cdata_mode's r"</\s*script\s*>" — so
+                # "</ script>" closes the element and "</scriptx>" stays in
+                # CDATA mode.  em.end() is parse_endtag's gtpos (the "\s*"
+                # cannot contain ">", so the regex's ">" is the first one).
                 em = _RE_CDATA_END[tag].search(text, pos)
                 if em is None:
                     pos = n
                     break
-                gt = find(">", em.start())
                 col.handle_endtag(tag)
-                pos = (gt + 1) if gt >= 0 else n
+                pos = em.end()
         else:
             # stray "<" is literal text
             emit("<")

@@ -95,6 +95,18 @@ NASTY_HTML = [
     "text before any tag <em>x</em> text after",
     "<main><article><p>in main</p></article></main><footer>f</footer>",
     "",
+    # CDATA end-tag edge cases (html.parser set_cdata_mode = r"</\s*tag\s*>")
+    "<p>before</p><script>var x=1;</ script><p>content after a spaced close "
+    "tag must survive extraction with enough length to form a block</p>",
+    "<p>before</p><script>var x=1;</scriptfoo> still code </script>"
+    "<p>a suffixed close tag must NOT end CDATA mode; this block appears</p>",
+    "<style>a{}</ StYlE ><p>mixed-case spaced style close followed by a real "
+    "paragraph of sufficient length to be kept as content</p>",
+    "<script>a</script foo><p>an end tag with attributes keeps html.parser "
+    "in CDATA mode so this paragraph is dropped by both parsers</p>",
+    "<script>x</script\t ><p>tab and space before the closing bracket</p>",
+    "<script>unclosed cdata to EOF",
+    "<script>x</scriptx>",
 ]
 
 
@@ -135,7 +147,9 @@ def test_fast_scanner_fuzz_matches_htmlparser():
                          "</p attr=x>", "</ p>", "<p/q>", "<p =>", "'", '"',
                          "/", "<!", "<?", "<!-", "-->", "<![CDATA[x]]>",
                          "<![CDATA[a>b]]>", "<?php x?>", "]]>", "<!--",
-                         "<style>", "</style>", "--"]),
+                         "<style>", "</style>", "--",
+                         "</ script>", "</scriptx>", "</script >",
+                         "</ style>", "</stylex>", "</script foo>"]),
         st.text(max_size=12,
                 alphabet=st.characters(blacklist_characters="\x00")))
 
