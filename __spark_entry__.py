@@ -41,22 +41,37 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Extraction over the sf0.001 documents table: route each text through
-    the doc-type router, run the fused DNI parse+validate UDF, and summarize
-    validity/confidence per routed type — the 'how many are valido?' query.
-    """
-    docs = _docs(spark, "/root/testdata/sf0.001")
-    parse = udfs.dni_parse_udf(RUN_DATE, engine=udfs.TIER1_ENGINE, route=True)
-    routed = (docs
-              .withColumn("doc_type", native.doc_type_router(F.col("text")))
-              .withColumn("_r", parse(F.col("text"), F.lit(95.0))))
-    return (routed
-            .groupBy("doc_type")
-            .agg(F.count("*").alias("n_docs"),
-                 F.sum(F.col("_r.response.valido").cast("int")).alias("n_valido"),
-                 F.sum("_r.response.confianza_global").alias("sum_conf"),
-                 F.sum(F.col("_r.needs_tier2").cast("int")).alias("n_tier2"))
-            .orderBy("doc_type"))
+    """Flagship: the REAL dual-tier HTML extraction pipeline end-to-end.
+
+    Generates deterministic Common-Crawl-style pages (same generator as the
+    driver bench), runs :func:`ocr_spark.job.run_pipeline` — admission →
+    url-hash repartition → fused tier-1 strip+route+parse+validate →
+    tier-2 fallback branch → doc_type-partitioned sink + lineage — and
+    returns the per-doc_type validity/confidence rollup read back from the
+    written output, with the run's order-independent global digest attached
+    to every row (stable across reruns: frozen run date + deterministic
+    pagegen)."""
+    import shutil
+    import tempfile
+
+    from ocr_spark import job, pagegen
+
+    wd = tempfile.mkdtemp(prefix="entry_")
+    try:
+        pages = pagegen.generate_df(spark, 400, partitions=4)
+        summary = job.run_pipeline(spark, "", f"{wd}/out", RUN_DATE,
+                                   partitions=8, input_df=pages)
+        data = spark.read.parquet(f"{wd}/out/data")
+        rollup = (data.groupBy("doc_type")
+                  .agg(F.count("*").alias("n_docs"),
+                       F.sum(F.col("valido").cast("int")).alias("n_valido"),
+                       F.sum(F.col("tier") - 1).alias("n_tier2"),
+                       F.sum("confianza_global").alias("sum_conf"))
+                  .withColumn("digest", F.lit(summary["digest"]))
+                  .orderBy("doc_type"))
+        return spark.createDataFrame(rollup.collect(), rollup.schema)
+    finally:
+        shutil.rmtree(wd, ignore_errors=True)
 
 
 # ---------------------------------------------------------------------------

@@ -284,7 +284,12 @@ def fused_tier1_udf(run_date: date, mode: str = "standard", route: bool = True):
                 dt = route_doc_type(xt)
                 resp, needs, reason = parse_dispatch(
                     dt, xt, conf, run_date, TIER1_ENGINE, route)
-                rows.append((url, ts, lang, html, text, dt, 1, needs, reason,
+                # html/src_text pass through ONLY for the fallback slice —
+                # carrying the raw page for every row would make the
+                # persisted tier-1 output ~input-sized at 100 TB when the
+                # majority of rows never reach tier 2
+                rows.append((url, ts, lang, html if needs else None,
+                             text if needs else None, dt, 1, needs, reason,
                              xt, TIER1_ENGINE, conf, resp["valido"],
                              resp["confianza_global"], _dumps(resp), None))
             yield pd.DataFrame(rows, columns=_FUSED_COLS)

@@ -9,7 +9,8 @@
       → per-type fused parse+validate pUDF                      [§2.4–2.7]
       → tier-2 branch: filter(needs_tier2) → permissive
         extraction → re-route → re-parse → unionByName          [T2/T5/T6]
-      → write per-type datos tables + unified table + lineage
+      → ONE data sink partitioned by doc_type (unified columns +
+        response_json; typed view via read_datos) + quarantine + lineage
 
 Scale notes (designed for 10^12 docs / 1000 executors, tested on local[*]):
 * the only shuffle is the single explicit ``repartition`` — everything after
@@ -93,6 +94,22 @@ def read_pages(spark: SparkSession, path: str) -> DataFrame:
     if path.startswith("table:"):
         return spark.read.table(path[len("table:"):])
     return spark.read.schema(PAGES_SCHEMA).parquet(path)
+
+
+def read_datos(spark: SparkSession, output_path: str, doc_type: str) -> DataFrame:
+    """Typed per-type view of the data sink (the reference's per-type JSON
+    response contract, ``app/models/response.py``).
+
+    The sink stores the response as canonical JSON, hive-partitioned by
+    doc_type; this reader prunes the scan to one partition directory and
+    decodes the JSON to the per-type struct JVM-side with ``from_json``.
+    """
+    return (spark.read.parquet(f"{output_path}/data")
+            .filter(F.col("doc_type") == doc_type)
+            .select("url", "extracted_text",
+                    F.from_json("response_json",
+                                udfs.RESPONSE_STRUCTS[doc_type])
+                    .alias("response")))
 
 
 def preflight(pages: DataFrame) -> None:
@@ -192,13 +209,16 @@ def run_pipeline(spark: SparkSession, input_path: str, output_path: str,
     unified = unified.drop("html", "src_text").withColumn(
         "spans", F.from_json("spans_json", _SPANS_TYPE))
 
-    # --- writes (independent sinks in parallel; lineage strictly last:
-    #     write-audit-publish order).  Concurrent actions share the Spark
-    #     scheduler and the persisted tier outputs, so the per-action fixed
-    #     cost (~1-2 s each: job setup, plan analysis, commit) overlaps
-    #     instead of serializing across 5 sinks.
-    def _write(df: DataFrame, sub: str) -> None:
-        df.write.mode("overwrite").parquet(f"{output_path}/{sub}")
+    # --- writes.  ONE partitioned write carries both the unified table and
+    #     the per-type response payload: ``data/`` is hive-partitioned by
+    #     doc_type with the canonical response JSON alongside the unified
+    #     columns, so per-type consumers get partition pruning for free and
+    #     the typed struct on demand via :func:`read_datos` (``from_json``
+    #     on read).  Compared with the round-1 layout (data + 3 datos_*
+    #     sinks) this cuts 3 write jobs and keeps the wide per-type struct
+    #     decode out of the write path entirely.  Lineage is aggregated from
+    #     the persisted tier frames — no output read-back — and written
+    #     strictly last (write-audit-publish order).
 
     # materialize the tier caches once, serially — otherwise the concurrent
     # sink jobs race to compute the same uncached partitions
@@ -206,26 +226,38 @@ def run_pipeline(spark: SparkSession, input_path: str, output_path: str,
     if tier2_enabled:
         p2.count()
 
-    sinks = [(quarantined, "quarantine"),
-             (unified.select(*_UNIFIED_COLS), "data")]
-    for doc_type in DOC_TYPES:
-        typed = (unified.filter(F.col("doc_type") == doc_type)
-                 .select("url", "extracted_text",
-                         F.from_json("response_json",
-                                     udfs.RESPONSE_STRUCTS[doc_type])
-                         .alias("response")))
-        sinks.append((typed, f"datos_{doc_type}"))
+    # resume appends (overwrite would drop previously committed runs);
+    # quarantine is re-derived every run, so under resume drop rows already
+    # quarantined to keep the sink exactly-once too
+    write_mode = "append" if resume else "overwrite"
+    if resume:
+        try:
+            prior_q = spark.read.parquet(f"{output_path}/quarantine") \
+                .select("url").localCheckpoint(eager=True)
+            quarantined = quarantined.join(prior_q, "url", "left_anti")
+        except Exception:
+            pass  # no prior quarantine output
+
+    def _write(df: DataFrame, sub: str, partition_by: Optional[str] = None) -> None:
+        writer = df.write.mode(write_mode)
+        if partition_by:
+            writer = writer.partitionBy(partition_by)
+        writer.parquet(f"{output_path}/{sub}")
+
     from concurrent.futures import ThreadPoolExecutor
-    with ThreadPoolExecutor(max_workers=len(sinks)) as pool:
-        futures = [pool.submit(_write, df, sub) for df, sub in sinks]
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        futures = [
+            pool.submit(_write, quarantined, "quarantine"),
+            pool.submit(_write, unified.select(*_UNIFIED_COLS, "response_json"),
+                        "data", "doc_type"),
+        ]
         for fut in futures:
             fut.result()  # surface the first failure
 
-    written = spark.read.parquet(f"{output_path}/data")
-    lin.lineage_rows(written, run_id).write.mode("append").parquet(
+    lin.lineage_rows(unified, run_id).write.mode("append").parquet(
         f"{output_path}/lineage")
     wall_ms = int((time.monotonic() - t0) * 1000)
-    summary_df = lin.global_summary(written, run_id, wall_ms)
+    summary_df = lin.global_summary(unified, run_id, wall_ms)
     summary_df.write.mode("append").parquet(f"{output_path}/lineage_summary")
     summary = summary_df.collect()[0].asDict()
 

@@ -69,10 +69,17 @@ def global_summary(unified: DataFrame, run_id: str, wall_ms: int) -> DataFrame:
 
 
 def anti_join_done(pages: DataFrame, output_data_path: str) -> DataFrame:
-    """Drop pages whose url already exists in the output (resume)."""
+    """Drop pages whose url already exists in the output (resume).
+
+    The done-set is pinned eagerly (``localCheckpoint``): the resumed run
+    later appends to the same path, and a lazy scan re-evaluated after
+    those writes (cache eviction, executor loss) would see the newly
+    written rows and wrongly drop in-flight work.
+    """
     spark = pages.sparkSession
     try:
-        done = spark.read.parquet(output_data_path).select("url")
+        done = (spark.read.parquet(output_data_path).select("url")
+                .localCheckpoint(eager=True))
     except Exception:
         return pages  # no prior output — nothing to resume from
     return pages.join(done, on="url", how="left_anti")

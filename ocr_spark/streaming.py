@@ -140,12 +140,18 @@ def run_streaming_pipeline(spark: SparkSession, input_path: str,
                            available_now: bool = True):
     """Full dual-tier pipeline as a streaming query via ``foreachBatch``.
 
-    Each micro-batch runs the exact batch stages and appends to the same
-    output layout as the batch job (data / datos_* / quarantine / lineage).
-    ``available_now=True`` drains everything currently in the source and
-    stops — the batch-equivalent mode used in tests; leave it False for a
-    continuously running ingest.  Restarting with the same checkpoint
-    resumes after the last committed micro-batch.
+    Each micro-batch runs the exact batch stages and lands in the batch
+    job's layout (data / quarantine / lineage) with one extra hive
+    partition level, ``batch_id=<n>`` — reading ``{output}/data`` surfaces
+    it as an ordinary column.  ``foreachBatch`` is at-least-once: a batch
+    replayed after a failure between sink writes and checkpoint commit
+    re-executes ``_process``.  Writes are therefore **idempotent per
+    batch_id**: every sink targets its own ``batch_id=`` directory with
+    mode=overwrite, so a replay rewrites exactly that partition instead of
+    appending duplicates.  ``available_now=True`` drains everything
+    currently in the source and stops — the batch-equivalent mode used in
+    tests; leave it False for a continuously running ingest.  Restarting
+    with the same checkpoint resumes after the last committed micro-batch.
     """
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
@@ -169,20 +175,15 @@ def run_streaming_pipeline(spark: SparkSession, input_path: str,
             "spans", F.from_json("spans_json", job._SPANS_TYPE))
         unified.persist()
 
-        quarantined.write.mode("append").parquet(f"{output_path}/quarantine")
-        for doc_type in job.DOC_TYPES:
-            typed = (unified.filter(F.col("doc_type") == doc_type)
-                     .select("url", "extracted_text",
-                             F.from_json("response_json",
-                                         udfs.RESPONSE_STRUCTS[doc_type])
-                             .alias("response")))
-            typed.write.mode("append").parquet(
-                f"{output_path}/datos_{doc_type}")
-        unified.select(*job._UNIFIED_COLS).write.mode("append").parquet(
-            f"{output_path}/data")
+        bsub = f"batch_id={batch_id}"
+        quarantined.write.mode("overwrite").parquet(
+            f"{output_path}/quarantine/{bsub}")
+        (unified.select(*job._UNIFIED_COLS, "response_json")
+         .write.mode("overwrite").partitionBy("doc_type")
+         .parquet(f"{output_path}/data/{bsub}"))
         lin.lineage_rows(unified.select(*job._UNIFIED_COLS),
                          f"{run_id}-{batch_id}") \
-            .write.mode("append").parquet(f"{output_path}/lineage")
+            .write.mode("overwrite").parquet(f"{output_path}/lineage/{bsub}")
         unified.unpersist()
         p1.unpersist()
 

@@ -10,8 +10,15 @@ def test_entry_runs(spark):
     rows = df.collect()
     assert len(rows) >= 1
     cols = set(df.columns)
-    assert {"doc_type", "n_docs", "n_valido", "sum_conf", "n_tier2"} == cols
+    assert {"doc_type", "n_docs", "n_valido", "sum_conf", "n_tier2",
+            "digest"} == cols
     assert sum(r["n_docs"] for r in rows) > 0
+    # every doc type reached the written output, some rows took tier 2,
+    # and the global digest is attached (same value on every row)
+    assert {r["doc_type"] for r in rows} == {"dni", "nif",
+                                             "permiso_circulacion"}
+    assert sum(r["n_tier2"] for r in rows) > 0
+    assert len({r["digest"] for r in rows}) == 1
 
 
 def test_queries_registry_shape():

@@ -54,7 +54,8 @@ def test_extracted_text_contains_source_block(spark, pipeline_out, pages_path):
 def test_typed_outputs_match_pure_parser(spark, pipeline_out, pages_path):
     """Spark response struct == pure-Python kernel on the same extracted text."""
     out, _ = pipeline_out
-    rows = (spark.read.parquet(f"{out}/datos_dni")
+    from ocr_spark.job import read_datos
+    rows = (read_datos(spark, out, "dni")
             .select("url", "extracted_text", "response").limit(30).collect())
     assert rows
     for row in rows:
@@ -117,6 +118,25 @@ def test_resume_skips_done(spark, pages_path, tmp_path):
     s2 = run_pipeline(spark, pages_path, out, RUN_DATE, partitions=4, resume=True,
                       run_id="resume2")
     assert s2["input_count"] == 0
+    # resume appends — the rows committed by run 1 must survive run 2
+    data = spark.read.parquet(f"{out}/data")
+    assert data.count() == N_PAGES
+    assert data.select("url").distinct().count() == N_PAGES
+
+
+def test_resume_completes_partial_run(spark, pages_path, tmp_path):
+    """Kill-and-resume: a first run over half the input, then a resumed run
+    over the full input, must land every row exactly once."""
+    out = str(tmp_path / "partial")
+    pages = spark.read.parquet(pages_path)
+    half = pages.limit(N_PAGES // 2)
+    run_pipeline(spark, pages_path, out, RUN_DATE, partitions=4, input_df=half)
+    s2 = run_pipeline(spark, pages_path, out, RUN_DATE, partitions=4,
+                      resume=True, run_id="resume-fill")
+    assert s2["input_count"] == N_PAGES - N_PAGES // 2
+    data = spark.read.parquet(f"{out}/data")
+    assert data.count() == N_PAGES
+    assert data.select("url").distinct().count() == N_PAGES
 
 
 def test_doc_router(spark):
