@@ -121,7 +121,35 @@ def q_frame_sample(spark, sf_dir):
 
 
 def q_exact_duplicates(spark, sf_dir):
-    return dedup.exact_duplicates(_docs(spark, sf_dir))
+    """Exact-dup groups over the corpus plus deterministically planted
+    duplicates (every 50th doc re-inserted under doc_id+10M) — the synthetic
+    corpus has no natural dups at small sf, so without planting the driver
+    check would compare 0 rows against 0 rows and prove nothing."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    planted = (docs.filter(F.col("doc_id") % 50 == 0)
+               .select((F.col("doc_id") + 10_000_000).alias("doc_id"), "text"))
+    return dedup.exact_duplicates(docs.unionByName(planted))
+
+
+def q_minhash_dedup_keep(spark, sf_dir):
+    """Near-dup cluster resolution end-to-end: plant a 3-doc near-dup chain
+    (doc 0 verbatim under id 20M, doc 0 with one token swapped under 20M+1),
+    run MinHash → LSH → verify → connected components → keeper-per-cluster,
+    and return the surviving planted ids (exactly {0} of the cluster) plus
+    corpus-size accounting."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    base = docs.filter(F.col("doc_id") == 0).select("text").first()["text"]
+    mutated = " ".join(
+        ["spark" if i == 3 else t for i, t in enumerate(base.split())])
+    planted = spark.createDataFrame(
+        [(20_000_000, base), (20_000_001, mutated)], ["doc_id", "text"])
+    corpus = docs.unionByName(planted)
+    kept = dedup.dedup_near_minhash(corpus, threshold=0.5)
+    return (kept.agg(
+        F.count("*").alias("n_kept"),
+        F.sum((F.col("doc_id") >= 20_000_000).cast("int"))
+        .alias("planted_kept"),
+        F.sum((F.col("doc_id") == 0).cast("int")).alias("keeper_is_doc0")))
 
 
 def q_fingerprint_groups(spark, sf_dir):
@@ -310,8 +338,19 @@ def q_simhash_near_dups(spark, sf_dir):
 
 
 def q_embedding_near_dups(spark, sf_dir):
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return dedup.near_duplicates_embedding(emb, threshold=0.9)
+    """Cosine near-dups with planted colinear vectors: every 100th vector
+    re-inserted scaled ×2 under vec_id+10M (cosine exactly 1.0, same LSH
+    sign bits) — at small sf no natural pairs clear 0.9, so planting makes
+    the driver row count discriminate."""
+    emb = (spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+           .select("vec_id", "embedding"))
+    planted = (emb.filter(F.col("vec_id") % 100 == 0)
+               .select((F.col("vec_id") + 10_000_000).alias("vec_id"),
+                       F.transform("embedding",
+                                   lambda x: x * F.lit(2.0).cast("float"))
+                       .alias("embedding")))
+    return dedup.near_duplicates_embedding(emb.unionByName(planted),
+                                           threshold=0.9)
 
 
 def q_embedding_ann_ivf(spark, sf_dir):
@@ -478,6 +517,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_fingerprints": q_winnow_fingerprints,
         # dedup
         "exact_duplicates": q_exact_duplicates,
+        "minhash_dedup_keep": q_minhash_dedup_keep,
         "fingerprint_groups": q_fingerprint_groups,
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_near_dups": q_minhash_near_dups,
@@ -631,9 +671,15 @@ def oracle_sql() -> dict[str, str]:
                        AS BIGINT) END AS n_bpe
             FROM documents""",
         "exact_duplicates": f"""
+            WITH corpus AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 10000000, text FROM documents
+                WHERE doc_id % 50 = 0
+            )
             SELECT {_FP_SQL} AS fingerprint, CAST(count(*) AS BIGINT) AS n_dups,
                    min(doc_id) AS keep_id
-            FROM documents GROUP BY 1 HAVING count(*) >= 2""",
+            FROM corpus GROUP BY 1 HAVING count(*) >= 2""",
         "fingerprint_groups": f"""
             SELECT {_FP_SQL} AS fp, CAST(count(*) AS BIGINT) AS n_dups,
                    min(doc_id) AS keep_id

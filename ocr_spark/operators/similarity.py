@@ -67,7 +67,12 @@ def cosine_topk_matmul(corpus: DataFrame, queries: DataFrame, k: int = 5,
     BLAS call and emits only its local top-k per query (candidate count =
     partitions × k, not corpus size), then a window takes the global top-k.
     Same results as :func:`cosine_topk_bruteforce` (asserted in tests) at a
-    fraction of the per-row SQL higher-order-function cost.
+    fraction of the per-row SQL higher-order-function cost.  Local
+    boundary ties are kept (all candidates at the k-th score survive to the
+    global re-rank) so the (desc cosine, asc vec_id) tie-break is exact.
+    Caveat: BLAS and SQL sum floats in different orders; two cosines within
+    ~1 ulp of each other can still rank differently across engines after
+    ``round(,6)`` — inherent to any float re-implementation.
     """
     import numpy as np
     import pandas as pd
@@ -89,9 +94,14 @@ def cosine_topk_matmul(corpus: DataFrame, queries: DataFrame, k: int = 5,
             sims = qmat @ cmat.T                      # nq × nc, one BLAS call
             take = min(k + 1, sims.shape[1])          # +1 absorbs self-match
             idx = np.argpartition(-sims, take - 1, axis=1)[:, :take]
+            # local boundary score per query; emit EVERY candidate tied with
+            # it — a tied row with a lower vec_id dropped here could win the
+            # global (desc cosine, asc vec_id) ranking, breaking exactness
+            # vs the SQL path under ties
+            kth = np.take_along_axis(sims, idx, axis=1).min(axis=1)
             out = {"query_id": [], "vec_id": [], "cosine": []}
             for qi in range(len(qids)):
-                for ci in idx[qi]:
+                for ci in np.nonzero(sims[qi] >= kth[qi])[0]:
                     out["query_id"].append(int(qids[qi]))
                     out["vec_id"].append(int(ids[ci]))
                     out["cosine"].append(float(sims[qi, ci]))

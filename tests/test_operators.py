@@ -104,6 +104,37 @@ def test_minhash_signature_deterministic(spark, docs):
     assert s1[0] == s1[1]  # identical text → identical signature
 
 
+def test_minhash_candidates_validates_k(spark, docs):
+    sigs = dedup.minhash_signatures(docs, k=32)
+    with pytest.raises(ValueError, match="signatures have length 32"):
+        dedup.minhash_candidates(sigs, bands=32, k=128, validate=True)
+    # matching k passes validation
+    dedup.minhash_candidates(sigs, bands=8, k=32, validate=True).count()
+
+
+# --- cluster resolution ------------------------------------------------------------
+
+def test_duplicate_clusters_transitive(spark):
+    """A~B and B~C (but no A~C edge) must land in ONE cluster — the whole
+    point of resolving pairs into components before picking keepers."""
+    pairs = spark.createDataFrame(
+        [(10, 11), (11, 12), (20, 21), (30, 31), (31, 32), (32, 33)],
+        ["id_a", "id_b"])
+    got = {r["id"]: r["cluster_id"]
+           for r in dedup.duplicate_clusters(pairs).collect()}
+    assert got == {10: 10, 11: 10, 12: 10, 20: 20, 21: 20,
+                   30: 30, 31: 30, 32: 30, 33: 30}
+
+
+def test_dedup_near_minhash_keeps_one_per_cluster(spark, docs):
+    """Docs 0-3 form one near-dup component at threshold 0.5 (0~1 exact,
+    0~2 and 0~3 near) — the dedup pass keeps exactly the min id of the
+    component and every unclustered doc."""
+    kept = {r["doc_id"] for r in
+            dedup.dedup_near_minhash(docs, threshold=0.5).collect()}
+    assert kept == {0, 4, 5, 6, 7, 8}
+
+
 # --- SimHash -----------------------------------------------------------------------
 
 def test_simhash_near_dups(spark, docs):
