@@ -493,17 +493,29 @@ def q_stream_vs_batch(spark, sf_dir):
         shutil.rmtree(wd, ignore_errors=True)
 
 
-def q_engine_compare(spark, sf_dir):
+# extraction cells shared with the DuckDB oracle: the fused-UDF extraction
+# itself has no SQL form, but once its per-row outcomes land in a parquet
+# file BOTH engines can run the comparison aggregation / recommendation
+# window rule over the identical input — which is what these queries check.
+_COMPARE_CELLS = "/tmp/ocr_spark_compare_cells"
+
+
+def _compare_cells(spark):
     from ocr_spark import compare, pagegen
     pages = pagegen.generate_df(spark, 256, partitions=8)
-    return compare.engine_compare(pages, RUN_DATE, sample_rows=256)
+    cells = compare.extraction_cells(pages, RUN_DATE, sample_rows=256)
+    cells.coalesce(1).write.mode("overwrite").parquet(_COMPARE_CELLS)
+    return spark.read.parquet(_COMPARE_CELLS)
+
+
+def q_engine_compare(spark, sf_dir):
+    from ocr_spark import compare
+    return compare.compare_rollup(_compare_cells(spark))
 
 
 def q_engine_recommend(spark, sf_dir):
-    from ocr_spark import compare, pagegen
-    pages = pagegen.generate_df(spark, 256, partitions=8)
-    return compare.recommend(compare.engine_compare(pages, RUN_DATE,
-                                                    sample_rows=256))
+    from ocr_spark import compare
+    return compare.recommend(compare.compare_rollup(_compare_cells(spark)))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -699,6 +711,33 @@ def oracle_sql() -> dict[str, str]:
                    CAST({control} AS INT) AS control_digit,
                    true AS valid_when_correct
             FROM documents""",
+        # extraction cells are materialized to parquet by the Spark query
+        # itself (deterministic sample + frozen run date), so both engines
+        # aggregate the identical per-row extraction outcomes
+        "engine_compare": f"""
+            SELECT engine, mode, doc_type, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(CAST(valido AS INT)) AS BIGINT) AS n_valido,
+                   CAST(floor(avg(confianza_global) * 100) AS BIGINT) AS avg_conf_x100,
+                   CAST(floor(avg(n_chars) * 10) AS BIGINT) AS avg_chars_x10
+            FROM parquet_scan('{_COMPARE_CELLS}/*.parquet')
+            GROUP BY 1, 2, 3""",
+        "engine_recommend": f"""
+            WITH cmp AS (
+                SELECT engine, mode, doc_type,
+                       CAST(floor(avg(confianza_global) * 100) AS BIGINT)
+                           AS avg_conf_x100
+                FROM parquet_scan('{_COMPARE_CELLS}/*.parquet')
+                GROUP BY 1, 2, 3),
+            ranked AS (
+                SELECT *, row_number() OVER (
+                    PARTITION BY doc_type
+                    ORDER BY avg_conf_x100 DESC,
+                             CASE WHEN engine = 'tesseract' THEN 0 ELSE 1 END,
+                             CASE WHEN mode = 'standard' THEN 0 ELSE 1 END) AS rk
+                FROM cmp)
+            SELECT doc_type, engine AS best_engine, mode AS best_mode,
+                   avg_conf_x100
+            FROM ranked WHERE rk = 1""",
         "plate_ocr_correct": f"""
             SELECT doc_id, {raw_plate} AS raw_plate,
                    translate(substr({raw_plate}, 1, 4), 'OISBZG', '015826') ||

@@ -33,6 +33,44 @@ def _extract_config(sample: DataFrame, run_date: date, tier: int,
     return src.mapInPandas(fused, udfs.FUSED_SCHEMA)
 
 
+def extraction_cells(pages: DataFrame, run_date: date,
+                     modes: tuple[str, ...] = MODES,
+                     sample_rows: int = 256) -> DataFrame:
+    """Per-(url, engine, mode) extraction outcomes over a fixed sample —
+    the pre-aggregation frame of the comparison matrix.
+
+    Columns: engine, mode, doc_type, url, valido, confianza_global,
+    n_chars.  Deterministic for a fixed sample + run_date, so it can be
+    materialized once and aggregated identically by any engine (the
+    driver's DuckDB oracle consumes it as a shared parquet input).
+    """
+    sample = pages.orderBy("url").limit(sample_rows)
+    parts = []
+    for tier, engine in ((1, udfs.TIER1_ENGINE), (2, udfs.TIER2_ENGINE)):
+        for mode in modes:
+            ext = _extract_config(sample, run_date, tier, mode)
+            parts.append(ext.select(
+                F.lit(engine).alias("engine"), F.lit(mode).alias("mode"),
+                "doc_type", "url", "valido", "confianza_global",
+                F.length("extracted_text").alias("n_chars")))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def compare_rollup(cells: DataFrame) -> DataFrame:
+    """Aggregate extraction cells into the per-(engine, mode, doc_type)
+    comparison matrix (floor-scaled bigints — engine-portable)."""
+    return (cells.groupBy("engine", "mode", "doc_type")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum(F.col("valido").cast("int")).alias("n_valido"),
+                 F.floor(F.avg("confianza_global") * 100)
+                 .cast("bigint").alias("avg_conf_x100"),
+                 F.floor(F.avg("n_chars") * 10)
+                 .cast("bigint").alias("avg_chars_x10")))
+
+
 def engine_compare(pages: DataFrame, run_date: date,
                    modes: tuple[str, ...] = MODES,
                    sample_rows: int = 256) -> DataFrame:
@@ -43,26 +81,7 @@ def engine_compare(pages: DataFrame, run_date: date,
     avg_chars_x10.  Mirrors the reference's comparison matrix
     (``compare.py:37-169``) with validity standing in for OCR confidence.
     """
-    sample = pages.orderBy("url").limit(sample_rows)
-    parts = []
-    for tier, engine in ((1, udfs.TIER1_ENGINE), (2, udfs.TIER2_ENGINE)):
-        for mode in modes:
-            ext = _extract_config(sample, run_date, tier, mode)
-            parts.append(
-                ext.groupBy("doc_type")
-                .agg(F.count("*").alias("n_docs"),
-                     F.sum(F.col("valido").cast("int")).alias("n_valido"),
-                     F.floor(F.avg("confianza_global") * 100)
-                     .cast("bigint").alias("avg_conf_x100"),
-                     F.floor(F.avg(F.length("extracted_text")) * 10)
-                     .cast("bigint").alias("avg_chars_x10"))
-                .select(F.lit(engine).alias("engine"), F.lit(mode).alias("mode"),
-                        "doc_type", "n_docs", "n_valido", "avg_conf_x100",
-                        "avg_chars_x10"))
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+    return compare_rollup(extraction_cells(pages, run_date, modes, sample_rows))
 
 
 def recommend(comparison: DataFrame) -> DataFrame:

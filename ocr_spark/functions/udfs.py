@@ -233,6 +233,9 @@ FUSED_SCHEMA = T.StructType([
     T.StructField("confianza_global", T.IntegerType()),
     T.StructField("response_json", T.StringType()),
     T.StructField("spans_json", T.StringType()),
+    # per-row share of the Arrow batch's Python-stage wall (µs) — the T7
+    # latency-guard evidence trail: lineage aggregates it per partition
+    T.StructField("proc_us", T.LongType()),
 ])
 
 _FUSED_COLS = [f.name for f in FUSED_SCHEMA.fields]
@@ -272,7 +275,9 @@ def fused_tier1_udf(run_date: date, mode: str = "standard", route: bool = True):
     """
 
     def fn(iterator):
+        import time
         for pdf in iterator:
+            t0 = time.monotonic()
             rows = []
             for url, ts, html, text, lang in zip(
                     pdf["url"], pdf["warc_ts"], pdf["html"], pdf["text"],
@@ -291,8 +296,11 @@ def fused_tier1_udf(run_date: date, mode: str = "standard", route: bool = True):
                 rows.append((url, ts, lang, html if needs else None,
                              text if needs else None, dt, 1, needs, reason,
                              xt, TIER1_ENGINE, conf, resp["valido"],
-                             resp["confianza_global"], _dumps(resp), None))
-            yield pd.DataFrame(rows, columns=_FUSED_COLS)
+                             resp["confianza_global"], _dumps(resp), None, 0))
+            out = pd.DataFrame(rows, columns=_FUSED_COLS)
+            if len(out):
+                out["proc_us"] = int((time.monotonic() - t0) * 1e6 / len(out))
+            yield out
 
     return fn
 
@@ -304,7 +312,9 @@ def fused_tier2_udf(run_date: date, mode: str = "standard",
     """
 
     def fn(iterator):
+        import time
         for pdf in iterator:
+            t0 = time.monotonic()
             rows = []
             for url, ts, html, text, lang, reason in zip(
                     pdf["url"], pdf["warc_ts"], pdf["html"], pdf["text"],
@@ -322,7 +332,10 @@ def fused_tier2_udf(run_date: date, mode: str = "standard",
                 rows.append((url, ts, lang, None, text, dt, 2, False, reason,
                              xt, TIER2_ENGINE, conf, resp["valido"],
                              resp["confianza_global"], _dumps(resp),
-                             _dumps(spans) if spans else None))
-            yield pd.DataFrame(rows, columns=_FUSED_COLS)
+                             _dumps(spans) if spans else None, 0))
+            out = pd.DataFrame(rows, columns=_FUSED_COLS)
+            if len(out):
+                out["proc_us"] = int((time.monotonic() - t0) * 1e6 / len(out))
+            yield out
 
     return fn

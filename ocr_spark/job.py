@@ -78,6 +78,13 @@ def build_session(app: str = "ocr_spark", master: Optional[str] = None,
         # hundreds of partitions × several sinks the v1 driver-side rename
         # pass becomes the serial fraction that caps scaling
         .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
+        # T7 straggler reaper: re-launch tasks running far beyond the stage
+        # median (a wedged page/regex can't hold a partition hostage on a
+        # real cluster; no-op under local mode). Per-partition extraction
+        # wall lands in lineage.wall_ms for the audit trail.
+        .config("spark.speculation", "true")
+        .config("spark.speculation.multiplier", "4")
+        .config("spark.speculation.quantile", "0.9")
     )
     if master:
         builder = builder.master(master)

@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 LINEAGE_COLS = ("run_id", "partition_id", "input_count", "extracted_count",
-                "valid_count", "tier2_count", "digest")
+                "valid_count", "tier2_count", "digest", "wall_ms")
 
 
 def row_digest_col() -> F.Column:
@@ -34,7 +34,16 @@ def row_digest_col() -> F.Column:
 
 
 def lineage_rows(unified: DataFrame, run_id: str) -> DataFrame:
-    """One lineage row per physical output partition of *unified*."""
+    """One lineage row per physical output partition of *unified*.
+
+    ``wall_ms`` is the partition's Python-stage extraction wall (summed
+    per-row ``proc_us`` shares recorded inside the fused UDFs) — the T7
+    latency-guard evidence: a straggling partition shows up here, and the
+    speculation configs in ``job.build_session`` are its cluster-side
+    reaper.  Null when the frame carries no ``proc_us`` column.
+    """
+    wall = (F.floor(F.sum("proc_us") / 1000).cast("long")
+            if "proc_us" in unified.columns else F.lit(None).cast("long"))
     return (
         unified
         .withColumn("partition_id", F.spark_partition_id())
@@ -45,6 +54,7 @@ def lineage_rows(unified: DataFrame, run_id: str) -> DataFrame:
             F.count(F.when(F.col("valido"), 1)).alias("valid_count"),
             F.count(F.when(F.col("tier") == 2, 1)).alias("tier2_count"),
             F.bit_xor(row_digest_col()).alias("digest"),
+            wall.alias("wall_ms"),
         )
         .withColumn("run_id", F.lit(run_id))
         .select(*LINEAGE_COLS)
@@ -63,8 +73,8 @@ def global_summary(unified: DataFrame, run_id: str, wall_ms: int) -> DataFrame:
         )
         .withColumn("run_id", F.lit(run_id))
         .withColumn("partition_id", F.lit(-1))
-        .withColumn("wall_ms", F.lit(wall_ms))
-        .select(*LINEAGE_COLS, "wall_ms")
+        .withColumn("wall_ms", F.lit(wall_ms).cast("long"))
+        .select(*LINEAGE_COLS)
     )
 
 

@@ -88,19 +88,20 @@ def extract_media_features(df: DataFrame, deterministic_fake: bool = True,
     def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
         for pdf in batches:
-            rows = []
-            for _, row in pdf.iterrows():
-                payload = row["payload"] or b""
-                payload = payload[:MAX_PAYLOAD_BYTES]
-                features = _decode_image_stub(bytes(payload), deterministic_fake)
-                rows.append({
-                    "media_id": row["media_id"],
-                    "kind": row["kind"],
-                    "n_bytes": len(payload),
-                    "sha_prefix": hashlib.sha256(payload).hexdigest()[:16],
-                    "features": [float(x) for x in features],
-                })
-            yield pd.DataFrame(rows)
+            # column-wise over the Arrow batch (no per-row Series views);
+            # the per-payload codec call is inherently per-blob work
+            payloads = [bytes(p)[:MAX_PAYLOAD_BYTES] if p is not None else b""
+                        for p in pdf["payload"]]
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"].to_numpy(),
+                "kind": pdf["kind"].to_numpy(dtype=object),
+                "n_bytes": [len(p) for p in payloads],
+                "sha_prefix": [hashlib.sha256(p).hexdigest()[:16]
+                               for p in payloads],
+                "features": [
+                    [float(x) for x in _decode_image_stub(p, deterministic_fake)]
+                    for p in payloads],
+            })
 
     # project only the needed columns BEFORE the python stage so parquet
     # column pruning skips unrelated data
@@ -135,17 +136,18 @@ def resize_images(df: DataFrame, max_px: int = 512,
     """
 
     def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if not deterministic_fake:
+            raise NotImplementedError("image codecs not present")
         for pdf in batches:
             rows = []
-            for _, row in pdf.iterrows():
-                if not deterministic_fake:
-                    raise NotImplementedError("image codecs not present")
-                w = row["meta"]["width"] or max_px
-                h = row["meta"]["height"] or max_px
+            for mid, kind, payload, meta in zip(
+                    pdf["media_id"], pdf["kind"], pdf["payload"], pdf["meta"]):
+                w = meta["width"] or max_px
+                h = meta["height"] or max_px
                 scale = min(1.0, max_px / max(w, h, 1))
-                payload = bytes(row["payload"] or b"")
+                payload = bytes(payload or b"")
                 keep = max(1, int(len(payload) * scale * scale))
-                rows.append({"media_id": row["media_id"], "kind": row["kind"],
+                rows.append({"media_id": mid, "kind": kind,
                              "payload": payload[:keep],
                              "width": int(w * scale), "height": int(h * scale)})
             yield pd.DataFrame(rows, columns=[f.name for f in RESIZED_SCHEMA])
@@ -166,17 +168,18 @@ def sample_frames(df: DataFrame, every_ms: int = 1000,
     """
 
     def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if not deterministic_fake:
+            raise NotImplementedError("av codecs not present")
         for pdf in batches:
             rows = []
-            for _, row in pdf.iterrows():
-                if not deterministic_fake:
-                    raise NotImplementedError("av codecs not present")
-                duration = row["meta"]["duration_ms"] or 0
-                payload = bytes(row["payload"] or b"")
+            for mid, payload, meta in zip(
+                    pdf["media_id"], pdf["payload"], pdf["meta"]):
+                duration = meta["duration_ms"] or 0
+                payload = bytes(payload or b"")
                 n = max(1, duration // every_ms) if duration else 1
                 step = max(1, len(payload) // n)
                 for i in range(n):
-                    rows.append({"media_id": row["media_id"], "frame_idx": i,
+                    rows.append({"media_id": mid, "frame_idx": i,
                                  "ts_ms": i * every_ms,
                                  "frame": payload[i * step:(i + 1) * step]})
             yield pd.DataFrame(rows, columns=[f.name for f in FRAME_SCHEMA])

@@ -181,7 +181,7 @@ def run_streaming_pipeline(spark: SparkSession, input_path: str,
         (unified.select(*job._UNIFIED_COLS, "response_json")
          .write.mode("overwrite").partitionBy("doc_type")
          .parquet(f"{output_path}/data/{bsub}"))
-        lin.lineage_rows(unified.select(*job._UNIFIED_COLS),
+        lin.lineage_rows(unified.select(*job._UNIFIED_COLS, "proc_us"),
                          f"{run_id}-{batch_id}") \
             .write.mode("overwrite").parquet(f"{output_path}/lineage/{bsub}")
         unified.unpersist()

