@@ -518,6 +518,14 @@ def q_engine_recommend(spark, sf_dir):
     return compare.recommend(compare.compare_rollup(_compare_cells(spark)))
 
 
+def q_engine_latency(spark, sf_dir):
+    """Per-(engine, mode) measured extraction wall (the reference's ms
+    column) — rows-only by nature: timings are not value-stable."""
+    from ocr_spark import compare, pagegen
+    pages = pagegen.generate_df(spark, 256, partitions=8)
+    return compare.engine_latency(pages, RUN_DATE, sample_rows=256)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # text analysis
@@ -565,6 +573,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # engine-comparison harness (S10)
         "engine_compare": q_engine_compare,
         "engine_recommend": q_engine_recommend,
+        "engine_latency": q_engine_latency,
         # streaming ingest (rows-only)
         "stream_vs_batch": q_stream_vs_batch,
         # sources

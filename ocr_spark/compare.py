@@ -84,6 +84,33 @@ def engine_compare(pages: DataFrame, run_date: date,
     return compare_rollup(extraction_cells(pages, run_date, modes, sample_rows))
 
 
+def engine_latency(pages: DataFrame, run_date: date,
+                   modes: tuple[str, ...] = MODES,
+                   sample_rows: int = 256) -> DataFrame:
+    """Measured wall per (engine, mode) config over the fixed sample — the
+    reference's per-config ``ms`` column (``compare.py:37-169``).
+
+    Kept separate from :func:`engine_compare` so the quality matrix stays
+    value-deterministic for the driver's hash check; this one is rows-only
+    by nature (timings vary run to run).
+    """
+    import time
+
+    spark = pages.sparkSession
+    sample = pages.orderBy("url").limit(sample_rows).persist()
+    sample.count()  # materialize so each config times extraction only
+    rows = []
+    for tier, engine in ((1, udfs.TIER1_ENGINE), (2, udfs.TIER2_ENGINE)):
+        for mode in modes:
+            t0 = time.monotonic()
+            n = _extract_config(sample, run_date, tier, mode).count()
+            rows.append((engine, mode, n,
+                         int((time.monotonic() - t0) * 1000)))
+    sample.unpersist()
+    return spark.createDataFrame(
+        rows, "engine string, mode string, n_docs long, wall_ms long")
+
+
 def recommend(comparison: DataFrame) -> DataFrame:
     """Best (engine, mode) per doc_type — the ``compare.py:172-205`` rule:
     highest confidence wins; ties go to the cheaper tier-1 engine, then to

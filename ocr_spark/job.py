@@ -261,12 +261,15 @@ def run_pipeline(spark: SparkSession, input_path: str, output_path: str,
         for fut in futures:
             fut.result()  # surface the first failure
 
-    lin.lineage_rows(unified, run_id).write.mode("append").parquet(
-        f"{output_path}/lineage")
+    lrows = lin.lineage_rows(unified, run_id).persist()
+    lrows.write.mode("append").parquet(f"{output_path}/lineage")
     wall_ms = int((time.monotonic() - t0) * 1000)
-    summary_df = lin.global_summary(unified, run_id, wall_ms)
+    # fold the summary from the ~P cached lineage rows (XOR re-folds
+    # exactly) instead of a second full aggregation pass over unified
+    summary_df = lin.summary_from_lineage(lrows, run_id, wall_ms)
     summary_df.write.mode("append").parquet(f"{output_path}/lineage_summary")
     summary = summary_df.collect()[0].asDict()
+    lrows.unpersist()
 
     p1.unpersist()
     if tier2_enabled:

@@ -61,6 +61,30 @@ def lineage_rows(unified: DataFrame, run_id: str) -> DataFrame:
     )
 
 
+def summary_from_lineage(lineage: DataFrame, run_id: str,
+                         wall_ms: int) -> DataFrame:
+    """Global summary row folded from the per-partition lineage rows.
+
+    Counts sum and the XOR digest re-folds exactly (XOR is associative), so
+    this is identical to :func:`global_summary` over the full frame while
+    aggregating ~P rows instead of re-scanning the corpus — the batch job
+    uses it to avoid a second full pass per run.
+    """
+    return (
+        lineage.agg(
+            F.coalesce(F.sum("input_count"), F.lit(0)).alias("input_count"),
+            F.coalesce(F.sum("extracted_count"), F.lit(0)).alias("extracted_count"),
+            F.coalesce(F.sum("valid_count"), F.lit(0)).alias("valid_count"),
+            F.coalesce(F.sum("tier2_count"), F.lit(0)).alias("tier2_count"),
+            F.bit_xor("digest").alias("digest"),
+        )
+        .withColumn("run_id", F.lit(run_id))
+        .withColumn("partition_id", F.lit(-1))
+        .withColumn("wall_ms", F.lit(wall_ms).cast("long"))
+        .select(*LINEAGE_COLS)
+    )
+
+
 def global_summary(unified: DataFrame, run_id: str, wall_ms: int) -> DataFrame:
     """Single order/parallelism-independent summary row (partition_id = -1)."""
     return (

@@ -44,3 +44,16 @@ def test_recommend_one_winner_per_type(comparison):
     for r in rec:
         assert r["best_engine"] in (udfs.TIER1_ENGINE, udfs.TIER2_ENGINE)
         assert r["best_mode"] in compare.MODES
+
+
+def test_engine_latency_axis(spark):
+    from datetime import date
+
+    from ocr_spark import compare, pagegen
+
+    pages = pagegen.generate_df(spark, 64, partitions=2)
+    rows = compare.engine_latency(pages, date(2026, 8, 16),
+                                  sample_rows=64).collect()
+    assert len(rows) == 4  # 2 engines x 2 modes
+    assert all(r["n_docs"] == 64 for r in rows)
+    assert all(r["wall_ms"] >= 0 for r in rows)
