@@ -53,3 +53,23 @@ def test_pipeline_one_python_pass_per_tier(spark):
 def test_scan_reads_no_filters_for_full_count(spark):
     docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id")
     assert plans.read_schema_columns(docs) == ["doc_id"]
+
+
+def test_read_datos_prunes_partitions(spark, tmp_path):
+    """The doc_type filter on the partitioned data sink must prune to one
+    partition directory — per-type consumers scan 1/3 of the corpus."""
+    from datetime import date
+
+    from ocr_spark import job, pagegen
+
+    out = str(tmp_path / "prune")
+    pages = pagegen.generate_df(spark, 60, partitions=2)
+    job.run_pipeline(spark, "", out, date(2026, 8, 16), partitions=2,
+                     input_df=pages)
+    typed = job.read_datos(spark, out, "dni")
+    plan = plans.physical_plan(typed)
+    assert "PartitionFilters" in plan and "doc_type" in plan.split(
+        "PartitionFilters", 1)[1].split("]", 1)[0], plan
+    # and the decoded struct arrives intact
+    row = typed.limit(1).collect()[0]
+    assert row["response"]["tipo_documento"] == "dni"
