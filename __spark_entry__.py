@@ -92,7 +92,8 @@ def q_language_id(spark, sf_dir):
 def q_quality_features(spark, sf_dir):
     return (textstats.quality_features(_docs(spark, sf_dir))
             .select("doc_id", "n_chars_calc", "n_tokens", "avg_token_len_x100",
-                    "digit_ratio_x1000", "upper_ratio_x1000", "quality_ok"))
+                    "digit_ratio_x1000", "upper_ratio_x1000",
+                    "punct_ratio_x1000", "stopword_ratio_x1000", "quality_ok"))
 
 
 def q_fingerprint(spark, sf_dir):
@@ -592,6 +593,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 _TOKENS_SQL = "len(regexp_split_to_array(trim(text), '\\s+'))"
 _NTOK = f"CASE WHEN length(trim(text)) = 0 THEN 0 ELSE {_TOKENS_SQL} END"
 
+from ocr_spark.operators.textstats import STOPWORDS as _STOPWORDS  # noqa: E402
+
+_STOP_SQL = "[" + ", ".join(f"'{w}'" for w in _STOPWORDS) + "]"
+
 _LANG_SQL = """
 CASE WHEN regexp_matches(text, '[一-鿿]') THEN 'zh'
      WHEN {de} THEN 'de' WHEN {fr} THEN 'fr' WHEN {es} THEN 'es'
@@ -679,6 +684,8 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN {_NTOK} > 0 THEN CAST(floor(length(text) * 100.0 / ({_NTOK})) AS BIGINT) ELSE 0 END AS avg_token_len_x100,
                    CASE WHEN length(text) > 0 THEN CAST(floor((length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))) * 1000.0 / length(text)) AS BIGINT) ELSE 0 END AS digit_ratio_x1000,
                    CASE WHEN length(text) > 0 THEN CAST(floor((length(text) - length(regexp_replace(text, '[A-Z]', '', 'g'))) * 1000.0 / length(text)) AS BIGINT) ELSE 0 END AS upper_ratio_x1000,
+                   CASE WHEN length(text) > 0 THEN CAST(floor((length(text) - length(regexp_replace(text, '[^\\p{{L}}\\p{{N}}\\s]', '', 'g'))) * 1000.0 / length(text)) AS BIGINT) ELSE 0 END AS punct_ratio_x1000,
+                   CASE WHEN {_NTOK} > 0 THEN CAST(floor(len(list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> list_contains({_STOP_SQL}, t))) * 1000.0 / ({_NTOK})) AS BIGINT) ELSE 0 END AS stopword_ratio_x1000,
                    (length(text) >= 20 AND {_NTOK} >= 5
                     AND (CASE WHEN {_NTOK} > 0 THEN CAST(floor(length(text) * 100.0 / ({_NTOK})) AS BIGINT) ELSE 0 END) BETWEEN 200 AND 1200
                     AND (CASE WHEN length(text) > 0 THEN CAST(floor((length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))) * 1000.0 / length(text)) AS BIGINT) ELSE 0 END) < 300) AS quality_ok

@@ -422,6 +422,23 @@ def dedup_near_minhash(df: DataFrame, id_col: str = "doc_id",
     pairs = near_duplicates_minhash(df, id_col, text_col, k=k, bands=bands,
                                     threshold=threshold,
                                     shingle_width=shingle_width)
+    return _keep_cluster_minima(df, pairs, id_col)
+
+
+def dedup_near_embedding(df: DataFrame, id_col: str = "vec_id",
+                         vec_col: str = "embedding",
+                         threshold: float = 0.95,
+                         n_planes: int = 16) -> DataFrame:
+    """Keeper rows after embedding cosine near-dup clustering (the
+    semantic-dedup pass of a pretraining pipeline): LSH-bucketed cosine
+    pairs → connected components → min-id keeper per component."""
+    pairs = near_duplicates_embedding(df, id_col, vec_col,
+                                      threshold=threshold, n_planes=n_planes)
+    return _keep_cluster_minima(df, pairs, id_col)
+
+
+def _keep_cluster_minima(df: DataFrame, pairs: DataFrame,
+                         id_col: str) -> DataFrame:
     clusters = duplicate_clusters(pairs)
     return (df.join(clusters.withColumnRenamed("id", id_col), id_col, "left")
             .filter(F.col("cluster_id").isNull()

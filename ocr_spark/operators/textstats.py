@@ -66,19 +66,33 @@ def language_id(text: Column) -> Column:
     return expr.otherwise(F.lit("und"))
 
 
+# function-word list shared by the stopword ratio in Spark and its DuckDB
+# twin (en + es + de high-frequency words; lowercase match)
+STOPWORDS = ("the", "a", "an", "and", "or", "of", "to", "in", "is", "for",
+             "el", "la", "los", "las", "de", "del", "y", "en", "un", "una",
+             "que", "es", "der", "die", "das", "und", "ein")
+
+
 def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Append quality-feature columns + a composite ``quality_ok`` verdict.
 
-    Features (all integer/deciaml arithmetic → engine-portable):
+    Features (all integer arithmetic → engine-portable):
       n_chars, n_tokens, avg_token_len ×100 (int), digit_ratio ×1000 (int),
-      upper_ratio ×1000 (int).  Verdict: 20 ≤ n_chars, ≥ 5 tokens,
-      2 ≤ avg token len ≤ 12, digits < 30%.
+      upper_ratio ×1000 (int), punct_ratio ×1000 (non-letter non-digit
+      non-space chars), stopword_ratio ×1000 (function-word tokens — a
+      natural-language-ness signal: prose has plenty, boilerplate/menus and
+      gibberish have few).  Verdict: 20 ≤ n_chars, ≥ 5 tokens, 2 ≤ avg
+      token len ≤ 12, digits < 30%.
     """
     text = F.col(text_col)
     n_chars = F.length(text)
     n_tokens = token_count(text)
     stripped_digits = F.length(F.regexp_replace(text, r"[0-9]", ""))
     stripped_upper = F.length(F.regexp_replace(text, r"[A-Z]", ""))
+    stripped_punct = F.length(F.regexp_replace(text, r"[^\p{L}\p{N}\s]", ""))
+    n_stop = F.size(F.filter(
+        F.split(F.lower(F.trim(text)), r"\s+"),
+        lambda t: t.isin(*STOPWORDS)))
     avg_len_x100 = F.when(n_tokens > 0,
                           (n_chars * 100 / n_tokens).cast("bigint")).otherwise(F.lit(0))
     digit_x1000 = F.when(n_chars > 0,
@@ -87,6 +101,12 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     upper_x1000 = F.when(n_chars > 0,
                          ((n_chars - stripped_upper) * 1000 / n_chars).cast("bigint")
                          ).otherwise(F.lit(0))
+    punct_x1000 = F.when(n_chars > 0,
+                         ((n_chars - stripped_punct) * 1000 / n_chars).cast("bigint")
+                         ).otherwise(F.lit(0))
+    stop_x1000 = F.when(n_tokens > 0,
+                        (n_stop * 1000 / n_tokens).cast("bigint")
+                        ).otherwise(F.lit(0))
     quality_ok = ((n_chars >= 20) & (n_tokens >= 5)
                   & avg_len_x100.between(200, 1200) & (digit_x1000 < 300))
     return (df
@@ -95,6 +115,8 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
             .withColumn("avg_token_len_x100", avg_len_x100)
             .withColumn("digit_ratio_x1000", digit_x1000)
             .withColumn("upper_ratio_x1000", upper_x1000)
+            .withColumn("punct_ratio_x1000", punct_x1000)
+            .withColumn("stopword_ratio_x1000", stop_x1000)
             .withColumn("quality_ok", quality_ok))
 
 

@@ -230,6 +230,14 @@ def vectors(spark):
     return spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
 
 
+def test_dedup_near_embedding_keeps_one_per_cluster(spark, vectors):
+    """Perturbed copies 100..102 of vectors 0..2 must be dropped in favor
+    of the original (min-id) vectors; unperturbed 3..5 all survive."""
+    kept = {r["vec_id"] for r in
+            dedup.dedup_near_embedding(vectors, threshold=0.95).collect()}
+    assert kept == {0, 1, 2, 3, 4, 5}
+
+
 def test_embedding_near_dups_brute_vs_lsh(spark, vectors):
     brute = {(r["id_a"], r["id_b"]) for r in
              dedup.near_duplicates_embedding(vectors, threshold=0.95,

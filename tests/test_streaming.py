@@ -53,6 +53,27 @@ def test_stream_resume_is_idempotent(spark, stream_input, tmp_path):
     assert n1 == N_PAGES and n2 == n1
 
 
+def test_stream_batch_replay_is_idempotent(spark, stream_input, tmp_path):
+    """foreachBatch is at-least-once: simulate a replay of EVERY batch
+    (checkpoint lost, output kept) — the batch_id-keyed overwrite writes
+    must leave counts and digest unchanged, not append duplicates."""
+    import shutil
+
+    out = str(tmp_path / "replay_out")
+    streaming.run_streaming_pipeline(spark, stream_input, out, RUN_DATE,
+                                     partitions=4)
+    data1 = spark.read.parquet(f"{out}/data")
+    n1 = data1.count()
+    d1 = lin.global_summary(data1, "chk", 0).collect()[0]["digest"]
+    shutil.rmtree(f"{out}/_checkpoint")  # lose the commit log → full replay
+    streaming.run_streaming_pipeline(spark, stream_input, out, RUN_DATE,
+                                     partitions=4)
+    data2 = spark.read.parquet(f"{out}/data")
+    assert data2.count() == n1 == N_PAGES
+    assert lin.global_summary(data2, "chk", 0).collect()[0]["digest"] == d1
+    assert data2.select("url").distinct().count() == N_PAGES
+
+
 def test_host_profiles_stateful(spark, stream_input, tmp_path):
     """applyInPandasWithState accumulates per-host counters across batches."""
     stream = streaming.read_pages_stream(spark, stream_input,
