@@ -301,6 +301,36 @@ def q_events_hourly(spark, sf_dir):
                  F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("sum_value_x100")))
 
 
+def q_events_asof(spark, sf_dir):
+    """Backward as-of join: each click event carries the latest at-or-before
+    view value of the same user (union+window composition, one shuffle —
+    verified against DuckDB's native ASOF JOIN)."""
+    from ocr_spark.operators import temporal
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    clicks = ev.filter(F.col("event_type") == "click") \
+        .select("event_id", "user_id", "ts", "value")
+    views = ev.filter(F.col("event_type") == "view") \
+        .select("user_id", "ts", "value")
+    joined = temporal.asof_join(clicks, views, on="user_id", ts="ts",
+                                payload=("value",))
+    return joined.select(
+        "event_id", "user_id",
+        F.round(F.col("value") * 100).cast("bigint").alias("value_x100"),
+        F.round(F.col("value_asof") * 100).cast("bigint")
+        .alias("asof_value_x100"))
+
+
+def q_latest_event(spark, sf_dir):
+    """Latest-snapshot resolution per user (the CDX-style latest-capture-
+    per-url rule on the events table)."""
+    from ocr_spark.operators import temporal
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (temporal.latest_snapshot(ev, "user_id", "ts", "event_id")
+            .select("user_id", "event_id", "event_type",
+                    F.round(F.col("value") * 100).cast("bigint")
+                    .alias("value_x100")))
+
+
 def q_embedding_norms(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     norm = F.expr("sqrt(aggregate(transform(embedding, x -> CAST(x AS DOUBLE) * x), "
@@ -563,6 +593,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q1": q_tpch_q1,
         "revenue_by_region": q_revenue_by_region,
         "events_hourly": q_events_hourly,
+        "events_asof": q_events_asof,
+        "latest_event": q_latest_event,
         # similarity / embeddings
         "embedding_norms": q_embedding_norms,
         "embedding_topk": q_embedding_topk,
@@ -838,6 +870,27 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_events,
                    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_x100
             FROM events GROUP BY 1, 2""",
+        "events_asof": """
+            WITH clicks AS (
+                SELECT event_id, user_id, ts, value FROM events
+                WHERE event_type = 'click'),
+            views AS (
+                SELECT user_id, ts, value FROM events
+                WHERE event_type = 'view')
+            SELECT c.event_id, c.user_id,
+                   CAST(round(c.value * 100) AS BIGINT) AS value_x100,
+                   CAST(round(v.value * 100) AS BIGINT) AS asof_value_x100
+            FROM clicks c ASOF LEFT JOIN views v
+              ON c.user_id = v.user_id AND c.ts >= v.ts""",
+        "latest_event": """
+            WITH ranked AS (
+                SELECT *, row_number() OVER (
+                    PARTITION BY user_id
+                    ORDER BY ts DESC, event_id DESC) AS rk
+                FROM events)
+            SELECT user_id, event_id, event_type,
+                   CAST(round(value * 100) AS BIGINT) AS value_x100
+            FROM ranked WHERE rk = 1""",
         "embedding_norms": """
             SELECT vec_id, label,
                    round(sqrt(list_sum(list_transform(embedding,

@@ -294,3 +294,44 @@ def test_media_metadata_stats(spark):
     media = multimodal.synthetic_media(spark, rows=30)
     stats = {r["kind"]: r["n"] for r in multimodal.media_metadata_stats(media).collect()}
     assert stats == {"image": 10, "audio": 10, "video": 10}
+
+
+# --- temporal ----------------------------------------------------------------------
+
+def test_asof_join_semantics(spark):
+    """Backward as-of: latest right at-or-before each left ts per key;
+    equal timestamps are visible (<=); no prior right -> null."""
+    from datetime import datetime as dt
+
+    from ocr_spark.operators import temporal
+
+    left = spark.createDataFrame(
+        [(1, 10, dt(2026, 1, 1, 0, 0, 5)),   # after r@3 -> 30
+         (2, 10, dt(2026, 1, 1, 0, 0, 3)),   # ties r@3 -> 30 (<= visible)
+         (3, 10, dt(2026, 1, 1, 0, 0, 1)),   # before any right -> null
+         (4, 20, dt(2026, 1, 1, 0, 0, 9))],  # key 20 -> 99
+        "event_id long, user_id long, ts timestamp")
+    right = spark.createDataFrame(
+        [(10, dt(2026, 1, 1, 0, 0, 2), 20.0),
+         (10, dt(2026, 1, 1, 0, 0, 3), 30.0),
+         (20, dt(2026, 1, 1, 0, 0, 4), 99.0)],
+        "user_id long, ts timestamp, value double")
+    got = {r["event_id"]: r["value_asof"]
+           for r in temporal.asof_join(left, right, on="user_id", ts="ts",
+                                       payload=("value",)).collect()}
+    assert got == {1: 30.0, 2: 30.0, 3: None, 4: 99.0}
+
+
+def test_latest_snapshot(spark):
+    from datetime import datetime as dt
+
+    from ocr_spark.operators import temporal
+
+    df = spark.createDataFrame(
+        [(1, 5, dt(2026, 1, 1), "a"), (2, 5, dt(2026, 1, 2), "b"),
+         (3, 5, dt(2026, 1, 2), "c"),  # same ts as 2 -> higher id wins
+         (4, 6, dt(2026, 1, 1), "d")],
+        "event_id long, user_id long, ts timestamp, event_type string")
+    got = {r["user_id"]: r["event_id"]
+           for r in temporal.latest_snapshot(df).collect()}
+    assert got == {5: 3, 6: 4}
