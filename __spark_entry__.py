@@ -331,6 +331,28 @@ def q_latest_event(spark, sf_dir):
                     .alias("value_x100")))
 
 
+def q_events_range_pairs(spark, sf_dir):
+    """Bucketed range join: error-event pairs of the same user within 30
+    minutes (bucket + adjacent-bucket equi-join, no per-key cross join)."""
+    from ocr_spark.operators import temporal
+    ev = (spark.read.parquet(f"{sf_dir}/events.parquet")
+          .filter(F.col("event_type") == "error"))
+    return temporal.range_join_within(ev, key="user_id", ts="ts",
+                                      id_col="event_id", delta_s=1800)
+
+
+def q_events_sessionize(spark, sf_dir):
+    """Gap-based sessionization (30-min inactivity gap) rolled up to
+    per-session bounds and event counts."""
+    from ocr_spark.operators import temporal
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    sess = temporal.sessionize(ev, key="user_id", ts="ts", gap_s=1800)
+    return (sess.groupBy("user_id", "session_seq")
+            .agg(F.count("*").alias("n_events"),
+                 F.min("event_id").alias("first_event"),
+                 F.max("event_id").alias("last_event")))
+
+
 def q_embedding_norms(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     norm = F.expr("sqrt(aggregate(transform(embedding, x -> CAST(x AS DOUBLE) * x), "
@@ -595,6 +617,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly": q_events_hourly,
         "events_asof": q_events_asof,
         "latest_event": q_latest_event,
+        "events_range_pairs": q_events_range_pairs,
+        "events_sessionize": q_events_sessionize,
         # similarity / embeddings
         "embedding_norms": q_embedding_norms,
         "embedding_topk": q_embedding_topk,
@@ -882,6 +906,34 @@ def oracle_sql() -> dict[str, str]:
                    CAST(round(v.value * 100) AS BIGINT) AS asof_value_x100
             FROM clicks c ASOF LEFT JOIN views v
               ON c.user_id = v.user_id AND c.ts >= v.ts""",
+        "events_range_pairs": """
+            WITH errs AS (
+                SELECT user_id, event_id, ts FROM events
+                WHERE event_type = 'error')
+            SELECT a.user_id,
+                   least(a.event_id, b.event_id) AS id_a,
+                   greatest(a.event_id, b.event_id) AS id_b,
+                   CAST(abs(floor(epoch(b.ts)) - floor(epoch(a.ts))) AS BIGINT) AS gap_s
+            FROM errs a JOIN errs b
+              ON a.user_id = b.user_id AND a.event_id < b.event_id
+             AND abs(floor(epoch(b.ts)) - floor(epoch(a.ts))) <= 1800""",
+        "events_sessionize": """
+            WITH flagged AS (
+                SELECT user_id, event_id, ts,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                            OR floor(epoch(ts)) - floor(epoch(lag(ts) OVER w)) > 1800
+                            THEN 1 ELSE 0 END AS boundary
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC)),
+            sess AS (
+                SELECT user_id, event_id,
+                       sum(boundary) OVER (PARTITION BY user_id ORDER BY ts ASC
+                           ROWS UNBOUNDED PRECEDING) AS session_seq
+                FROM flagged)
+            SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   min(event_id) AS first_event, max(event_id) AS last_event
+            FROM sess GROUP BY 1, 2""",
         "latest_event": """
             WITH ranked AS (
                 SELECT *, row_number() OVER (

@@ -61,6 +61,63 @@ def asof_join(left: DataFrame, right: DataFrame, on: str = "user_id",
     return out
 
 
+def range_join_within(df: DataFrame, key: str = "user_id", ts: str = "ts",
+                      id_col: str = "event_id",
+                      delta_s: int = 60) -> DataFrame:
+    """Pairs of rows of the same key within ``delta_s`` seconds — the
+    bucketed range join.
+
+    Naive ``|a.ts - b.ts| <= δ`` is a per-key cross join (quadratic on hot
+    keys).  This buckets each row into ``floor(epoch/δ)`` and equi-joins
+    each row against its own and the NEXT bucket — any pair within δ spans
+    at most adjacent buckets, so the join keys stay short and shuffle-
+    friendly while the exact δ filter runs on the (small) candidate set.
+    Returns (key, id_a, id_b, gap_s) with ``id_a < id_b``.
+    """
+    bucket = F.floor(F.unix_timestamp(F.col(ts)) / delta_s)
+    a = df.select(F.col(key).alias("k"), F.col(id_col).alias("id_a"),
+                  F.col(ts).alias("ts_a"), bucket.alias("b"))
+    b_same = df.select(F.col(key).alias("k"), F.col(id_col).alias("id_b"),
+                       F.col(ts).alias("ts_b"), bucket.alias("b"))
+    b_next = b_same.withColumn("b", F.col("b") - 1)  # joins a's bucket
+    cands = (a.join(b_same, ["k", "b"])
+             .unionByName(a.join(b_next, ["k", "b"])))
+    # every qualifying pair surfaces with a = the EARLIER row (the later one
+    # is in the same or next bucket); canonicalize ids with least/greatest —
+    # an id_a < id_b filter here would drop pairs whose later row has the
+    # smaller id
+    gap = F.abs(F.unix_timestamp("ts_b") - F.unix_timestamp("ts_a"))
+    return (cands.filter((F.col("id_a") != F.col("id_b")) & (gap <= delta_s))
+            .select(F.col("k").alias(key),
+                    F.least("id_a", "id_b").alias("id_lo"),
+                    F.greatest("id_a", "id_b").alias("id_hi"),
+                    gap.cast("bigint").alias("gap_s"))
+            .withColumnsRenamed({"id_lo": "id_a", "id_hi": "id_b"})
+            .distinct())
+
+
+def sessionize(df: DataFrame, key: str = "user_id", ts: str = "ts",
+               gap_s: int = 1800) -> DataFrame:
+    """Gap-based session assignment: a new session starts whenever the gap
+    to the previous event of the same key exceeds ``gap_s``.
+
+    Pure window composition (lag → boundary flag → running sum), one
+    shuffle on the key; ``session_id`` is ``(key, session_seq)`` with
+    session_seq starting at 1 per key — deterministic and engine-portable
+    (DuckDB twin uses the identical window SQL).
+    """
+    w = Window.partitionBy(key).orderBy(F.col(ts).asc())
+    prev_ts = F.lag(ts).over(w)
+    boundary = F.when(
+        prev_ts.isNull()
+        | ((F.unix_timestamp(F.col(ts)) - F.unix_timestamp(prev_ts)) > gap_s),
+        1).otherwise(0)
+    return (df.withColumn("session_seq",
+                          F.sum(boundary).over(
+                              w.rowsBetween(Window.unboundedPreceding,
+                                            Window.currentRow))))
+
+
 def latest_snapshot(df: DataFrame, key: str = "user_id", ts: str = "ts",
                     tie_break: str = "event_id") -> DataFrame:
     """One row per key: maximum ``ts``, deterministic ``tie_break`` desc —

@@ -335,3 +335,36 @@ def test_latest_snapshot(spark):
     got = {r["user_id"]: r["event_id"]
            for r in temporal.latest_snapshot(df).collect()}
     assert got == {5: 3, 6: 4}
+
+
+def test_range_join_within(spark):
+    """Pairs within delta across bucket boundaries; a later row with a
+    SMALLER id must still pair (canonicalized ids, not a naive a<b filter)."""
+    from datetime import datetime as dt
+
+    from ocr_spark.operators import temporal
+
+    df = spark.createDataFrame(
+        [(5, 1, dt(2026, 1, 1, 0, 0, 59)),   # later row, smaller id than 9
+         (9, 1, dt(2026, 1, 1, 0, 0, 30)),   # gap 29s -> pairs with 5
+         (7, 1, dt(2026, 1, 1, 0, 2, 30)),   # 91s after 5 -> no pair
+         (8, 2, dt(2026, 1, 1, 0, 0, 45))],  # other key
+        "event_id long, user_id long, ts timestamp")
+    got = {(r["id_a"], r["id_b"]): r["gap_s"]
+           for r in temporal.range_join_within(df, delta_s=60).collect()}
+    assert got == {(5, 9): 29}
+
+
+def test_sessionize(spark):
+    from datetime import datetime as dt
+
+    from ocr_spark.operators import temporal
+
+    df = spark.createDataFrame(
+        [(1, 1, dt(2026, 1, 1, 10, 0)), (2, 1, dt(2026, 1, 1, 10, 10)),
+         (3, 1, dt(2026, 1, 1, 11, 30)),    # 80-min gap -> new session
+         (4, 2, dt(2026, 1, 1, 9, 0))],
+        "event_id long, user_id long, ts timestamp")
+    got = {r["event_id"]: r["session_seq"]
+           for r in temporal.sessionize(df, gap_s=1800).collect()}
+    assert got == {1: 1, 2: 1, 3: 2, 4: 1}
