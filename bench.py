@@ -45,6 +45,7 @@ SUITE = (
     "dni_check_letter", "cif_control", "confidence_score",
     "extract_dni", "extract_permis", "extract_nif",
     "tpch_q1", "revenue_by_region", "events_hourly",
+    "events_asof", "events_sessionize", "latest_event",
     "embedding_norms", "embedding_topk", "embedding_ann_ivf",
 )
 
