@@ -227,12 +227,6 @@ def run_pipeline(spark: SparkSession, input_path: str, output_path: str,
     #     the persisted tier frames — no output read-back — and written
     #     strictly last (write-audit-publish order).
 
-    # materialize the tier caches once, serially — otherwise the concurrent
-    # sink jobs race to compute the same uncached partitions
-    p1.count()
-    if tier2_enabled:
-        p2.count()
-
     # resume appends (overwrite would drop previously committed runs);
     # quarantine is re-derived every run, so under resume drop rows already
     # quarantined to keep the sink exactly-once too
@@ -251,12 +245,22 @@ def run_pipeline(spark: SparkSession, input_path: str, output_path: str,
             writer = writer.partitionBy(partition_by)
         writer.parquet(f"{output_path}/{sub}")
 
+    def _write_data() -> None:
+        # materialize tier 1 first: the unified DAG's two p1 branches
+        # (direct + tier-2 input) would otherwise race to compute the same
+        # uncached partitions inside the write job.  Tier 2 needs no such
+        # pre-count — it is reached once, from the cached p1.
+        p1.count()
+        _write(unified.select(*_UNIFIED_COLS, "response_json"),
+               "data", "doc_type")
+
+    # quarantine derives from the admission split, not the tier caches, so
+    # its write overlaps the tier-1 materialization fully
     from concurrent.futures import ThreadPoolExecutor
     with ThreadPoolExecutor(max_workers=2) as pool:
         futures = [
             pool.submit(_write, quarantined, "quarantine"),
-            pool.submit(_write, unified.select(*_UNIFIED_COLS, "response_json"),
-                        "data", "doc_type"),
+            pool.submit(_write_data),
         ]
         for fut in futures:
             fut.result()  # surface the first failure
