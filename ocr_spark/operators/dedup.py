@@ -89,17 +89,42 @@ def _hash64(s: str) -> int:
         hashlib.blake2b(s.encode("utf-8"), digest_size=8).digest(), "big")
 
 
-def _shingles(text: str, width: int) -> np.ndarray:
-    """Hashed word-``width``-gram shingles (uint64)."""
+# position coefficients for the w-gram combine (odd → invertible mod 2^64,
+# so token order matters: "a b c" and "c b a" hash differently)
+_GRAM_COEF = np.array([0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F,
+                       0x165667B19E3779F9, 0x27D4EB2F165667C5,
+                       0x85EBCA77C2B2AE63, 0x2545F4914F6CDD1D,
+                       0x5851F42D4C957F2D, 0x14057B7EF767814F],
+                      dtype=np.uint64)
+
+
+def _shingles(text: str, width: int,
+              cache: dict[str, int] | None = None) -> np.ndarray:
+    """Hashed word-``width``-gram shingles (uint64), deduplicated.
+
+    Vectorized: each UNIQUE token is blake2b-hashed once (``cache`` memo —
+    Zipfian reuse makes this ~100x fewer hash calls than per-gram hashing),
+    then w-gram hashes are a numpy sliding-window linear combine in the
+    2^64 ring.  Any stable hash works here: shingle hashes only feed
+    MinHash/LSH and set-Jaccard, both hash-universe-agnostic.
+    """
     tokens = text.lower().split()
-    if len(tokens) < width:
-        grams = [" ".join(tokens)] if tokens else []
-    else:
-        grams = [" ".join(tokens[i:i + width]) for i in range(len(tokens) - width + 1)]
-    if not grams:
+    if not tokens:
         return np.zeros(0, dtype=np.uint64)
-    return np.fromiter((_hash64(g) for g in grams), dtype=np.uint64,
-                       count=len(grams))
+    if cache is None:
+        cache = {}
+    get = cache.get
+    th = np.empty(len(tokens), dtype=np.uint64)
+    for i, t in enumerate(tokens):
+        h = get(t)
+        if h is None:
+            h = _hash64(t)
+            cache[t] = h
+        th[i] = h
+    w = min(width, len(tokens))
+    sw = np.lib.stride_tricks.sliding_window_view(th, w)
+    grams = (sw * _GRAM_COEF[:w][None, :]).sum(axis=1, dtype=np.uint64)
+    return np.unique(grams)
 
 
 def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
@@ -111,8 +136,9 @@ def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
     @pandas_udf(T.ArrayType(T.LongType()))
     def _sig(text: pd.Series) -> pd.Series:
         out = []
+        cache: dict[str, int] = {}  # token-hash memo shared across the batch
         for t in text:
-            sh = _shingles(t or "", shingle_width)
+            sh = _shingles(t or "", shingle_width, cache)
             if sh.size == 0:
                 out.append([0] * k)
                 continue
@@ -223,9 +249,10 @@ def near_duplicates_minhash(df: DataFrame, id_col: str = "doc_id",
     @pandas_udf(T.DoubleType())
     def _jaccard(ta: pd.Series, tb: pd.Series) -> pd.Series:
         out = []
+        cache: dict[str, int] = {}
         for x, y in zip(ta, tb):
-            sa = set(_shingles(x or "", shingle_width).tolist())
-            sb = set(_shingles(y or "", shingle_width).tolist())
+            sa = set(_shingles(x or "", shingle_width, cache).tolist())
+            sb = set(_shingles(y or "", shingle_width, cache).tolist())
             union = len(sa | sb)
             out.append(len(sa & sb) / union if union else 0.0)
         return pd.Series(out)
