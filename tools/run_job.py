@@ -1,0 +1,40 @@
+"""spark-submit entry point: the batch job against an existing SparkSession.
+
+``ocr_spark`` arrives on every node via ``--py-files`` (see
+``tools/submit_job.sh``); this driver script only parses args and calls
+:func:`ocr_spark.job.run_pipeline` with the session spark-submit built.
+"""
+
+from __future__ import annotations
+
+import argparse
+from datetime import date
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--run-date", required=True)
+    ap.add_argument("--partitions", type=int, default=64)
+    ap.add_argument("--salt", type=int, default=0)
+    ap.add_argument("--mode", default="standard")
+    ap.add_argument("--resume", action="store_true")
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    from ocr_spark import job
+
+    spark = SparkSession.builder.getOrCreate()
+    summary = job.run_pipeline(
+        spark, args.input, args.output, date.fromisoformat(args.run_date),
+        partitions=args.partitions, salt=args.salt, mode=args.mode,
+        resume=args.resume)
+    print({k: summary[k] for k in ("run_id", "input_count", "extracted_count",
+                                   "valid_count", "tier2_count", "digest",
+                                   "wall_ms")})
+
+
+if __name__ == "__main__":
+    main()
