@@ -550,7 +550,12 @@ def q_stream_vs_batch(spark, sf_dir):
 # itself has no SQL form, but once its per-row outcomes land in a parquet
 # file BOTH engines can run the comparison aggregation / recommendation
 # window rule over the identical input — which is what these queries check.
-_COMPARE_CELLS = "/tmp/ocr_spark_compare_cells"
+# The path is per-user so concurrent users don't clobber each other;
+# the oracle assumes the matching Spark query ran first in the same
+# harness process (it writes the cells, deterministically, every call).
+import getpass as _getpass  # noqa: E402
+
+_COMPARE_CELLS = f"/tmp/ocr_spark_compare_cells_{_getpass.getuser()}"
 
 
 def _compare_cells(spark):

@@ -232,12 +232,15 @@ def run_pipeline(spark: SparkSession, input_path: str, output_path: str,
     # quarantined to keep the sink exactly-once too
     write_mode = "append" if resume else "overwrite"
     if resume:
+        from pyspark.errors import AnalysisException
         try:
             prior_q = spark.read.parquet(f"{output_path}/quarantine") \
                 .select("url").localCheckpoint(eager=True)
             quarantined = quarantined.join(prior_q, "url", "left_anti")
-        except Exception:
-            pass  # no prior quarantine output
+        except AnalysisException:
+            pass  # no prior quarantine output (PATH_NOT_FOUND); any other
+            # failure must surface — silently skipping the anti-join would
+            # append duplicate quarantine rows
 
     def _write(df: DataFrame, sub: str, partition_by: Optional[str] = None) -> None:
         writer = df.write.mode(write_mode)

@@ -111,9 +111,13 @@ def anti_join_done(pages: DataFrame, output_data_path: str) -> DataFrame:
     written rows and wrongly drop in-flight work.
     """
     spark = pages.sparkSession
+    from pyspark.errors import AnalysisException
     try:
         done = (spark.read.parquet(output_data_path).select("url")
                 .localCheckpoint(eager=True))
-    except Exception:
-        return pages  # no prior output — nothing to resume from
+    except AnalysisException:
+        return pages  # no prior output (PATH_NOT_FOUND) — nothing to
+        # resume from; any OTHER read failure must surface, because
+        # skipping the anti-join on a transient error would re-extract
+        # and duplicate already-committed rows
     return pages.join(done, on="url", how="left_anti")

@@ -89,13 +89,20 @@ def _hash64(s: str) -> int:
         hashlib.blake2b(s.encode("utf-8"), digest_size=8).digest(), "big")
 
 
-# position coefficients for the w-gram combine (odd → invertible mod 2^64,
-# so token order matters: "a b c" and "c b a" hash differently)
-_GRAM_COEF = np.array([0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F,
-                       0x165667B19E3779F9, 0x27D4EB2F165667C5,
-                       0x85EBCA77C2B2AE63, 0x2545F4914F6CDD1D,
-                       0x5851F42D4C957F2D, 0x14057B7EF767814F],
-                      dtype=np.uint64)
+def _gram_coef(width: int) -> np.ndarray:
+    """Position coefficients for the w-gram combine (odd → invertible mod
+    2^64, so token order matters: "a b c" and "c b a" hash differently).
+    Deterministic for ANY width (seeded, memoized)."""
+    coef = _GRAM_COEF_CACHE.get(width)
+    if coef is None:
+        rng = np.random.RandomState(SEED ^ width)
+        coef = (rng.randint(0, 1 << 62, size=width).astype(np.uint64)
+                * np.uint64(2) + np.uint64(1))  # force odd
+        _GRAM_COEF_CACHE[width] = coef
+    return coef
+
+
+_GRAM_COEF_CACHE: dict[int, np.ndarray] = {}
 
 
 def _shingles(text: str, width: int,
@@ -123,7 +130,7 @@ def _shingles(text: str, width: int,
         th[i] = h
     w = min(width, len(tokens))
     sw = np.lib.stride_tricks.sliding_window_view(th, w)
-    grams = (sw * _GRAM_COEF[:w][None, :]).sum(axis=1, dtype=np.uint64)
+    grams = (sw * _gram_coef(w)[None, :]).sum(axis=1, dtype=np.uint64)
     return np.unique(grams)
 
 
@@ -206,10 +213,14 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
                 .select(F.col(id_col).alias("id"), grams.alias("grams"))
                 .withColumn("n_grams", F.size("grams"))
                 .select("id", "n_grams", F.explode("grams").alias("gram")))
-    # the exploded gram frame feeds the document-frequency aggregate AND both
-    # sides of the self-join — without a persist the tokenize+gram+explode
-    # work runs ~4x (measured ~2x wall on the sf0.1 bench)
-    exploded.persist()
+    # the exploded gram frame feeds the document-frequency aggregate AND
+    # both sides of the self-join — without materialization the
+    # tokenize+gram+explode work runs ~4x (measured ~2x wall at sf0.1).
+    # localCheckpoint rather than persist: a persist() on a frame returned
+    # lazily can never be unpersisted by this function, leaking a
+    # corpus×grams-sized CacheManager entry per call; checkpoint blocks are
+    # reclaimed by the ContextCleaner once the result is consumed.
+    exploded = exploded.localCheckpoint(eager=False)
     # skew guard: drop grams present in too many docs
     gram_df = exploded.join(
         exploded.groupBy("gram").agg(F.count("*").alias("df_count"))
@@ -431,8 +442,13 @@ def duplicate_clusters(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
                    .limit(1).count())
         labels = updated
         if changed == 0:
-            break
-    return labels.select("id", F.col("label").alias("cluster_id"))
+            return labels.select("id", F.col("label").alias("cluster_id"))
+    # exhausting the rounds means a component with diameter > max_iter is
+    # still split — returning the partial labels would silently keep
+    # multiple "keepers" for one cluster, so fail loudly instead
+    raise RuntimeError(
+        f"duplicate_clusters did not converge in {max_iter} rounds — a "
+        f"component has diameter > {max_iter}; raise max_iter")
 
 
 def dedup_near_minhash(df: DataFrame, id_col: str = "doc_id",

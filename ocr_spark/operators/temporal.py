@@ -32,8 +32,10 @@ def asof_join(left: DataFrame, right: DataFrame, on: str = "user_id",
     Output = every left row + ``<payload><suffix>`` columns (null when no
     right row precedes it).  At equal timestamps the right row counts as
     visible (``<=`` semantics, matching DuckDB ``ASOF JOIN`` on
-    ``l.ts >= r.ts``); among multiple right rows the window order makes the
-    latest (ts, then last-sorted) one win.
+    ``l.ts >= r.ts``).  Multiple right rows sharing the same (key, ts) are
+    ordered by the payload struct itself, so the greatest payload wins —
+    deterministic at any parallelism level (partition-layout-dependent
+    picks would break the repo's rerun-digest guarantees).
     """
     lcols = left.columns
     tagged_l = (left
@@ -52,8 +54,12 @@ def asof_join(left: DataFrame, right: DataFrame, on: str = "user_id",
                 c, F.lit(None).cast(left.schema[c].dataType))
     unioned = tagged_l.unionByName(tagged_r.select(*tagged_l.columns))
     # right rows sort BEFORE left rows at the same ts (_is_left asc) so the
-    # <= visibility rule holds; last(ignorenulls) carries the payload forward
-    w = (Window.partitionBy(on).orderBy(F.col(ts).asc(), F.col("_is_left").asc())
+    # <= visibility rule holds; the trailing _rpay term totally orders
+    # same-(key, ts) right rows (last one = greatest payload wins);
+    # last(ignorenulls) carries the payload forward
+    w = (Window.partitionBy(on)
+         .orderBy(F.col(ts).asc(), F.col("_is_left").asc(),
+                  F.col("_rpay").asc_nulls_first())
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     carried = unioned.withColumn("_asof", F.last("_rpay", ignorenulls=True).over(w))
     out = carried.filter(F.col("_is_left") == 1).select(

@@ -152,7 +152,22 @@ def run_streaming_pipeline(spark: SparkSession, input_path: str,
     currently in the source and stops — the batch-equivalent mode used in
     tests; leave it False for a continuously running ingest.  Restarting
     with the same checkpoint resumes after the last committed micro-batch.
+
+    Starting with NO checkpoint (first run, or checkpoint lost) means the
+    stream will reprocess the whole source with a fresh batch numbering —
+    so any existing output is cleared first: per-batch_id overwrite only
+    protects same-numbering replays, and a rerun that splits the source
+    into FEWER batches would otherwise leave stale higher-batch_id
+    partitions behind (duplicated rows).
     """
+    import os
+    import shutil
+
+    # local-fs paths (this sandbox); a cluster deployment on HDFS/object
+    # storage would do the same through the Hadoop FileSystem API
+    if not os.path.isdir(f"{output_path}/_checkpoint"):
+        for sub in ("data", "quarantine", "lineage"):
+            shutil.rmtree(f"{output_path}/{sub}", ignore_errors=True)
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         admitted, quarantined = job.admission_split(batch_df)

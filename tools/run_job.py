@@ -22,11 +22,14 @@ def main() -> None:
     ap.add_argument("--resume", action="store_true")
     args = ap.parse_args()
 
-    from pyspark.sql import SparkSession
-
     from ocr_spark import job
 
-    spark = SparkSession.builder.getOrCreate()
+    # build_session layers the job's session-settable configs (shuffle
+    # partitions, AQE, Arrow batch cap, zstd, committer v2, speculation)
+    # on top of whatever spark-submit provided; master and driver memory
+    # are JVM-start settings and come from submit_job.sh's flags.
+    spark = job.build_session(app="ocr_spark-submit",
+                              shuffle_partitions=args.partitions)
     summary = job.run_pipeline(
         spark, args.input, args.output, date.fromisoformat(args.run_date),
         partitions=args.partitions, salt=args.salt, mode=args.mode,

@@ -23,8 +23,12 @@ for p in pathlib.Path('ocr_spark').rglob('*.py'):
 zf.close()
 " "$ZIP")
 
+# driver memory is a JVM-start setting — it cannot be applied from inside
+# the session (build_session's in-session value is a no-op under submit),
+# so it must be passed here; local[32] needs far more than the 1g default
 exec spark-submit \
     --master "$MASTER" \
+    --driver-memory "${OCR_SPARK_DRIVER_MEM:-24g}" \
     --py-files "$ZIP" \
     --conf spark.sql.shuffle.partitions="$PARTITIONS" \
     "$REPO/tools/run_job.py" \
