@@ -368,3 +368,49 @@ def test_sessionize(spark):
     got = {r["event_id"]: r["session_seq"]
            for r in temporal.sessionize(df, gap_s=1800).collect()}
     assert got == {1: 1, 2: 1, 3: 2, 4: 1}
+
+
+def test_asof_join_tie_on_same_ts_is_deterministic(spark):
+    """Two right rows at the identical (key, ts): the greatest payload wins
+    regardless of partition layout (rerun-digest guarantee)."""
+    from datetime import datetime as dt
+
+    from ocr_spark.operators import temporal
+
+    left = spark.createDataFrame(
+        [(1, 7, dt(2026, 1, 1, 10, 0, 1))],
+        "event_id long, user_id long, ts timestamp")
+    right_rows = [(7, dt(2026, 1, 1, 10, 0, 0), 1.0),
+                  (7, dt(2026, 1, 1, 10, 0, 0), 2.0)]
+    for order in (right_rows, right_rows[::-1]):
+        for parts in (1, 4):
+            right = spark.createDataFrame(
+                order, "user_id long, ts timestamp, value double"
+            ).repartition(parts)
+            got = temporal.asof_join(left, right).collect()[0]["value_asof"]
+            assert got == 2.0
+
+
+def test_duplicate_clusters_raises_on_nonconvergence(spark):
+    """A chain whose diameter exceeds max_iter must fail loudly, not return
+    split components."""
+    chain = [(i, i + 1) for i in range(10, 16)]  # diameter 6
+    pairs = spark.createDataFrame(chain, ["id_a", "id_b"])
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup.duplicate_clusters(pairs, max_iter=2)
+    # and converges fine with enough rounds
+    got = {r["id"]: r["cluster_id"]
+           for r in dedup.duplicate_clusters(pairs, max_iter=10).collect()}
+    assert set(got.values()) == {10}
+
+
+def test_shingles_any_width(spark):
+    """Width > 8 used to crash on the fixed coefficient table."""
+    from ocr_spark.operators.dedup import _shingles
+    text = " ".join(f"tok{i}" for i in range(20))
+    for w in (1, 3, 8, 9, 12):
+        sh = _shingles(text, w)
+        assert len(sh) == 20 - w + 1
+    # short text: one gram of all tokens
+    assert len(_shingles("a b", 5)) == 1
+    assert len(_shingles("", 3)) == 0
