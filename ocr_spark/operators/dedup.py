@@ -158,6 +158,60 @@ def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
     return df.select(F.col(id_col).alias("id"), _sig(F.col(text_col)).alias("sig"))
 
 
+def minhash_band_keys(df: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text", k: int = 128,
+                      bands: int = 32, shingle_width: int = 3) -> DataFrame:
+    """(id, keys array<bigint>[bands]) — fused signature+banding.
+
+    Computes the MinHash signature AND folds each band's slice to its LSH
+    key inside one numpy pass, so the Python stage ships ``bands`` longs
+    per row instead of ``k`` (4x smaller Arrow transfer at the defaults)
+    and the JVM does no per-band array slicing/hashing.  Key universe is
+    private to this function — callers only ever equi-join keys against
+    keys from the same run.
+    """
+    a, b = _hash_params(k)
+    rows_per_band = max(k // bands, 1)
+    # per-band fold coefficients (odd → order-sensitive mix of the slice)
+    fold = _gram_coef(rows_per_band)
+
+    @pandas_udf(T.ArrayType(T.LongType()))
+    def _keys(text: pd.Series) -> pd.Series:
+        out = []
+        cache: dict[str, int] = {}
+        for t in text:
+            sh = _shingles(t or "", shingle_width, cache)
+            if sh.size == 0:
+                sig = np.zeros(k, dtype=np.uint64)
+            else:
+                x = (sh % np.uint64(_MERSENNE)).astype(np.int64)
+                vals = (a[:, None] * x[None, :] + b[:, None]) % _MERSENNE % _MAX_HASH
+                sig = vals.min(axis=1).astype(np.uint64)
+            folded = (sig[:bands * rows_per_band]
+                      .reshape(bands, rows_per_band) * fold[None, :]) \
+                .sum(axis=1, dtype=np.uint64)
+            out.append([int(v) - (1 << 64) if v >= (1 << 63) else int(v)
+                        for v in folded])
+        return pd.Series(out)
+
+    return df.select(F.col(id_col).alias("id"),
+                     _keys(F.col(text_col)).alias("keys"))
+
+
+def band_candidates(keyed: DataFrame) -> DataFrame:
+    """(band, key) equi-self-join of :func:`minhash_band_keys` output →
+    candidate pairs (id_a < id_b), deduplicated.  Same shuffle shape as
+    :func:`minhash_candidates` (never a cross join)."""
+    buckets = (keyed
+               .select("id", F.posexplode("keys").alias("band", "key")))
+    left = buckets.alias("l")
+    right = buckets.alias("r")
+    return (left.join(right, ["band", "key"])
+            .filter(F.col("l.id") < F.col("r.id"))
+            .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+            .distinct())
+
+
 def minhash_candidates(sigs: DataFrame, bands: int = 32,
                        k: int = 128, validate: bool = False) -> DataFrame:
     """LSH banding → candidate pairs (id_a < id_b), deduplicated.
@@ -248,10 +302,13 @@ def near_duplicates_minhash(df: DataFrame, id_col: str = "doc_id",
 
     Returns (id_a, id_b, jaccard ≥ threshold).  The verify join re-reads
     only candidate texts — at web scale the candidate set is orders of
-    magnitude smaller than the corpus.
+    magnitude smaller than the corpus.  Uses the fused band-key path
+    (:func:`minhash_band_keys`): one Python stage emitting ``bands`` longs
+    per row, no separate signature materialization.
     """
-    sigs = minhash_signatures(df, id_col, text_col, k, shingle_width)
-    cands = minhash_candidates(sigs, bands, k=k)
+    keyed = minhash_band_keys(df, id_col, text_col, k=k, bands=bands,
+                              shingle_width=shingle_width)
+    cands = band_candidates(keyed)
     texts = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
     paired = (cands
               .join(texts.withColumnsRenamed({"id": "id_a", "text": "text_a"}), "id_a")
