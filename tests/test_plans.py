@@ -73,3 +73,25 @@ def test_read_datos_prunes_partitions(spark, tmp_path):
     # and the decoded struct arrives intact
     row = typed.limit(1).collect()[0]
     assert row["response"]["tipo_documento"] == "dni"
+
+
+def test_pages_source_prunes_crawl_date_partitions(spark, tmp_path):
+    """SCALE.md's input layout: pages partitioned by crawl date. A warc_day
+    filter must prune the scan to matching partition directories — the
+    mechanism that keeps a 10^12-doc backfill proportional to the date
+    range processed."""
+    from ocr_spark import pagegen
+
+    src = str(tmp_path / "pages_by_day")
+    pages = pagegen.generate_df(spark, 120, partitions=4).withColumn(
+        "warc_day", F.date_format("warc_ts", "yyyy-MM-dd-HH-mm"))
+    pages.write.partitionBy("warc_day").parquet(src)
+    days = [r["warc_day"] for r in
+            spark.read.parquet(src).select("warc_day").distinct().collect()]
+    assert len(days) >= 2  # generator's 1s-spaced timestamps span several partitions
+    one = (spark.read.parquet(src)
+           .filter(F.col("warc_day") == days[0])
+           .select("url", "warc_ts"))
+    plan = plans.physical_plan(one)
+    assert "PartitionFilters" in plan and "warc_day" in plan.split(
+        "PartitionFilters", 1)[1].split("]", 1)[0], plan
