@@ -1,11 +1,14 @@
 """Multimodal columns: opaque ``binary`` media + typed metadata.
 
 The Spark-side plumbing (schemas, batch shapes, partition strategy, UDF
-signatures) is real and tested; the codec work itself is stubbed behind
-:data:`HAVE_MEDIA_LIBS` because no image/audio library ships in this
-container — :func:`_decode_image_stub` raises ``NotImplementedError`` unless
+signatures) is real and tested, and the codec work is REAL for the two
+formats that need no external library (:mod:`ocr_spark.operators.codecs`):
+24-bit BMP images are pixel-decoded/downsampled/re-encoded with numpy, and
+PCM-16 WAV audio is decoded/sliced via stdlib ``wave``.  Compressed formats
+(JPEG/PNG/H.264) stay behind :data:`HAVE_MEDIA_LIBS`:
+:func:`_decode_image_stub` raises ``NotImplementedError`` unless
 ``deterministic_fake=True``, which produces a seeded fake feature vector so
-the distributed plumbing can be exercised end-to-end.
+the distributed plumbing is exercised even for undecodable payloads.
 
 Design points that survive a 100 TB corpus:
 * media bytes stay in-column (no driver collect, no temp files);
@@ -25,6 +28,8 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql import types as T
+
+from ocr_spark.operators import codecs
 
 try:  # pragma: no cover - the container has no media libs by design
     import PIL.Image  # noqa: F401
@@ -58,7 +63,8 @@ MAX_PAYLOAD_BYTES = 8 * 1024 * 1024  # P7 analog: cap pathological blobs
 
 
 def _decode_image_stub(payload: bytes, deterministic_fake: bool) -> np.ndarray:
-    """Decode + feature-extract one media payload.
+    """Fallback for payloads the pure-python codecs cannot decode
+    (JPEG/PNG/H.264…).
 
     Real implementation would be: decode (PIL/libav) → resize/frame-sample
     → embed.  STUB: without media libs, either raise (production guard) or
@@ -73,6 +79,56 @@ def _decode_image_stub(payload: bytes, deterministic_fake: bool) -> np.ndarray:
     seed = int.from_bytes(payload[:8].ljust(8, b"\0"), "little") & 0x7FFFFFFF
     rng = np.random.RandomState(seed)
     return rng.normal(size=FEATURE_DIM).astype("float32")
+
+
+def _image_features(px: np.ndarray) -> list[float]:
+    """Real image features from decoded pixels: dims, channel moments,
+    16-bin luminance histogram, gradient energy — FEATURE_DIM floats."""
+    h, w = px.shape[:2]
+    flat = px.reshape(-1, 3).astype(np.float64)
+    gray = flat.mean(axis=1)
+    f = [float(w), float(h)]
+    f += flat.mean(axis=0).tolist() + flat.std(axis=0).tolist()
+    hist, _ = np.histogram(gray, bins=16, range=(0.0, 256.0))
+    f += (hist / max(1, gray.size)).tolist()
+    f += [float(gray.min()), float(gray.max()),
+          float(np.abs(np.diff(px.astype(np.int32), axis=0)).mean())
+          if h > 1 else 0.0,
+          float(np.abs(np.diff(px.astype(np.int32), axis=1)).mean())
+          if w > 1 else 0.0]
+    f += [0.0] * (FEATURE_DIM - len(f))
+    return [float(np.float32(v)) for v in f[:FEATURE_DIM]]
+
+
+def _audio_features(pcm: np.ndarray, rate: int) -> list[float]:
+    """Real audio features from decoded PCM: length, rate, RMS,
+    zero-crossing rate, range, 16-band spectrum — FEATURE_DIM floats."""
+    x = pcm.astype(np.float64)
+    n = x.size
+    f = [float(n), float(rate),
+         float(np.sqrt((x ** 2).mean())) if n else 0.0,
+         float((np.signbit(x[1:]) != np.signbit(x[:-1])).mean())
+         if n > 1 else 0.0,
+         float(x.min()) if n else 0.0,
+         float(x.max()) if n else 0.0]
+    if n:
+        spec = np.abs(np.fft.rfft(x))
+        f += [float(b.mean()) if b.size else 0.0
+              for b in np.array_split(spec, 16)]
+    f += [0.0] * (FEATURE_DIM - len(f))
+    return [float(np.float32(v)) for v in f[:FEATURE_DIM]]
+
+
+def media_feature_vector(payload: bytes, deterministic_fake: bool) -> list[float]:
+    """Per-payload feature extraction: REAL decode for BMP/WAV, stub/fake
+    for formats that need external codecs."""
+    px = codecs.decode_bmp(payload)
+    if px is not None:
+        return _image_features(px)
+    wav = codecs.decode_wav(payload)
+    if wav is not None:
+        return _audio_features(*wav)
+    return [float(v) for v in _decode_image_stub(payload, deterministic_fake)]
 
 
 def extract_media_features(df: DataFrame, deterministic_fake: bool = True,
@@ -98,9 +154,8 @@ def extract_media_features(df: DataFrame, deterministic_fake: bool = True,
                 "n_bytes": [len(p) for p in payloads],
                 "sha_prefix": [hashlib.sha256(p).hexdigest()[:16]
                                for p in payloads],
-                "features": [
-                    [float(x) for x in _decode_image_stub(p, deterministic_fake)]
-                    for p in payloads],
+                "features": [media_feature_vector(p, deterministic_fake)
+                             for p in payloads],
             })
 
     # project only the needed columns BEFORE the python stage so parquet
@@ -129,23 +184,31 @@ def resize_images(df: DataFrame, max_px: int = 512,
                   deterministic_fake: bool = True) -> DataFrame:
     """Image rows → capped-dimension payloads (P7 resize analog).
 
-    Real path: decode → Lanczos downscale → re-encode (stubbed, no codec in
-    this container).  The deterministic fake scales the recorded dims and
-    truncates the payload proportionally, so schema, batch shape, and the
-    byte-budget behavior are exercised end-to-end.
+    BMP payloads get a REAL area downsample (decode → block-mean →
+    re-encode, :func:`codecs.downsample_bmp`).  Other formats need external
+    codecs: the deterministic fake scales the recorded dims and truncates
+    the payload proportionally, so schema, batch shape, and the byte-budget
+    behavior are exercised end-to-end either way.
     """
 
     def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        if not deterministic_fake:
-            raise NotImplementedError("image codecs not present")
         for pdf in batches:
             rows = []
             for mid, kind, payload, meta in zip(
                     pdf["media_id"], pdf["kind"], pdf["payload"], pdf["meta"]):
+                payload = bytes(payload or b"")
+                real = codecs.downsample_bmp(payload, max_px)
+                if real is not None:
+                    out, w, h = real
+                    rows.append({"media_id": mid, "kind": kind,
+                                 "payload": out, "width": w, "height": h})
+                    continue
+                if not deterministic_fake:
+                    raise NotImplementedError(
+                        "non-BMP image codecs not present")
                 w = meta["width"] or max_px
                 h = meta["height"] or max_px
                 scale = min(1.0, max_px / max(w, h, 1))
-                payload = bytes(payload or b"")
                 keep = max(1, int(len(payload) * scale * scale))
                 rows.append({"media_id": mid, "kind": kind,
                              "payload": payload[:keep],
@@ -161,21 +224,33 @@ def sample_frames(df: DataFrame, every_ms: int = 1000,
                   deterministic_fake: bool = True) -> DataFrame:
     """Video/audio rows → one row per sampled frame (1→N mapInPandas shape).
 
-    Real path: demux + keyframe decode at the sampling grid (stubbed).  The
-    fake emits duration//every_ms frames, each a deterministic payload
-    slice, exercising the explode-shaped batch contract downstream feature
-    extraction depends on.
+    WAV payloads get REAL PCM windowing: the stream is decoded and each
+    ``every_ms`` window is re-encoded as a standalone WAV clip.  Video
+    demux needs external codecs (stubbed): the fake emits
+    duration//every_ms deterministic payload slices, exercising the
+    explode-shaped batch contract either way.
     """
 
     def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        if not deterministic_fake:
-            raise NotImplementedError("av codecs not present")
         for pdf in batches:
             rows = []
             for mid, payload, meta in zip(
                     pdf["media_id"], pdf["payload"], pdf["meta"]):
-                duration = meta["duration_ms"] or 0
                 payload = bytes(payload or b"")
+                wav = codecs.decode_wav(payload)
+                if wav is not None:
+                    pcm, rate = wav
+                    win = max(1, rate * every_ms // 1000)
+                    n = max(1, -(-len(pcm) // win))
+                    for i in range(n):
+                        clip = pcm[i * win:(i + 1) * win]
+                        rows.append({"media_id": mid, "frame_idx": i,
+                                     "ts_ms": i * every_ms,
+                                     "frame": codecs.encode_wav(clip, rate)})
+                    continue
+                if not deterministic_fake:
+                    raise NotImplementedError("av codecs not present")
+                duration = meta["duration_ms"] or 0
                 n = max(1, duration // every_ms) if duration else 1
                 step = max(1, len(payload) // n)
                 for i in range(n):
@@ -198,13 +273,39 @@ def media_metadata_stats(df: DataFrame) -> DataFrame:
 
 
 def synthetic_media(spark, rows: int = 64) -> DataFrame:
-    """Deterministic fake media table for tests/benches (seeded payloads)."""
+    """Deterministic media table for tests/benches.
+
+    Image rows carry REAL 24-bit BMPs (seeded gradient+noise pixels) and
+    audio rows REAL PCM-16 WAVs (seeded sine+noise), so the decode paths
+    above run genuine codec work end-to-end; video rows stay opaque seeded
+    bytes (no pure-python video container), exercising the stub branch.
+    """
     def make(i: int):
         kind = ("image", "audio", "video")[i % 3]
-        payload = bytes(((i * 131 + j * 17) % 256) for j in range(256 + i % 512))
+        rng = np.random.RandomState(0x3D1A ^ i)
+        if kind == "image":
+            w, h = 48 + (i % 5) * 16, 32 + (i % 7) * 8
+            yy, xx = np.mgrid[0:h, 0:w]
+            px = np.stack([(xx * 255 // max(1, w - 1)),
+                           (yy * 255 // max(1, h - 1)),
+                           rng.randint(0, 256, size=(h, w))],
+                          axis=-1).astype(np.uint8)
+            return (i, kind, codecs.encode_bmp(px),
+                    {"mime": "image/bmp", "width": w, "height": h,
+                     "duration_ms": None})
+        if kind == "audio":
+            rate = 8000
+            dur_ms = 1000 * (1 + i % 5)
+            t = np.arange(rate * dur_ms // 1000)
+            tone = (3000 * np.sin(2 * np.pi * (110 + 13 * i) * t / rate)
+                    + rng.normal(scale=300, size=t.size))
+            pcm = np.clip(tone, -32768, 32767).astype(np.int16)
+            return (i, kind, codecs.encode_wav(pcm, rate),
+                    {"mime": "audio/wav", "width": None, "height": None,
+                     "duration_ms": dur_ms})
+        payload = bytes(((i * 131 + j * 17) % 256)
+                        for j in range(256 + i % 512))
         return (i, kind, payload,
-                {"mime": f"application/x-fake-{kind}",
-                 "width": 640 if kind == "image" else None,
-                 "height": 480 if kind == "image" else None,
-                 "duration_ms": 1000 * (i % 30) if kind != "image" else None})
+                {"mime": "application/x-fake-video", "width": None,
+                 "height": None, "duration_ms": 1000 * (i % 30)})
     return spark.createDataFrame([make(i) for i in range(rows)], schema=MEDIA_SCHEMA)
