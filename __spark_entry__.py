@@ -445,9 +445,13 @@ def q_extract_nif(spark, sf_dir):
 
 
 def q_media_features(spark, sf_dir):
+    """Real decode evidence in the driver-visible rows: feature slots 0/1
+    are decoded image dims (BMP) or sample-count/framerate (WAV)."""
     media = multimodal.synthetic_media(spark, rows=64)
-    return multimodal.extract_media_features(media, deterministic_fake=True) \
-        .select("media_id", "kind", "n_bytes", "sha_prefix")
+    return (multimodal.extract_media_features(media, deterministic_fake=True)
+            .select("media_id", "kind", "n_bytes", "sha_prefix",
+                    F.element_at("features", 1).cast("bigint").alias("feat0"),
+                    F.element_at("features", 2).cast("bigint").alias("feat1")))
 
 
 def q_dedup_keep_first(spark, sf_dir):
