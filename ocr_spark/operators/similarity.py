@@ -165,6 +165,37 @@ def ivf_build(corpus: DataFrame, n_cells: int = 16, sample: int = 2048,
     return centroids, assigned
 
 
+def ivf_save(path: str, centroids: np.ndarray, assigned: DataFrame) -> None:
+    """Persist the IVF index: centroids as parquet + the assigned corpus
+    partitioned by ``cell``.
+
+    This is the scale shape: build ONCE over the corpus, then every query
+    batch loads centroids (tiny), computes its probe list driver-side, and
+    reads only the probed ``cell=`` partition directories — the inverted-
+    list read is hive partition pruning, proportional to n_probe/n_cells
+    of the data, with no per-query k-means or assignment pass.
+    """
+    spark = assigned.sparkSession
+    cent_rows = [(i, [float(x) for x in c]) for i, c in enumerate(centroids)]
+    (spark.createDataFrame(cent_rows, "cell int, centroid array<double>")
+     .coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids"))
+    (assigned.write.mode("overwrite").partitionBy("cell")
+     .parquet(f"{path}/assigned"))
+
+
+def ivf_load(spark, path: str) -> tuple[np.ndarray, DataFrame]:
+    """Load a persisted IVF index → (centroids, assigned frame).
+
+    The returned frame reads the ``cell``-partitioned layout, so a
+    ``cell IN (probes)`` filter prunes partition directories (pinned by
+    ``tests/test_plans.py``-style PartitionFilters checks in the IVF test).
+    """
+    cent = (spark.read.parquet(f"{path}/centroids")
+            .orderBy("cell").collect())
+    centroids = np.array([r["centroid"] for r in cent], dtype="float64")
+    return centroids, spark.read.parquet(f"{path}/assigned")
+
+
 def cosine_topk_ivf(assigned: DataFrame, centroids: np.ndarray,
                     queries: DataFrame, k: int = 5, n_probe: int = 4,
                     id_col: str = "vec_id",

@@ -478,3 +478,34 @@ def test_media_features_real_decode(spark):
         assert max(r["width"], r["height"]) <= 24
         from ocr_spark.operators import codecs
         assert codecs.decode_bmp(bytes(r["payload"])) is not None
+
+
+def test_ivf_persisted_index(spark, tmp_path):
+    """Build-once/query-many: a saved IVF index reloads to identical
+    results, and the probe filter prunes cell partitions."""
+    import numpy as np
+
+    from ocr_spark.operators import similarity
+    from ocr_spark import plans
+
+    rng = np.random.RandomState(11)
+    rows = [(i, [float(x) for x in rng.normal(size=8)]) for i in range(200)]
+    corpus = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    queries = corpus.filter(F.col("vec_id") < 3)
+
+    centroids, assigned = similarity.ivf_build(corpus, n_cells=4, sample=128)
+    live = similarity.cosine_topk_ivf(assigned, centroids, queries, k=3,
+                                      n_probe=2).collect()
+
+    path = str(tmp_path / "ivf_index")
+    similarity.ivf_save(path, centroids, assigned)
+    c2, a2 = similarity.ivf_load(spark, path)
+    assert np.allclose(c2, centroids)
+    reloaded = similarity.cosine_topk_ivf(a2, c2, queries, k=3,
+                                          n_probe=2).collect()
+    assert sorted(map(tuple, reloaded)) == sorted(map(tuple, live))
+    # the cell filter on the loaded layout prunes partition directories
+    pruned = a2.filter(F.col("cell").isin(0, 1))
+    plan = plans.physical_plan(pruned)
+    assert "PartitionFilters" in plan and "cell" in plan.split(
+        "PartitionFilters", 1)[1].split("]", 1)[0], plan
