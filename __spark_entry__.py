@@ -58,7 +58,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
     wd = tempfile.mkdtemp(prefix="entry_")
     try:
-        pages = pagegen.generate_df(spark, 400, partitions=4)
+        pages = pagegen.generate_df(spark, 320, partitions=4)
         summary = job.run_pipeline(spark, "", f"{wd}/out", RUN_DATE,
                                    partitions=8, input_df=pages)
         data = spark.read.parquet(f"{wd}/out/data")
