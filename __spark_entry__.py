@@ -353,6 +353,34 @@ def q_events_sessionize(spark, sf_dir):
                  F.max("event_id").alias("last_event")))
 
 
+def q_corpus_clean(spark, sf_dir):
+    """The composed pretraining admission filter (quality gate + language
+    allowlist + exact-dup keeper) with per-doc drop reasons.  Duplicates
+    are planted (every 40th doc re-inserted) so the dup gate fires."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    planted = (docs.filter(F.col("doc_id") % 40 == 0)
+               .select((F.col("doc_id") + 30_000_000).alias("doc_id"), "text"))
+    return textstats.corpus_clean(docs.unionByName(planted))
+
+
+def q_drop_repeated_lines(spark, sf_dir):
+    """CCNet-style repeated-line removal over the corpus with a planted
+    boilerplate footer on every 3rd doc (the footer must vanish, everything
+    else survives with order preserved)."""
+    footer = "© example footer all rights reserved"
+    docs = (_docs(spark, sf_dir)
+            .select("doc_id",
+                    F.when(F.col("doc_id") % 3 == 0,
+                           F.concat(F.col("text"), F.lit("\n" + footer)))
+                    .otherwise(F.col("text")).alias("text")))
+    return (textstats.drop_repeated_lines(docs, max_doc_freq=2)
+            .select(F.col("id").alias("doc_id"),
+                    F.md5("clean_text").alias("clean_md5"),
+                    "n_lines_kept",
+                    F.length("clean_text").cast("bigint")
+                    .alias("n_chars_clean")))
+
+
 def q_embedding_norms(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     norm = F.expr("sqrt(aggregate(transform(embedding, x -> CAST(x AS DOUBLE) * x), "
@@ -599,6 +627,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_fingerprints": q_winnow_fingerprints,
         # dedup
         "exact_duplicates": q_exact_duplicates,
+        "corpus_clean": q_corpus_clean,
+        "drop_repeated_lines": q_drop_repeated_lines,
         "minhash_dedup_keep": q_minhash_dedup_keep,
         "fingerprint_groups": q_fingerprint_groups,
         "ngram_jaccard": q_ngram_jaccard,
@@ -777,6 +807,62 @@ def oracle_sql() -> dict[str, str]:
             SELECT {_FP_SQL} AS fp, CAST(count(*) AS BIGINT) AS n_dups,
                    min(doc_id) AS keep_id
             FROM documents GROUP BY 1""",
+        "corpus_clean": f"""
+            WITH corpus AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 30000000, text FROM documents
+                WHERE doc_id % 40 = 0),
+            feats AS (
+                SELECT doc_id,
+                       CAST(length(text) AS BIGINT) AS n_chars_calc,
+                       CAST({_NTOK} AS BIGINT) AS n_tokens,
+                       (length(text) >= 20 AND {_NTOK} >= 5
+                        AND (CASE WHEN {_NTOK} > 0 THEN CAST(floor(length(text) * 100.0 / ({_NTOK})) AS BIGINT) ELSE 0 END) BETWEEN 200 AND 1200
+                        AND (CASE WHEN length(text) > 0 THEN CAST(floor((length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))) * 1000.0 / length(text)) AS BIGINT) ELSE 0 END) < 300) AS quality_ok,
+                       {_LANG_SQL} AS lang_guess,
+                       row_number() OVER (PARTITION BY {_FP_SQL}
+                                          ORDER BY doc_id) AS rn
+                FROM corpus)
+            SELECT doc_id,
+                   (CASE WHEN NOT quality_ok THEN 'low_quality'
+                         WHEN lang_guess NOT IN ('en','es','de','fr')
+                              THEN 'lang_filtered'
+                         WHEN rn != 1 THEN 'exact_duplicate' END) IS NULL
+                       AS keep,
+                   CASE WHEN NOT quality_ok THEN 'low_quality'
+                        WHEN lang_guess NOT IN ('en','es','de','fr')
+                             THEN 'lang_filtered'
+                        WHEN rn != 1 THEN 'exact_duplicate' END AS drop_reason,
+                   n_chars_calc, n_tokens
+            FROM feats""",
+        "drop_repeated_lines": """
+            WITH docs2 AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 3 = 0
+                            THEN text || chr(10) ||
+                                 '© example footer all rights reserved'
+                            ELSE text END AS text
+                FROM documents),
+            split AS (SELECT doc_id AS id, string_split(text, chr(10)) AS ls
+                      FROM docs2),
+            lines AS (SELECT id, unnest(range(len(ls))) AS pos,
+                             unnest(ls) AS line
+                      FROM split),
+            freq AS (
+                SELECT lh FROM (
+                    SELECT DISTINCT id, md5(trim(lower(line))) AS lh
+                    FROM lines WHERE trim(line) != '')
+                GROUP BY lh HAVING count(*) > 2),
+            kept AS (
+                SELECT id, pos, line FROM lines
+                WHERE md5(trim(lower(line))) NOT IN (SELECT lh FROM freq))
+            SELECT id AS doc_id,
+                   md5(string_agg(line, chr(10) ORDER BY pos)) AS clean_md5,
+                   CAST(count(*) AS BIGINT) AS n_lines_kept,
+                   CAST(length(string_agg(line, chr(10) ORDER BY pos))
+                        AS BIGINT) AS n_chars_clean
+            FROM kept GROUP BY id""",
         "ngram_jaccard": _NGRAM_SQL,
         "dni_check_letter": f"""
             SELECT doc_id, {doc} AS doc_num,

@@ -15,9 +15,16 @@ codegen, no Python workers) and each has a DuckDB oracle twin in
   regex, so the DuckDB oracle counts identically)
 * :func:`winnowing_fingerprints` — rolling-hash winnowing (MOSS scheme);
   the one pandas-UDF operator here, numpy-vectorized per Arrow batch
+* :func:`corpus_clean`       — the COMPOSED admission filter (quality +
+  language allowlist + exact-dup keeper) with per-doc drop reasons
+* :func:`drop_repeated_lines` — CCNet-style boilerplate-line removal
+  (line document-frequency → anti-join → order-preserving reassembly)
 
-Scale: everything except winnowing is a narrow Column-expression map — no
-shuffle, no Python; a 100 TB scan stays I/O-bound.
+Scale: the per-doc operators are narrow Column-expression maps — no
+shuffle, no Python; a 100 TB scan stays I/O-bound.  corpus_clean adds one
+window shuffle (dup keeper) and drop_repeated_lines one groupBy shuffle on
+the line hash (map-side combinable) + an anti-join against the (tiny)
+frequent-line set.
 """
 
 from __future__ import annotations
@@ -186,3 +193,67 @@ def winnowing_fingerprints(df: DataFrame, id_col: str = "doc_id",
 
     return df.select(F.col(id_col).alias("id"),
                      _winnow(F.col(text_col)).alias("fingerprints"))
+
+
+# ---------------------------------------------------------------------------
+# corpus-level cleaning (what a pretraining pipeline actually runs)
+# ---------------------------------------------------------------------------
+
+def corpus_clean(df: DataFrame, id_col: str = "doc_id",
+                 text_col: str = "text",
+                 langs: tuple[str, ...] = ("en", "es", "de", "fr"),
+                 ) -> DataFrame:
+    """The composed pretraining admission filter: quality gate + language
+    allowlist + exact-dup keeper, with a reason code per dropped doc.
+
+    Output: every input row + ``keep`` boolean + ``drop_reason`` (null when
+    kept; first failing gate otherwise: quality → lang → duplicate).  One
+    window shuffle (the dup keeper); the gates are Column expressions.
+    This is the operator a data pipeline runs nightly — the per-feature
+    queries exist for inspection, this one for production.
+    """
+    from pyspark.sql import Window
+
+    feats = quality_features(df, text_col)
+    lang = language_id(F.col(text_col))
+    w = Window.partitionBy(fingerprint(F.col(text_col))).orderBy(F.col(id_col))
+    rn = F.row_number().over(w)
+    reason = (F.when(~F.col("quality_ok"), F.lit("low_quality"))
+              .when(~lang.isin(*langs), F.lit("lang_filtered"))
+              .when(rn != 1, F.lit("exact_duplicate")))
+    return (feats
+            .withColumn("drop_reason", reason)
+            .withColumn("keep", F.col("drop_reason").isNull())
+            .select(id_col, "keep", "drop_reason", "n_chars_calc",
+                    "n_tokens"))
+
+
+def drop_repeated_lines(df: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text",
+                        max_doc_freq: int = 2) -> DataFrame:
+    """CCNet-style repeated-line removal: drop every line that appears in
+    more than ``max_doc_freq`` documents (nav menus, cookie banners,
+    copyright footers survive boilerplate stripping as text lines), then
+    reassemble each document preserving line order.
+
+    Plan shape: explode lines with position → line-hash document
+    frequency (one groupBy shuffle on the hash, map-side combinable) →
+    anti-join the frequent set → re-aggregate with ``array_agg`` sorted by
+    position.  The joined key is the line hash, never the line text.
+    """
+    lines = (df.select(F.col(id_col).alias("id"),
+                       F.posexplode(F.split(F.col(text_col), "\n"))
+                       .alias("pos", "line"))
+             .withColumn("lh", F.md5(F.trim(F.lower("line")))))
+    freq = (lines.filter(F.trim("line") != "")
+            .select("id", "lh").distinct()
+            .groupBy("lh").agg(F.count("*").alias("df"))
+            .filter(F.col("df") > max_doc_freq)
+            .select("lh"))
+    kept = lines.join(freq, "lh", "left_anti")
+    return (kept.groupBy("id")
+            .agg(F.array_join(
+                F.transform(F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                            lambda s: s["line"]),
+                "\n").alias("clean_text"),
+                 F.count("*").alias("n_lines_kept")))

@@ -509,3 +509,33 @@ def test_ivf_persisted_index(spark, tmp_path):
     plan = plans.physical_plan(pruned)
     assert "PartitionFilters" in plan and "cell" in plan.split(
         "PartitionFilters", 1)[1].split("]", 1)[0], plan
+
+
+def test_corpus_clean_reasons(spark):
+    rows = [
+        (0, "the cat and the dog sat on the mat all day in the warm sun"),
+        (1, "the cat and the dog sat on the mat all day in the warm sun"),
+        (2, "x"),                                      # low quality
+        (3, "数据库 系统 的 查询 优化 数据库 系统 的 查询 优化 数据库 系统"),
+    ]
+    out = {r["doc_id"]: (r["keep"], r["drop_reason"]) for r in
+           textstats.corpus_clean(
+               spark.createDataFrame(rows, ["doc_id", "text"])).collect()}
+    assert out[0] == (True, None)
+    assert out[1] == (False, "exact_duplicate")  # keeper is min id
+    assert out[2] == (False, "low_quality")
+    assert out[3] == (False, "lang_filtered")    # zh not in allowlist
+
+
+def test_drop_repeated_lines_order_preserved(spark):
+    boiler = "accept cookies to continue"
+    rows = [(i, f"unique opening line {i}\n{boiler}\nunique closing {i}")
+            for i in range(4)]
+    rows.append((9, "no boilerplate here\nsecond line"))
+    out = {r["id"]: r["clean_text"] for r in
+           textstats.drop_repeated_lines(
+               spark.createDataFrame(rows, ["doc_id", "text"]),
+               max_doc_freq=2).collect()}
+    for i in range(4):
+        assert out[i] == f"unique opening line {i}\nunique closing {i}"
+    assert out[9] == "no boilerplate here\nsecond line"
