@@ -218,3 +218,32 @@ def test_fixture_pages_through_pipeline(spark, tmp_path):
     assert len(data) == len(rows)
     for row in data:
         assert row["extracted_text"] == expected[row["url"]], row["url"]
+
+
+def test_incremental_backfill_by_partition(spark, tmp_path):
+    """The 10^12-doc operating mode: a date/hour-partitioned source is
+    processed slice by slice into ONE output with resume on — each run
+    reads only its partition (pruned scan) and the union is exactly-once
+    even when slices overlap (re-crawled urls)."""
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    pages = pagegen.generate_df(spark, 180, partitions=4).withColumn(
+        "slice", F.date_format("warc_ts", "yyyy-MM-dd-HH-mm"))
+    pages.write.partitionBy("slice").parquet(src)
+    slices = sorted(r["slice"] for r in
+                    spark.read.parquet(src).select("slice").distinct().collect())
+    assert len(slices) >= 2
+    for i, s in enumerate(slices):
+        batch = (spark.read.parquet(src)
+                 .filter(F.col("slice") == s)
+                 .drop("slice"))
+        # overlap: each batch re-includes the previous slice too (re-crawl)
+        if i > 0:
+            batch = batch.unionByName(
+                spark.read.parquet(src)
+                .filter(F.col("slice") == slices[i - 1]).drop("slice"))
+        run_pipeline(spark, "", out, RUN_DATE, partitions=4,
+                     input_df=batch, resume=i > 0, run_id=f"slice-{i}")
+    data = spark.read.parquet(f"{out}/data")
+    assert data.count() == 180
+    assert data.select("url").distinct().count() == 180
