@@ -41,6 +41,7 @@ RUN_DATE = date(2026, 8, 16)
 # every family: text stats, dedup, scalar extraction, relational, similarity)
 SUITE = (
     "token_count", "quality_features", "fingerprint_groups",
+    "corpus_clean", "drop_repeated_lines",
     "exact_duplicates", "minhash_near_dups", "simhash_near_dups",
     "dni_check_letter", "cif_control", "confidence_score",
     "extract_dni", "extract_permis", "extract_nif",
