@@ -245,6 +245,10 @@ def drop_repeated_lines(df: DataFrame, id_col: str = "doc_id",
                        F.posexplode(F.split(F.col(text_col), "\n"))
                        .alias("pos", "line"))
              .withColumn("lh", F.md5(F.trim(F.lower("line")))))
+    # the exploded line frame feeds the document-frequency aggregate AND the
+    # anti-join side — materialize once (GC-managed checkpoint blocks, same
+    # rationale as dedup.ngram_jaccard_pairs) instead of re-exploding
+    lines = lines.localCheckpoint(eager=False)
     freq = (lines.filter(F.trim("line") != "")
             .select("id", "lh").distinct()
             .groupBy("lh").agg(F.count("*").alias("df"))
