@@ -81,10 +81,16 @@ def range_join_within(df: DataFrame, key: str = "user_id", ts: str = "ts",
     Returns (key, id_a, id_b, gap_s) with ``id_a < id_b``.
     """
     bucket = F.floor(F.unix_timestamp(F.col(ts)) / delta_s)
-    a = df.select(F.col(key).alias("k"), F.col(id_col).alias("id_a"),
-                  F.col(ts).alias("ts_a"), bucket.alias("b"))
-    b_same = df.select(F.col(key).alias("k"), F.col(id_col).alias("id_b"),
-                       F.col(ts).alias("ts_b"), bucket.alias("b"))
+    # one slim projection (key, id, ts, bucket) materialized once — the
+    # union-of-two-joins below references it four times, which would
+    # otherwise re-scan the source four times
+    slim = df.select(F.col(key).alias("k"), F.col(id_col).alias("_id"),
+                     F.col(ts).alias("_ts"), bucket.alias("b")) \
+        .localCheckpoint(eager=False)
+    a = slim.select("k", F.col("_id").alias("id_a"),
+                    F.col("_ts").alias("ts_a"), "b")
+    b_same = slim.select("k", F.col("_id").alias("id_b"),
+                         F.col("_ts").alias("ts_b"), "b")
     b_next = b_same.withColumn("b", F.col("b") - 1)  # joins a's bucket
     cands = (a.join(b_same, ["k", "b"])
              .unionByName(a.join(b_next, ["k", "b"])))
