@@ -201,9 +201,12 @@ def minhash_band_keys(df: DataFrame, id_col: str = "doc_id",
 def band_candidates(keyed: DataFrame) -> DataFrame:
     """(band, key) equi-self-join of :func:`minhash_band_keys` output →
     candidate pairs (id_a < id_b), deduplicated.  Same shuffle shape as
-    :func:`minhash_candidates` (never a cross join)."""
+    :func:`minhash_candidates` (never a cross join).  The bucket frame is
+    materialized once — without it both self-join sides re-run the
+    signature UDF over the whole corpus."""
     buckets = (keyed
-               .select("id", F.posexplode("keys").alias("band", "key")))
+               .select("id", F.posexplode("keys").alias("band", "key"))
+               .localCheckpoint(eager=False))
     left = buckets.alias("l")
     right = buckets.alias("r")
     return (left.join(right, ["band", "key"])
@@ -387,7 +390,10 @@ def near_duplicates_simhash(df: DataFrame, id_col: str = "doc_id",
     buckets = (hashes
                .select("id", "simhash", F.explode(F.array(*chunk_cols)).alias("ck"))
                .select("id", "simhash", F.col("ck.chunk").alias("chunk"),
-                       F.col("ck.key").alias("key")))
+                       F.col("ck.key").alias("key"))
+               # materialized once: both self-join sides would otherwise
+               # re-run the simhash UDF over the whole corpus
+               .localCheckpoint(eager=False))
     a = buckets.alias("a")
     b = buckets.alias("b")
     pairs = (a.join(b, ["chunk", "key"])
