@@ -449,7 +449,9 @@ def near_duplicates_embedding(df: DataFrame, id_col: str = "vec_id",
                 out.append(int(signs.dot(1 << np.arange(n_planes))))
             return pd.Series(out, dtype="int64")
 
-        keyed = ids.withColumn("key", _lsh_key("v"))
+        # materialized once: both self-join sides would otherwise re-run
+        # the hyperplane-LSH UDF over the whole corpus
+        keyed = ids.withColumn("key", _lsh_key("v")).localCheckpoint(eager=False)
         pairs = (keyed.alias("a").join(keyed.alias("b"), "key")
                  .filter(F.col("a.id") < F.col("b.id")))
 
@@ -481,7 +483,10 @@ def duplicate_clusters(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
     rounds even at 10^12 docs.  ``cluster_id`` is the component's minimum
     id — the same deterministic keeper rule as :func:`dedup_exact`.
     """
-    edges = pairs.select("id_a", "id_b")
+    # pin the edge list NOW: it is referenced in every propagation round,
+    # and pairs is typically the whole LSH+verify pipeline — without the
+    # eager checkpoint each round would recompute it from scratch
+    edges = pairs.select("id_a", "id_b").localCheckpoint(eager=True)
     sym = edges.unionByName(edges.select(F.col("id_b").alias("id_a"),
                                          F.col("id_a").alias("id_b")))
     labels = (sym.select(F.col("id_a").alias("id")).distinct()
