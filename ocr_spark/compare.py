@@ -44,7 +44,9 @@ def extraction_cells(pages: DataFrame, run_date: date,
     materialized once and aggregated identically by any engine (the
     driver's DuckDB oracle consumes it as a shared parquet input).
     """
-    sample = pages.orderBy("url").limit(sample_rows)
+    # materialize the sorted sample once — all four (tier, mode) configs
+    # reference it, and orderBy+limit is a global sort per reference
+    sample = pages.orderBy("url").limit(sample_rows).localCheckpoint(eager=False)
     parts = []
     for tier, engine in ((1, udfs.TIER1_ENGINE), (2, udfs.TIER2_ENGINE)):
         for mode in modes:
