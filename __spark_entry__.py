@@ -381,6 +381,27 @@ def q_drop_repeated_lines(spark, sf_dir):
                     .alias("n_chars_clean")))
 
 
+def q_canonical_urls(spark, sf_dir):
+    """URL canonicalization over deterministically-synthesized messy urls
+    (mixed-case scheme/host, default ports, trailing slashes, unsorted
+    query params, fragments) — value-checked against the DuckDB twin."""
+    from ocr_spark.operators import urls
+    d = F.col("doc_id")
+    messy = F.concat(
+        F.when(d % 2 == 0, F.lit("HTTP://Host-")).otherwise(F.lit("https://host-")),
+        (d % 97).cast("string"), F.lit(".Example.COM"),
+        F.when(d % 4 == 0, F.lit(":80"))
+        .when(d % 4 == 1, F.lit(":443")).otherwise(F.lit("")),
+        F.lit("/Docs/"), d.cast("string"),
+        F.when(d % 3 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(d % 5 == 0, F.lit("?z=9&a=1")).otherwise(F.lit("")),
+        F.when(d % 7 == 0, F.lit("#frag")).otherwise(F.lit("")))
+    return (_docs(spark, sf_dir)
+            .select("doc_id", messy.alias("raw_url"),
+                    urls.canonical_url(messy).alias("canonical"),
+                    urls.host_of(messy).alias("host")))
+
+
 def q_embedding_norms(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     norm = F.expr("sqrt(aggregate(transform(embedding, x -> CAST(x AS DOUBLE) * x), "
@@ -628,6 +649,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # dedup
         "exact_duplicates": q_exact_duplicates,
         "corpus_clean": q_corpus_clean,
+        "canonical_urls": q_canonical_urls,
         "drop_repeated_lines": q_drop_repeated_lines,
         "minhash_dedup_keep": q_minhash_dedup_keep,
         "fingerprint_groups": q_fingerprint_groups,
@@ -836,6 +858,55 @@ def oracle_sql() -> dict[str, str]:
                         WHEN rn != 1 THEN 'exact_duplicate' END AS drop_reason,
                    n_chars_calc, n_tokens
             FROM feats""",
+        "canonical_urls": r"""
+            WITH raw AS (
+                SELECT doc_id,
+                       (CASE WHEN doc_id % 2 = 0 THEN 'HTTP://Host-'
+                             ELSE 'https://host-' END)
+                       || CAST(doc_id % 97 AS VARCHAR) || '.Example.COM'
+                       || (CASE WHEN doc_id % 4 = 0 THEN ':80'
+                                WHEN doc_id % 4 = 1 THEN ':443' ELSE '' END)
+                       || '/Docs/' || CAST(doc_id AS VARCHAR)
+                       || (CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END)
+                       || (CASE WHEN doc_id % 5 = 0 THEN '?z=9&a=1' ELSE '' END)
+                       || (CASE WHEN doc_id % 7 = 0 THEN '#frag' ELSE '' END)
+                           AS raw_url
+                FROM documents),
+            comp AS (
+                SELECT doc_id, raw_url,
+                       lower(regexp_extract(regexp_replace(raw_url, '#.*$', ''),
+                             '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)) AS scheme,
+                       lower(regexp_extract(regexp_replace(raw_url, '#.*$', ''),
+                             '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?]*)', 1)) AS hostport,
+                       regexp_extract(regexp_replace(raw_url, '#.*$', ''),
+                             '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?]*(.*)$', 1) AS path_q
+                FROM raw),
+            comp2 AS (
+                SELECT *,
+                       CASE WHEN scheme = 'http' AND hostport LIKE '%:80'
+                                 THEN substr(hostport, 1, length(hostport) - 3)
+                            WHEN scheme = 'https' AND hostport LIKE '%:443'
+                                 THEN substr(hostport, 1, length(hostport) - 4)
+                            ELSE hostport END AS hp,
+                       regexp_extract(path_q, '^([^?]*)', 1) AS path0,
+                       regexp_extract(path_q, '^[^?]*\?(.*)$', 1) AS query
+                FROM comp),
+            comp3 AS (
+                SELECT *,
+                       CASE WHEN length(path0) > 1 AND path0 LIKE '%/'
+                            THEN substr(path0, 1, length(path0) - 1)
+                            ELSE path0 END AS path,
+                       array_to_string(list_sort(string_split(query, '&')), '&')
+                           AS sq
+                FROM comp2)
+            SELECT doc_id, raw_url,
+                   CASE WHEN scheme = '' THEN raw_url
+                        ELSE scheme || '://' || hp || path ||
+                             CASE WHEN length(sq) > 0 THEN '?' || sq
+                                  ELSE '' END END AS canonical,
+                   lower(regexp_extract(raw_url,
+                         '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1)) AS host
+            FROM comp3""",
         "drop_repeated_lines": """
             WITH docs2 AS (
                 SELECT doc_id,

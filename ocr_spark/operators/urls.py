@@ -1,0 +1,53 @@
+"""URL canonicalization — the identity step of a web-corpus pipeline.
+
+Dedup, resume anti-joins, and lineage digests all key on ``url``; raw crawl
+urls for the same resource differ in case, default ports, trailing slashes,
+fragments, and query-parameter order.  :func:`canonical_url` normalizes
+those, as a pure Column expression (JVM codegen, no Python), with a DuckDB
+twin in ``__spark_entry__.oracle_sql()`` so the exact rule set is
+value-checked across engines.
+
+Rules (each deliberate, mirroring common crawl-dedup practice):
+* strip the fragment (``#...`` never reaches the server);
+* lowercase the scheme and the host (case-insensitive by RFC 3986);
+* drop default ports (``http:80``, ``https:443``);
+* drop a single trailing slash from a non-root path;
+* sort query parameters bytewise (order is almost never semantic);
+  a trailing lone ``?`` is dropped.
+
+Path case, non-default ports, and duplicate query keys are preserved —
+they CAN be semantic, and a canonicalizer must never merge two genuinely
+different resources.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+
+def host_of(url: Column) -> Column:
+    """Lowercased host[:port] of a url (empty string when unparseable)."""
+    return F.lower(F.regexp_extract(url, r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)", 1))
+
+
+def canonical_url(url: Column) -> Column:
+    """Canonical form of *url* per the module rules (Column expression)."""
+    u = F.regexp_replace(url, r"#.*$", "")          # strip fragment
+    scheme = F.lower(F.regexp_extract(u, r"^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1))
+    hostport = F.lower(F.regexp_extract(u, r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?]*)", 1))
+    hostport = (
+        F.when((scheme == "http") & hostport.endswith(":80"),
+               hostport.substr(F.lit(1), F.length(hostport) - 3))
+        .when((scheme == "https") & hostport.endswith(":443"),
+              hostport.substr(F.lit(1), F.length(hostport) - 4))
+        .otherwise(hostport))
+    path_q = F.regexp_extract(u, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?]*(.*)$", 1)
+    path = F.regexp_extract(path_q, r"^([^?]*)", 1)
+    query = F.regexp_extract(path_q, r"^[^?]*\?(.*)$", 1)
+    path = F.when((F.length(path) > 1) & path.endswith("/"),
+                  path.substr(F.lit(1), F.length(path) - 1)).otherwise(path)
+    sorted_q = F.array_join(F.array_sort(F.split(query, "&")), "&")
+    return F.when(scheme == "", url).otherwise(F.concat(
+        scheme, F.lit("://"), hostport, path,
+        F.when(F.length(sorted_q) > 0,
+               F.concat(F.lit("?"), sorted_q)).otherwise(F.lit(""))))

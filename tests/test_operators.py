@@ -539,3 +539,26 @@ def test_drop_repeated_lines_order_preserved(spark):
     for i in range(4):
         assert out[i] == f"unique opening line {i}\nunique closing {i}"
     assert out[9] == "no boilerplate here\nsecond line"
+
+
+def test_canonical_url_rules(spark):
+    from ocr_spark.operators.urls import canonical_url, host_of
+    cases = {
+        "HTTP://Example.COM:80/Path/Sub/?b=2&a=1#frag":
+            "http://example.com/Path/Sub?a=1&b=2",
+        "https://example.com:443/": "https://example.com/",
+        "https://example.com:8443/x/": "https://example.com:8443/x",
+        "http://example.com/path?z=9&a=1&m=5":
+            "http://example.com/path?a=1&m=5&z=9",
+        "http://example.com/": "http://example.com/",   # root slash kept
+        "not a url at all": "not a url at all",         # passthrough
+        "http://example.com/Path?": "http://example.com/Path",
+    }
+    df = spark.createDataFrame([(k,) for k in cases], ["url"])
+    got = {r["url"]: r["c"] for r in
+           df.select("url", canonical_url(F.col("url")).alias("c")).collect()}
+    assert got == cases
+    hosts = {r["url"]: r["h"] for r in
+             df.select("url", host_of(F.col("url")).alias("h")).collect()}
+    assert hosts["HTTP://Example.COM:80/Path/Sub/?b=2&a=1#frag"] == "example.com:80"
+    assert hosts["not a url at all"] == ""
