@@ -171,7 +171,8 @@ def run_pipeline(spark: SparkSession, input_path: str, output_path: str,
                  mode: str = "standard", resume: bool = False,
                  tier2_enabled: bool = True, run_id: Optional[str] = None,
                  input_df: Optional[DataFrame] = None,
-                 storage_level: str = "MEMORY_AND_DISK") -> dict:
+                 storage_level: str = "MEMORY_AND_DISK",
+                 canonicalize_urls: bool = False) -> dict:
     """Execute the full pipeline; returns run metrics (counts, digest, wall).
 
     Plan shape: each row crosses the JVM↔Python boundary exactly once per
@@ -185,6 +186,12 @@ def run_pipeline(spark: SparkSession, input_path: str, output_path: str,
 
     pages = input_df if input_df is not None else read_pages(spark, input_path)
     preflight(pages)
+    if canonicalize_urls:
+        # normalize the identity key BEFORE resume/dedup/lineage: raw crawl
+        # urls for one resource differ in case/ports/fragments/query order
+        # (opt-in — it changes the url column, hence every digest)
+        from ocr_spark.operators.urls import canonical_url
+        pages = pages.withColumn("url", canonical_url(F.col("url")))
     admitted, quarantined = admission_split(pages)
     if resume:
         admitted = lin.anti_join_done(admitted, f"{output_path}/data")
@@ -296,6 +303,9 @@ def main() -> None:
                     choices=["standard", "aggressive", "layout"])
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--no-tier2", action="store_true")
+    ap.add_argument("--canonicalize-urls", action="store_true",
+                    help="normalize the url column (case/ports/fragments/"
+                         "query order) before resume/dedup")
     ap.add_argument("--storage-level", default="MEMORY_AND_DISK",
                     choices=["MEMORY_AND_DISK", "DISK_ONLY", "MEMORY_ONLY"])
     ap.add_argument("--master", default=None)
@@ -306,7 +316,8 @@ def main() -> None:
         spark, args.input, args.output, date.fromisoformat(args.run_date),
         partitions=args.partitions, salt=args.salt, mode=args.mode,
         resume=args.resume, tier2_enabled=not args.no_tier2,
-        storage_level=args.storage_level)
+        storage_level=args.storage_level,
+        canonicalize_urls=args.canonicalize_urls)
     print({k: summary[k] for k in ("run_id", "input_count", "extracted_count",
                                    "valid_count", "tier2_count", "digest", "wall_ms")})
 

@@ -247,3 +247,30 @@ def test_incremental_backfill_by_partition(spark, tmp_path):
     data = spark.read.parquet(f"{out}/data")
     assert data.count() == 180
     assert data.select("url").distinct().count() == 180
+
+
+def test_canonicalize_urls_unifies_identity(spark, tmp_path):
+    """With canonicalize_urls, messy variants of one resource share the
+    SAME url key in the output (so resume anti-joins and exact dedup see
+    one identity); a resumed re-crawl under a different variant is then
+    skipped as already-done."""
+    body = b"<html><body><pre>APELLIDOS\nCOLL</pre></body></html>"
+    mk = lambda rows: spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, html binary, text string, lang string")
+    out = str(tmp_path / "canon")
+    run_pipeline(spark, "", out, RUN_DATE, partitions=2,
+                 input_df=mk([("HTTP://Example.COM:80/a/?b=2&a=1#x",
+                               None, body, None, "es"),
+                              ("http://example.com/other", None, body,
+                               None, "es")]),
+                 canonicalize_urls=True)
+    data = spark.read.parquet(f"{out}/data")
+    assert sorted(r["url"] for r in data.collect()) == [
+        "http://example.com/a?a=1&b=2", "http://example.com/other"]
+    # resumed run with ANOTHER variant of the same resource: anti-joined out
+    s2 = run_pipeline(spark, "", out, RUN_DATE, partitions=2,
+                      input_df=mk([("http://Example.com/a?a=1&b=2#frag2",
+                                    None, body, None, "es")]),
+                      canonicalize_urls=True, resume=True, run_id="r2")
+    assert s2["input_count"] == 0
+    assert spark.read.parquet(f"{out}/data").count() == 2
