@@ -381,6 +381,26 @@ def q_drop_repeated_lines(spark, sf_dir):
                     .alias("n_chars_clean")))
 
 
+_PII_SENTENCE = (" contact: user@example.org tel +34 612 345 678 "
+                 "dni 77612097T iban ES9121000418450200051332")
+
+
+def q_scrub_pii(spark, sf_dir):
+    """PII scrub over the corpus with a planted PII sentence on every 10th
+    doc — emails/ids/ibans/phones must become typed placeholders; clean
+    docs must pass through byte-identical (changed=false)."""
+    d = F.col("doc_id")
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.when(d % 10 == 0, F.concat(F.col("text"), F.lit(_PII_SENTENCE)))
+        .otherwise(F.col("text")).alias("text"))
+    scrubbed = textstats.scrub_pii(F.col("text"))
+    return docs.select(
+        "doc_id", F.md5(scrubbed).alias("scrubbed_md5"),
+        F.length(scrubbed).cast("bigint").alias("n_chars_scrubbed"),
+        (scrubbed != F.col("text")).alias("changed"))
+
+
 def q_canonical_urls(spark, sf_dir):
     """URL canonicalization over deterministically-synthesized messy urls
     (mixed-case scheme/host, default ports, trailing slashes, unsorted
@@ -650,6 +670,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_duplicates": q_exact_duplicates,
         "corpus_clean": q_corpus_clean,
         "canonical_urls": q_canonical_urls,
+        "scrub_pii": q_scrub_pii,
         "drop_repeated_lines": q_drop_repeated_lines,
         "minhash_dedup_keep": q_minhash_dedup_keep,
         "fingerprint_groups": q_fingerprint_groups,
@@ -858,6 +879,30 @@ def oracle_sql() -> dict[str, str]:
                         WHEN rn != 1 THEN 'exact_duplicate' END AS drop_reason,
                    n_chars_calc, n_tokens
             FROM feats""",
+        "scrub_pii": f"""
+            WITH planted AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 10 = 0
+                            THEN text || '{_PII_SENTENCE}'
+                            ELSE text END AS text
+                FROM documents),
+            scrubbed AS (
+                SELECT doc_id, text,
+                       regexp_replace(regexp_replace(regexp_replace(
+                       regexp_replace(regexp_replace(text,
+                           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}',
+                           '[EMAIL]', 'g'),
+                           '\\b[A-Z]{{2}}[0-9]{{2}}[A-Z0-9]{{10,30}}\\b',
+                           '[IBAN]', 'g'),
+                           '\\b[0-9]{{8}}[A-Z]\\b', '[ID]', 'g'),
+                           '\\b[XYZ][0-9]{{7}}[A-Z]\\b', '[ID]', 'g'),
+                           '\\+?[0-9][0-9 .-]{{7,}}[0-9]', '[PHONE]', 'g')
+                           AS s
+                FROM planted)
+            SELECT doc_id, md5(s) AS scrubbed_md5,
+                   CAST(length(s) AS BIGINT) AS n_chars_scrubbed,
+                   s != text AS changed
+            FROM scrubbed""",
         "canonical_urls": r"""
             WITH raw AS (
                 SELECT doc_id,

@@ -261,3 +261,29 @@ def drop_repeated_lines(df: DataFrame, id_col: str = "doc_id",
                             lambda s: s["line"]),
                 "\n").alias("clean_text"),
                  F.count("*").alias("n_lines_kept")))
+
+
+# PII scrub patterns — ordered (specific before general so the phone rule
+# cannot eat id/iban digits), Java-regex AND RE2 compatible so the DuckDB
+# twin applies the byte-identical rules.  Corpus-level analog of the
+# lineage-side Z6 redaction in ocr_spark/textops.py.
+PII_RULES: tuple[tuple[str, str], ...] = (
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    (r"\b[A-Z]{2}\d{2}[A-Z0-9]{10,30}\b", "[IBAN]"),
+    (r"\b[0-9]{8}[A-Z]\b", "[ID]"),          # DNI
+    (r"\b[XYZ][0-9]{7}[A-Z]\b", "[ID]"),     # NIE
+    (r"\+?[0-9][0-9 .-]{7,}[0-9]", "[PHONE]"),
+)
+
+
+def scrub_pii(text: Column) -> Column:
+    """Replace emails, IBANs, Spanish id numbers, and phone-shaped digit
+    runs with typed placeholders — the pre-training privacy scrub.
+
+    Pure chained ``regexp_replace`` (JVM codegen, no Python); rule order is
+    part of the contract (see :data:`PII_RULES`).
+    """
+    out = text
+    for pattern, repl in PII_RULES:
+        out = F.regexp_replace(out, pattern, repl)
+    return out

@@ -562,3 +562,18 @@ def test_canonical_url_rules(spark):
              df.select("url", host_of(F.col("url")).alias("h")).collect()}
     assert hosts["HTTP://Example.COM:80/Path/Sub/?b=2&a=1#frag"] == "example.com:80"
     assert hosts["not a url at all"] == ""
+
+
+def test_scrub_pii_rules(spark):
+    from ocr_spark.operators.textstats import scrub_pii
+    cases = {
+        "mail john.doe+x@mail.example.org now": "mail [EMAIL] now",
+        "dni 77612097T y nie X1234567L": "dni [ID] y nie [ID]",
+        "tel +34 612 345 678 o 912-345-678": "tel [PHONE] o [PHONE]",
+        "cuenta ES9121000418450200051332 ok": "cuenta [IBAN] ok",
+        "sin pii: 42 cosas en 2026": "sin pii: 42 cosas en 2026",
+    }
+    df = spark.createDataFrame([(k,) for k in cases], ["text"])
+    got = {r["text"]: r["s"] for r in
+           df.select("text", scrub_pii(F.col("text")).alias("s")).collect()}
+    assert got == cases
