@@ -107,6 +107,13 @@ def q_token_count_bpe(spark, sf_dir):
                     textstats.token_count_bpe(F.col("text")).alias("n_bpe")))
 
 
+def q_token_frequencies(spark, sf_dir):
+    return (textstats.token_frequencies(_docs(spark, sf_dir), min_count=5)
+            .select("token",
+                    F.col("n_occurrences").cast("bigint").alias("n_occurrences"),
+                    F.col("n_docs").cast("bigint").alias("n_docs")))
+
+
 def q_winnow_fingerprints(spark, sf_dir):
     return (textstats.winnowing_fingerprints(_docs(spark, sf_dir))
             .select("id", F.size("fingerprints").alias("n_fp"),
@@ -662,6 +669,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # text analysis
         "token_count": q_token_count,
         "token_count_bpe": q_token_count_bpe,
+        "token_frequencies": q_token_frequencies,
         "language_id": q_language_id,
         "quality_features": q_quality_features,
         "fingerprint": q_fingerprint,
@@ -879,6 +887,15 @@ def oracle_sql() -> dict[str, str]:
                         WHEN rn != 1 THEN 'exact_duplicate' END AS drop_reason,
                    n_chars_calc, n_tokens
             FROM feats""",
+        "token_frequencies": r"""
+            WITH toks AS (
+                SELECT doc_id, unnest(string_split_regex(lower(trim(text)),
+                                                         '\s+')) AS token
+                FROM documents)
+            SELECT token, CAST(count(*) AS BIGINT) AS n_occurrences,
+                   CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+            FROM toks WHERE token != ''
+            GROUP BY token HAVING count(*) >= 5""",
         "scrub_pii": f"""
             WITH planted AS (
                 SELECT doc_id,

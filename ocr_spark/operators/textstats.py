@@ -287,3 +287,24 @@ def scrub_pii(text: Column) -> Column:
     for pattern, repl in PII_RULES:
         out = F.regexp_replace(out, pattern, repl)
     return out
+
+
+def token_frequencies(df: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text",
+                      min_count: int = 2) -> DataFrame:
+    """Corpus token-frequency table — the input to tokenizer/vocab training.
+
+    Lowercased whitespace tokens → (token, n_occurrences, n_docs), keeping
+    tokens seen at least ``min_count`` times.  One explode + one groupBy
+    shuffle on the token (map-side combinable; Zipf head terms partially
+    aggregate before the shuffle), so the shuffled volume is the partial
+    vocabulary, not the corpus.
+    """
+    toks = (df.select(F.col(id_col).alias("_doc"),
+                      F.explode(F.split(F.lower(F.trim(F.col(text_col))),
+                                        r"\s+")).alias("token"))
+            .filter(F.col("token") != ""))
+    return (toks.groupBy("token")
+            .agg(F.count("*").alias("n_occurrences"),
+                 F.countDistinct("_doc").alias("n_docs"))
+            .filter(F.col("n_occurrences") >= min_count))

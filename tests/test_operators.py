@@ -577,3 +577,13 @@ def test_scrub_pii_rules(spark):
     got = {r["text"]: r["s"] for r in
            df.select("text", scrub_pii(F.col("text")).alias("s")).collect()}
     assert got == cases
+
+
+def test_token_frequencies(spark, docs):
+    freqs = {r["token"]: (r["n_occurrences"], r["n_docs"]) for r in
+             textstats.token_frequencies(docs, min_count=2).collect()}
+    # "the" appears 4x in BASE (docs 0,1 exact + 2,3 near): 16 occs, 4 docs
+    assert freqs["the"][1] == 4
+    assert freqs["the"][0] >= 12
+    assert "quick" in freqs           # docs 0,1,2 (doc 3 has "slow")
+    assert freqs["quick"][1] == 3
