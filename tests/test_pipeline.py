@@ -274,3 +274,21 @@ def test_canonicalize_urls_unifies_identity(spark, tmp_path):
                       canonicalize_urls=True, resume=True, run_id="r2")
     assert s2["input_count"] == 0
     assert spark.read.parquet(f"{out}/data").count() == 2
+
+
+def test_pipeline_job_count_budget(spark, pages_path, tmp_path):
+    """Fixed-cost regression guard: one pipeline run must stay within its
+    Spark job budget (6 actions — tier-1 materialize, 2 sink writes,
+    lineage, summary write+collect — plus AQE per-query-stage sub-jobs;
+    measures 14 today). A regression (e.g. reintroducing per-type sinks or
+    an output read-back) is invisible to value tests but caps small-input
+    scaling efficiency."""
+    tracker = spark.sparkContext.statusTracker()
+    before = len(tracker.getJobIdsForGroup(None) or [])
+    all_before = set(tracker.getJobIdsForGroup(None) or [])
+    run_pipeline(spark, pages_path, str(tmp_path / "budget"), RUN_DATE,
+                 partitions=4)
+    all_after = set(spark.sparkContext.statusTracker()
+                    .getJobIdsForGroup(None) or [])
+    n_jobs = len(all_after - all_before)
+    assert 0 < n_jobs <= 16, f"pipeline ran {n_jobs} Spark jobs"
