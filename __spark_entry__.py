@@ -525,7 +525,7 @@ def q_media_features(spark, sf_dir):
     are decoded image dims (BMP) or sample-count/framerate (WAV)."""
     media = multimodal.synthetic_media(spark, rows=64)
     return (multimodal.extract_media_features(media, deterministic_fake=True)
-            .select("media_id", "kind", "n_bytes", "sha_prefix",
+            .select("media_id", "kind", "n_bytes", "sha_prefix", "decoded",
                     F.element_at("features", 1).cast("bigint").alias("feat0"),
                     F.element_at("features", 2).cast("bigint").alias("feat1")))
 
@@ -938,21 +938,28 @@ def oracle_sql() -> dict[str, str]:
                 SELECT doc_id, raw_url,
                        lower(regexp_extract(regexp_replace(raw_url, '#.*$', ''),
                              '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)) AS scheme,
-                       lower(regexp_extract(regexp_replace(raw_url, '#.*$', ''),
-                             '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?]*)', 1)) AS hostport,
+                       regexp_extract(regexp_replace(raw_url, '#.*$', ''),
+                             '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?]*)', 1) AS auth,
                        regexp_extract(regexp_replace(raw_url, '#.*$', ''),
                              '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?]*(.*)$', 1) AS path_q
                 FROM raw),
+            comp1 AS (
+                SELECT *,
+                       regexp_extract(auth, '^(.*)@', 1) AS userinfo,
+                       lower(regexp_extract(auth, '([^@]*)$', 1)) AS hostp
+                FROM comp),
             comp2 AS (
                 SELECT *,
-                       CASE WHEN scheme = 'http' AND hostport LIKE '%:80'
-                                 THEN substr(hostport, 1, length(hostport) - 3)
-                            WHEN scheme = 'https' AND hostport LIKE '%:443'
-                                 THEN substr(hostport, 1, length(hostport) - 4)
-                            ELSE hostport END AS hp,
+                       (CASE WHEN userinfo != '' THEN userinfo || '@'
+                             ELSE '' END) ||
+                       CASE WHEN scheme = 'http' AND hostp LIKE '%:80'
+                                 THEN substr(hostp, 1, length(hostp) - 3)
+                            WHEN scheme = 'https' AND hostp LIKE '%:443'
+                                 THEN substr(hostp, 1, length(hostp) - 4)
+                            ELSE hostp END AS hp,
                        regexp_extract(path_q, '^([^?]*)', 1) AS path0,
                        regexp_extract(path_q, '^[^?]*\?(.*)$', 1) AS query
-                FROM comp),
+                FROM comp1),
             comp3 AS (
                 SELECT *,
                        CASE WHEN length(path0) > 1 AND path0 LIKE '%/'
@@ -966,8 +973,9 @@ def oracle_sql() -> dict[str, str]:
                         ELSE scheme || '://' || hp || path ||
                              CASE WHEN length(sq) > 0 THEN '?' || sq
                                   ELSE '' END END AS canonical,
-                   lower(regexp_extract(raw_url,
-                         '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1)) AS host
+                   lower(regexp_extract(regexp_extract(raw_url,
+                         '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1),
+                         '([^@]*)$', 1)) AS host
             FROM comp3""",
         "drop_repeated_lines": """
             WITH docs2 AS (
@@ -989,13 +997,15 @@ def oracle_sql() -> dict[str, str]:
                 GROUP BY lh HAVING count(*) > 2),
             kept AS (
                 SELECT id, pos, line FROM lines
-                WHERE md5(trim(lower(line))) NOT IN (SELECT lh FROM freq))
-            SELECT id AS doc_id,
-                   md5(string_agg(line, chr(10) ORDER BY pos)) AS clean_md5,
-                   CAST(count(*) AS BIGINT) AS n_lines_kept,
-                   CAST(length(string_agg(line, chr(10) ORDER BY pos))
-                        AS BIGINT) AS n_chars_clean
-            FROM kept GROUP BY id""",
+                WHERE md5(trim(lower(line))) NOT IN (SELECT lh FROM freq)),
+            agg AS (
+                SELECT id, string_agg(line, chr(10) ORDER BY pos) AS ct,
+                       count(*) AS n
+                FROM kept GROUP BY id)
+            SELECT d.doc_id, md5(coalesce(a.ct, '')) AS clean_md5,
+                   CAST(coalesce(a.n, 0) AS BIGINT) AS n_lines_kept,
+                   CAST(length(coalesce(a.ct, '')) AS BIGINT) AS n_chars_clean
+            FROM docs2 d LEFT JOIN agg a ON d.doc_id = a.id""",
         "ngram_jaccard": _NGRAM_SQL,
         "dni_check_letter": f"""
             SELECT doc_id, {doc} AS doc_num,

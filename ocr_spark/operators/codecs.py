@@ -97,11 +97,16 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int] | None:
             rate = wf.getframerate()
             nch = wf.getnchannels()
             raw = wf.readframes(wf.getnframes())
-    except (wave.Error, EOFError):
+        # a truncated/corrupt data chunk can leave a partial frame — trim to
+        # whole frames instead of letting frombuffer/reshape raise and kill
+        # the Spark task (one bad blob must never be job-fatal)
+        frame_bytes = 2 * max(1, nch)
+        raw = raw[:len(raw) // frame_bytes * frame_bytes]
+        pcm = np.frombuffer(raw, dtype="<i2")
+        if nch > 1:
+            pcm = pcm.reshape(-1, nch).mean(axis=1).astype(np.int16)
+    except (wave.Error, EOFError, ValueError):
         return None
-    pcm = np.frombuffer(raw, dtype="<i2")
-    if nch > 1:
-        pcm = pcm.reshape(-1, nch).mean(axis=1).astype(np.int16)
     return pcm, rate
 
 

@@ -134,6 +134,18 @@ def _shingles(text: str, width: int,
     return np.unique(grams)
 
 
+def _minhash_from_shingles(sh: np.ndarray, a: np.ndarray, b: np.ndarray,
+                           k: int) -> np.ndarray:
+    """(a·x + b) mod p, min over shingles — the ONE MinHash kernel, shared
+    by the signature and the fused band-key paths so their hash universes
+    cannot drift.  Zeros for the empty document."""
+    if sh.size == 0:
+        return np.zeros(k, dtype=np.uint64)
+    x = (sh % np.uint64(_MERSENNE)).astype(np.int64)
+    vals = (a[:, None] * x[None, :] + b[:, None]) % _MERSENNE % _MAX_HASH
+    return vals.min(axis=1).astype(np.uint64)
+
+
 def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
                        text_col: str = "text", k: int = 128,
                        shingle_width: int = 3) -> DataFrame:
@@ -146,13 +158,8 @@ def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
         cache: dict[str, int] = {}  # token-hash memo shared across the batch
         for t in text:
             sh = _shingles(t or "", shingle_width, cache)
-            if sh.size == 0:
-                out.append([0] * k)
-                continue
-            # (a * x + b) mod p, min over shingles — vectorized k×n
-            x = (sh % np.uint64(_MERSENNE)).astype(np.int64)
-            vals = (a[:, None] * x[None, :] + b[:, None]) % _MERSENNE % _MAX_HASH
-            out.append(vals.min(axis=1).tolist())
+            out.append(_minhash_from_shingles(sh, a, b, k).astype(
+                np.int64).tolist())
         return pd.Series(out)
 
     return df.select(F.col(id_col).alias("id"), _sig(F.col(text_col)).alias("sig"))
@@ -171,6 +178,7 @@ def minhash_band_keys(df: DataFrame, id_col: str = "doc_id",
     keys from the same run.
     """
     a, b = _hash_params(k)
+    bands = min(bands, k)  # more bands than hashes is unsatisfiable
     rows_per_band = max(k // bands, 1)
     # per-band fold coefficients (odd → order-sensitive mix of the slice)
     fold = _gram_coef(rows_per_band)
@@ -181,12 +189,7 @@ def minhash_band_keys(df: DataFrame, id_col: str = "doc_id",
         cache: dict[str, int] = {}
         for t in text:
             sh = _shingles(t or "", shingle_width, cache)
-            if sh.size == 0:
-                sig = np.zeros(k, dtype=np.uint64)
-            else:
-                x = (sh % np.uint64(_MERSENNE)).astype(np.int64)
-                vals = (a[:, None] * x[None, :] + b[:, None]) % _MERSENNE % _MAX_HASH
-                sig = vals.min(axis=1).astype(np.uint64)
+            sig = _minhash_from_shingles(sh, a, b, k)
             folded = (sig[:bands * rows_per_band]
                       .reshape(bands, rows_per_band) * fold[None, :]) \
                 .sum(axis=1, dtype=np.uint64)

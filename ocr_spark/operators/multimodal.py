@@ -56,6 +56,10 @@ FEATURES_SCHEMA = T.StructType([
     T.StructField("kind", T.StringType(), True),
     T.StructField("n_bytes", T.LongType(), True),
     T.StructField("sha_prefix", T.StringType(), True),
+    # True = real codec decode (BMP/WAV within the size cap); False = the
+    # stub/fake path (unsupported format OR oversize payload) — consumers
+    # must be able to tell real features from placeholders
+    T.StructField("decoded", T.BooleanType(), True),
     T.StructField("features", T.ArrayType(T.FloatType()), True),
 ])
 
@@ -119,16 +123,23 @@ def _audio_features(pcm: np.ndarray, rate: int) -> list[float]:
     return [float(np.float32(v)) for v in f[:FEATURE_DIM]]
 
 
-def media_feature_vector(payload: bytes, deterministic_fake: bool) -> list[float]:
-    """Per-payload feature extraction: REAL decode for BMP/WAV, stub/fake
-    for formats that need external codecs."""
-    px = codecs.decode_bmp(payload)
-    if px is not None:
-        return _image_features(px)
-    wav = codecs.decode_wav(payload)
-    if wav is not None:
-        return _audio_features(*wav)
-    return [float(v) for v in _decode_image_stub(payload, deterministic_fake)]
+def media_feature_vector(payload: bytes,
+                         deterministic_fake: bool) -> tuple[bool, list[float]]:
+    """(decoded, features): REAL decode for in-cap BMP/WAV payloads;
+    stub/fake for unsupported formats and for payloads over the size cap
+    (P7 policy: oversize media is flagged, never silently half-decoded —
+    the cap is checked BEFORE dispatch so a truncated header can't
+    masquerade as an undecodable format)."""
+    if len(payload) <= MAX_PAYLOAD_BYTES:
+        px = codecs.decode_bmp(payload)
+        if px is not None:
+            return True, _image_features(px)
+        wav = codecs.decode_wav(payload)
+        if wav is not None:
+            return True, _audio_features(*wav)
+    capped = payload[:MAX_PAYLOAD_BYTES]
+    return False, [float(v) for v in _decode_image_stub(capped,
+                                                        deterministic_fake)]
 
 
 def extract_media_features(df: DataFrame, deterministic_fake: bool = True,
@@ -145,17 +156,22 @@ def extract_media_features(df: DataFrame, deterministic_fake: bool = True,
         import hashlib
         for pdf in batches:
             # column-wise over the Arrow batch (no per-row Series views);
-            # the per-payload codec call is inherently per-blob work
-            payloads = [bytes(p)[:MAX_PAYLOAD_BYTES] if p is not None else b""
+            # the per-payload codec call is inherently per-blob work.
+            # Payloads arrive UNtruncated: the size cap is a per-format
+            # policy inside media_feature_vector, not a blind prefix cut.
+            payloads = [bytes(p) if p is not None else b""
                         for p in pdf["payload"]]
+            results = [media_feature_vector(p, deterministic_fake)
+                       for p in payloads]
             yield pd.DataFrame({
                 "media_id": pdf["media_id"].to_numpy(),
                 "kind": pdf["kind"].to_numpy(dtype=object),
                 "n_bytes": [len(p) for p in payloads],
-                "sha_prefix": [hashlib.sha256(p).hexdigest()[:16]
+                "sha_prefix": [hashlib.sha256(
+                    p[:MAX_PAYLOAD_BYTES]).hexdigest()[:16]
                                for p in payloads],
-                "features": [media_feature_vector(p, deterministic_fake)
-                             for p in payloads],
+                "decoded": [r[0] for r in results],
+                "features": [r[1] for r in results],
             })
 
     # project only the needed columns BEFORE the python stage so parquet

@@ -255,12 +255,19 @@ def drop_repeated_lines(df: DataFrame, id_col: str = "doc_id",
             .filter(F.col("df") > max_doc_freq)
             .select("lh"))
     kept = lines.join(freq, "lh", "left_anti")
-    return (kept.groupBy("id")
-            .agg(F.array_join(
-                F.transform(F.array_sort(F.collect_list(F.struct("pos", "line"))),
-                            lambda s: s["line"]),
-                "\n").alias("clean_text"),
-                 F.count("*").alias("n_lines_kept")))
+    agg = (kept.groupBy("id")
+           .agg(F.array_join(
+               F.transform(F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                           lambda s: s["line"]),
+               "\n").alias("clean_text"),
+                F.count("*").alias("n_lines_kept")))
+    # every input doc must appear in the output — a 100%-boilerplate page
+    # (all lines frequent) keeps an empty clean_text instead of vanishing
+    return (df.select(F.col(id_col).alias("id")).join(agg, "id", "left")
+            .select("id",
+                    F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+                    F.coalesce("n_lines_kept", F.lit(0)).cast("bigint")
+                    .alias("n_lines_kept")))
 
 
 # PII scrub patterns — ordered (specific before general so the phone rule

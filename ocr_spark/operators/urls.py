@@ -15,9 +15,10 @@ Rules (each deliberate, mirroring common crawl-dedup practice):
 * sort query parameters bytewise (order is almost never semantic);
   a trailing lone ``?`` is dropped.
 
-Path case, non-default ports, and duplicate query keys are preserved —
-they CAN be semantic, and a canonicalizer must never merge two genuinely
-different resources.
+Path case, userinfo case (``user:pass@`` is case-SENSITIVE per RFC 3986),
+non-default ports, and duplicate query keys are preserved — they CAN be
+semantic, and a canonicalizer must never merge two genuinely different
+resources.
 """
 
 from __future__ import annotations
@@ -26,21 +27,27 @@ from pyspark.sql import Column, functions as F
 
 
 def host_of(url: Column) -> Column:
-    """Lowercased host[:port] of a url (empty string when unparseable)."""
-    return F.lower(F.regexp_extract(url, r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)", 1))
+    """Lowercased host[:port] of a url, excluding any ``userinfo@`` prefix
+    (empty string when unparseable)."""
+    auth = F.regexp_extract(url, r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)", 1)
+    return F.lower(F.regexp_extract(auth, r"([^@]*)$", 1))
 
 
 def canonical_url(url: Column) -> Column:
     """Canonical form of *url* per the module rules (Column expression)."""
     u = F.regexp_replace(url, r"#.*$", "")          # strip fragment
     scheme = F.lower(F.regexp_extract(u, r"^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1))
-    hostport = F.lower(F.regexp_extract(u, r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?]*)", 1))
-    hostport = (
-        F.when((scheme == "http") & hostport.endswith(":80"),
-               hostport.substr(F.lit(1), F.length(hostport) - 3))
-        .when((scheme == "https") & hostport.endswith(":443"),
-              hostport.substr(F.lit(1), F.length(hostport) - 4))
-        .otherwise(hostport))
+    auth = F.regexp_extract(u, r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?]*)", 1)
+    userinfo = F.regexp_extract(auth, r"^(.*)@", 1)  # case preserved
+    host = F.lower(F.regexp_extract(auth, r"([^@]*)$", 1))
+    host = (
+        F.when((scheme == "http") & host.endswith(":80"),
+               host.substr(F.lit(1), F.length(host) - 3))
+        .when((scheme == "https") & host.endswith(":443"),
+              host.substr(F.lit(1), F.length(host) - 4))
+        .otherwise(host))
+    hostport = F.when(userinfo != "",
+                      F.concat(userinfo, F.lit("@"), host)).otherwise(host)
     path_q = F.regexp_extract(u, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?]*(.*)$", 1)
     path = F.regexp_extract(path_q, r"^([^?]*)", 1)
     query = F.regexp_extract(path_q, r"^[^?]*\?(.*)$", 1)

@@ -587,3 +587,62 @@ def test_token_frequencies(spark, docs):
     assert freqs["the"][0] >= 12
     assert "quick" in freqs           # docs 0,1,2 (doc 3 has "slow")
     assert freqs["quick"][1] == 3
+
+
+def test_wav_truncated_payload_returns_none_not_crash():
+    import numpy as np
+
+    from ocr_spark.operators import codecs
+
+    pcm = np.arange(1000, dtype=np.int16)
+    blob = codecs.encode_wav(pcm, 8000)
+    # cut to an odd byte count inside the data chunk: must degrade to a
+    # best-effort decode or None, never raise
+    for cut in (len(blob) - 1, len(blob) - 3, 50):
+        out = codecs.decode_wav(blob[:cut])
+        assert out is None or out[0].dtype == np.int16
+
+
+def test_minhash_band_keys_bands_exceed_k(spark, docs):
+    """bands > k must clamp, not crash (the pre-fused path tolerated it)."""
+    found = {(r["id_a"], r["id_b"]) for r in
+             dedup.near_duplicates_minhash(docs, k=16, bands=32,
+                                           threshold=0.5).collect()}
+    assert (0, 1) in found  # exact dup still retrieved
+
+
+def test_drop_repeated_lines_keeps_all_docs(spark):
+    """A 100%-boilerplate doc keeps an empty clean_text instead of
+    vanishing from the output."""
+    boiler = "accept all cookies"
+    rows = [(i, boiler) for i in range(4)] + [(9, "real content here")]
+    out = {r["id"]: (r["clean_text"], r["n_lines_kept"]) for r in
+           textstats.drop_repeated_lines(
+               spark.createDataFrame(rows, ["doc_id", "text"]),
+               max_doc_freq=2).collect()}
+    assert len(out) == 5
+    for i in range(4):
+        assert out[i] == ("", 0)
+    assert out[9] == ("real content here", 1)
+
+
+def test_canonical_url_preserves_userinfo_case(spark):
+    from ocr_spark.operators.urls import canonical_url, host_of
+    df = spark.createDataFrame(
+        [("http://TokenABC@Example.COM:80/x/",)], ["url"])
+    r = df.select(canonical_url(F.col("url")).alias("c"),
+                  host_of(F.col("url")).alias("h")).collect()[0]
+    assert r["c"] == "http://TokenABC@example.com/x"
+    assert r["h"] == "example.com:80"
+
+
+def test_media_features_decoded_flag(spark):
+    from ocr_spark.operators import multimodal
+    media = multimodal.synthetic_media(spark, rows=9)
+    rows = multimodal.extract_media_features(media).collect()
+    by_kind = {}
+    for r in rows:
+        by_kind.setdefault(r["kind"], set()).add(r["decoded"])
+    assert by_kind["image"] == {True}    # real BMP decode
+    assert by_kind["audio"] == {True}    # real WAV decode
+    assert by_kind["video"] == {False}   # opaque stub path

@@ -284,7 +284,6 @@ def test_pipeline_job_count_budget(spark, pages_path, tmp_path):
     an output read-back) is invisible to value tests but caps small-input
     scaling efficiency."""
     tracker = spark.sparkContext.statusTracker()
-    before = len(tracker.getJobIdsForGroup(None) or [])
     all_before = set(tracker.getJobIdsForGroup(None) or [])
     run_pipeline(spark, pages_path, str(tmp_path / "budget"), RUN_DATE,
                  partitions=4)
