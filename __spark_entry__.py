@@ -114,6 +114,15 @@ def q_token_frequencies(spark, sf_dir):
                     F.col("n_docs").cast("bigint").alias("n_docs")))
 
 
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic training-mix sampling (keep all en, half es, 10% zh)
+    — the keyed-md5 bucket rule is a pure function of doc_id, so the
+    SAME rows are selected at any parallelism and in the DuckDB twin."""
+    return (textstats.stratified_sample(
+        _docs(spark, sf_dir), {"en": 1.0, "es": 0.5, "zh": 0.1})
+        .select("doc_id", "lang"))
+
+
 def q_winnow_fingerprints(spark, sf_dir):
     return (textstats.winnowing_fingerprints(_docs(spark, sf_dir))
             .select("id", F.size("fingerprints").alias("n_fp"),
@@ -670,6 +679,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count": q_token_count,
         "token_count_bpe": q_token_count_bpe,
         "token_frequencies": q_token_frequencies,
+        "stratified_sample": q_stratified_sample,
         "language_id": q_language_id,
         "quality_features": q_quality_features,
         "fingerprint": q_fingerprint,
@@ -887,6 +897,16 @@ def oracle_sql() -> dict[str, str]:
                         WHEN rn != 1 THEN 'exact_duplicate' END AS drop_reason,
                    n_chars_calc, n_tokens
             FROM feats""",
+        "stratified_sample": f"""
+            WITH b AS (
+                SELECT doc_id, lang,
+                       CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)
+                            || 'mix'), 1, 6)) AS BIGINT) AS bucket
+                FROM documents)
+            SELECT doc_id, lang FROM b
+            WHERE (lang = 'en' AND bucket < {int(1.0 * 0xFFFFFF)})
+               OR (lang = 'es' AND bucket < {int(0.5 * 0xFFFFFF)})
+               OR (lang = 'zh' AND bucket < {int(0.1 * 0xFFFFFF)})""",
         "token_frequencies": r"""
             WITH toks AS (
                 SELECT doc_id, unnest(string_split_regex(lower(trim(text)),

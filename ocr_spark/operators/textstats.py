@@ -315,3 +315,40 @@ def token_frequencies(df: DataFrame, id_col: str = "doc_id",
             .agg(F.count("*").alias("n_occurrences"),
                  F.countDistinct("_doc").alias("n_docs"))
             .filter(F.col("n_occurrences") >= min_count))
+
+
+def deterministic_sample(df: DataFrame, fraction: float,
+                         key_col: str = "doc_id",
+                         salt: str = "sample") -> DataFrame:
+    """Reproducible corpus sample: keep rows whose md5(key || salt) falls
+    under the fraction threshold.
+
+    Unlike ``DataFrame.sample``/``sampleBy`` (partition-order-dependent
+    RNG), the decision is a pure function of the row key — the SAME rows
+    are kept at any parallelism level, on re-runs, and in any engine (the
+    DuckDB oracle applies the identical rule).  ``salt`` decorrelates
+    independent samples over the same corpus.
+    """
+    bucket = F.conv(F.substring(F.md5(F.concat(F.col(key_col).cast("string"),
+                                               F.lit(salt))), 1, 6),
+                    16, 10).cast("bigint")
+    return df.filter(bucket < int(fraction * 0xFFFFFF))
+
+
+def stratified_sample(df: DataFrame, fractions: dict[str, float],
+                      stratum_col: str = "lang",
+                      key_col: str = "doc_id",
+                      salt: str = "mix") -> DataFrame:
+    """Per-stratum deterministic sampling — the training-mix operator
+    ("keep 100% of lang A, 10% of lang B").  Strata absent from
+    ``fractions`` are dropped; the per-row rule is the same keyed md5
+    bucket as :func:`deterministic_sample`, so mixes are reproducible and
+    engine-portable."""
+    bucket = F.conv(F.substring(F.md5(F.concat(F.col(key_col).cast("string"),
+                                               F.lit(salt))), 1, 6),
+                    16, 10).cast("bigint")
+    cond = F.lit(False)
+    for stratum, frac in sorted(fractions.items()):
+        cond = cond | ((F.col(stratum_col) == stratum)
+                       & (bucket < int(frac * 0xFFFFFF)))
+    return df.filter(cond)

@@ -646,3 +646,26 @@ def test_media_features_decoded_flag(spark):
     assert by_kind["image"] == {True}    # real BMP decode
     assert by_kind["audio"] == {True}    # real WAV decode
     assert by_kind["video"] == {False}   # opaque stub path
+
+
+def test_deterministic_sample_invariance(spark, docs):
+    """The sample is a pure function of the key: identical membership at
+    any partitioning, and different salts decorrelate."""
+    s1 = {r["doc_id"] for r in
+          textstats.deterministic_sample(docs, 0.5).collect()}
+    s2 = {r["doc_id"] for r in
+          textstats.deterministic_sample(docs.repartition(7), 0.5).collect()}
+    assert s1 == s2 and 0 < len(s1) < 9
+    s3 = {r["doc_id"] for r in
+          textstats.deterministic_sample(docs, 0.5, salt="other").collect()}
+    assert s3 != s1 or len(s1) == 0  # decorrelated (tiny corpus caveat)
+
+
+def test_stratified_sample_respects_fractions(spark):
+    rows = [(i, "x", ["en", "es"][i % 2]) for i in range(2000)]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    mix = textstats.stratified_sample(df, {"en": 1.0, "es": 0.25})
+    counts = {r["lang"]: r["count"] for r in
+              mix.groupBy("lang").count().collect()}
+    assert counts["en"] == 1000            # keep-all stratum is exact
+    assert 150 <= counts["es"] <= 350      # ~25% of 1000
