@@ -1,11 +1,16 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-``entry(spark)`` — flagship extraction over sf0.001.
+``entry(spark)`` — flagship: the full dual-tier HTML extraction pipeline
+                  end-to-end over generated pages.
 ``queries()``   — one entry per implemented operator (SURVEY.md §2 + the
-                  training-data operator suite), each taking (spark, sf_dir).
+                  training-data operator suite: text stats, dedup families,
+                  cluster resolution, similarity/ANN, temporal, corpus
+                  cleaning, sampling/mixing, URLs, PII, multimodal), each
+                  taking (spark, sf_dir).
 ``oracle_sql()``— DuckDB twins for the SQL-expressible subset; operators with
-                  no SQL form (MinHash/SimHash LSH, IVF ANN, the full fused
-                  parser UDFs, media decode) are rows-only checks.
+                  no SQL form (MinHash/SimHash LSH retrieval, IVF ANN, the
+                  full fused parser UDFs, winnowing, media decode) are
+                  rows-only checks.
 
 Engine-portability rules used throughout (so value-hashes match):
   * money/measure sums are integer cents (``CAST(round(x*100) AS BIGINT)``)
