@@ -145,9 +145,22 @@ def ivf_build(corpus: DataFrame, n_cells: int = 16, sample: int = 2048,
     Returns (centroids ndarray, corpus + ``cell`` int column).  At scale the
     assigned frame would be written bucketed by ``cell`` so probes prune
     whole files (partition pruning does the IVF inverted-list read).
+
+    The training sample is the ``sample`` rows with the SMALLEST
+    ``md5(vec_id || 'ivf')`` bucket — a keyed-hash rule (same family as
+    ``textstats.deterministic_sample``): unbiased across the whole corpus
+    and parallelism-invariant.  Sampling by ``orderBy(id).limit`` would
+    train centroids on the lowest-id slice, and at web scale ids correlate
+    with crawl time/host — cells would fit the first crawl segment and
+    probe recall would degrade on everything else.  Cost is identical:
+    both compile to TakeOrderedAndProject (per-partition top-k + merge,
+    no full sort shuffle).
     """
-    sample_rows = (corpus.orderBy(id_col).limit(sample)
-                   .select(vec_col).toPandas()[vec_col])
+    bucket = F.conv(F.substring(
+        F.md5(F.concat(F.col(id_col).cast("string"), F.lit("ivf"))), 1, 8),
+        16, 10).cast("bigint")
+    sample_rows = (corpus.orderBy(bucket.asc(), F.col(id_col).asc())
+                   .limit(sample).select(vec_col).toPandas()[vec_col])
     vectors = np.array([np.asarray(v, dtype="float64") for v in sample_rows])
     centroids = _kmeans(vectors, n_cells)
 

@@ -328,11 +328,14 @@ def deterministic_sample(df: DataFrame, fraction: float,
     are kept at any parallelism level, on re-runs, and in any engine (the
     DuckDB oracle applies the identical rule).  ``salt`` decorrelates
     independent samples over the same corpus.
+
+    The bucket spans [0, 0xFFFFFF] (24 bits), so the keep threshold scales
+    by 0x1000000: fraction=1.0 keeps EVERY row (threshold 0x1000000 >
+    max bucket) rather than silently dropping the ~1-in-16.7M rows whose
+    md5 prefix is ffffff.
     """
-    bucket = F.conv(F.substring(F.md5(F.concat(F.col(key_col).cast("string"),
-                                               F.lit(salt))), 1, 6),
-                    16, 10).cast("bigint")
-    return df.filter(bucket < int(fraction * 0xFFFFFF))
+    return df.filter(_sample_bucket(key_col, salt)
+                     < _sample_threshold(fraction))
 
 
 def stratified_sample(df: DataFrame, fractions: dict[str, float],
@@ -343,12 +346,24 @@ def stratified_sample(df: DataFrame, fractions: dict[str, float],
     ("keep 100% of lang A, 10% of lang B").  Strata absent from
     ``fractions`` are dropped; the per-row rule is the same keyed md5
     bucket as :func:`deterministic_sample`, so mixes are reproducible and
-    engine-portable."""
-    bucket = F.conv(F.substring(F.md5(F.concat(F.col(key_col).cast("string"),
-                                               F.lit(salt))), 1, 6),
-                    16, 10).cast("bigint")
+    engine-portable (fraction=1.0 strata are lossless — see
+    :func:`deterministic_sample`)."""
+    bucket = _sample_bucket(key_col, salt)
     cond = F.lit(False)
     for stratum, frac in sorted(fractions.items()):
         cond = cond | ((F.col(stratum_col) == stratum)
-                       & (bucket < int(frac * 0xFFFFFF)))
+                       & (bucket < _sample_threshold(frac)))
     return df.filter(cond)
+
+
+def _sample_bucket(key_col: str, salt: str) -> Column:
+    return F.conv(F.substring(F.md5(F.concat(F.col(key_col).cast("string"),
+                                             F.lit(salt))), 1, 6),
+                  16, 10).cast("bigint")
+
+
+def _sample_threshold(fraction: float) -> int:
+    """Keep threshold over the 24-bit bucket: ``bucket < frac * 2^24``.
+    The bucket's maximum value is 0xFFFFFF = 2^24 - 1, so fraction 1.0
+    maps to 2^24 and keeps all rows."""
+    return int(fraction * 0x1000000)

@@ -137,7 +137,8 @@ def run_streaming_pipeline(spark: SparkSession, input_path: str,
                            tier2_enabled: bool = True,
                            run_id: str = "stream",
                            max_files_per_trigger: Optional[int] = None,
-                           available_now: bool = True):
+                           available_now: bool = True,
+                           allow_reset: bool = False):
     """Full dual-tier pipeline as a streaming query via ``foreachBatch``.
 
     Each micro-batch runs the exact batch stages and lands in the batch
@@ -154,11 +155,14 @@ def run_streaming_pipeline(spark: SparkSession, input_path: str,
     with the same checkpoint resumes after the last committed micro-batch.
 
     Starting with NO checkpoint (first run, or checkpoint lost) means the
-    stream will reprocess the whole source with a fresh batch numbering —
-    so any existing output is cleared first: per-batch_id overwrite only
-    protects same-numbering replays, and a rerun that splits the source
-    into FEWER batches would otherwise leave stale higher-batch_id
-    partitions behind (duplicated rows).
+    stream will reprocess the whole source with a fresh batch numbering,
+    and per-batch_id overwrite only protects same-numbering replays: a
+    rerun that splits the source into FEWER batches would leave stale
+    higher-batch_id partitions behind (duplicated rows).  Existing output
+    must therefore be cleared first — but deleting is NEVER implicit:
+    if output subdirectories exist without a checkpoint (e.g. the path
+    points at a batch job's output, whose layout is compatible), this
+    raises unless ``allow_reset=True`` explicitly authorizes the wipe.
     """
     import os
     import shutil
@@ -166,7 +170,16 @@ def run_streaming_pipeline(spark: SparkSession, input_path: str,
     # local-fs paths (this sandbox); a cluster deployment on HDFS/object
     # storage would do the same through the Hadoop FileSystem API
     if not os.path.isdir(f"{output_path}/_checkpoint"):
-        for sub in ("data", "quarantine", "lineage"):
+        stale = [sub for sub in ("data", "quarantine", "lineage")
+                 if os.path.isdir(f"{output_path}/{sub}")]
+        if stale and not allow_reset:
+            raise FileExistsError(
+                f"run_streaming_pipeline: {output_path} contains committed "
+                f"output ({', '.join(stale)}) but no _checkpoint — starting "
+                f"a fresh stream here would delete it.  Pass "
+                f"allow_reset=True to wipe and reprocess, or point the "
+                f"stream at an empty output path.")
+        for sub in stale:
             shutil.rmtree(f"{output_path}/{sub}", ignore_errors=True)
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:

@@ -249,6 +249,40 @@ def test_embedding_near_dups_brute_vs_lsh(spark, vectors):
     assert {(0, 100), (1, 101), (2, 102)} <= lsh  # ~identical vectors share all signs
 
 
+def test_embedding_lsh_recall_non_colinear(spark):
+    """The recall gate the single-key LSH failed: pairs at cosine ≈ 0.92
+    that are NOT colinear (unit vector rotated toward a random orthogonal
+    direction) — every sign bit is at risk of flipping, so only
+    OR-amplified banding finds them.  Requires ≥ 0.9 recall vs brute
+    force at the pair level (expected ≈ 0.97 at 8×8 for cosine 0.92)."""
+    import numpy as np
+    rng = np.random.RandomState(41)
+    dim, n_pairs = 32, 40
+    target_cos = 0.92
+    alpha = float(np.arccos(target_cos))
+    rows = []
+    for i in range(n_pairs):
+        u = rng.normal(size=dim)
+        u /= np.linalg.norm(u)
+        w = rng.normal(size=dim)
+        w -= (w @ u) * u          # orthogonalize
+        w /= np.linalg.norm(w)
+        v = np.cos(alpha) * u + np.sin(alpha) * w   # exact cosine 0.92 to u
+        rows.append((2 * i, [float(x) for x in u]))
+        rows.append((2 * i + 1, [float(x) for x in v]))
+    vecs = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    brute = {(r["id_a"], r["id_b"]) for r in
+             dedup.near_duplicates_embedding(vecs, threshold=0.9,
+                                             brute_force=True).collect()}
+    lsh = {(r["id_a"], r["id_b"]) for r in
+           dedup.near_duplicates_embedding(vecs, threshold=0.9).collect()}
+    planted = {(2 * i, 2 * i + 1) for i in range(n_pairs)}
+    assert planted <= brute                       # construction sanity
+    assert lsh <= brute                           # exact verify: no false pairs
+    recall = len(lsh & planted) / len(planted)
+    assert recall >= 0.9, f"banded-LSH recall {recall} < 0.9"
+
+
 def test_topk_bruteforce(spark, vectors):
     queries = vectors.filter("vec_id < 2")
     top = similarity.cosine_topk_bruteforce(vectors, queries, k=3).collect()
@@ -669,3 +703,18 @@ def test_stratified_sample_respects_fractions(spark):
               mix.groupBy("lang").count().collect()}
     assert counts["en"] == 1000            # keep-all stratum is exact
     assert 150 <= counts["es"] <= 350      # ~25% of 1000
+
+
+def test_sample_fraction_one_is_lossless(spark):
+    """fraction=1.0 must keep EVERY row, including keys whose md5 bucket is
+    the maximum 0xFFFFFF (doc_ids below are mined so md5(id||salt) starts
+    with 'ffffff' for the respective default salt) — the old
+    ``bucket < frac * 0xFFFFFF`` threshold silently dropped them."""
+    # md5('17220676' || 'sample') and md5('3149884' || 'mix') start ffffff
+    det = spark.createDataFrame([(17220676, "x")], ["doc_id", "text"])
+    assert textstats.deterministic_sample(det, 1.0).count() == 1
+    strat = spark.createDataFrame([(3149884, "x", "en")],
+                                  ["doc_id", "text", "lang"])
+    assert textstats.stratified_sample(strat, {"en": 1.0}).count() == 1
+    # and the threshold itself: 1.0 maps above the max bucket value
+    assert textstats._sample_threshold(1.0) == 0x1000000 > 0xFFFFFF

@@ -66,8 +66,15 @@ def test_stream_batch_replay_is_idempotent(spark, stream_input, tmp_path):
     n1 = data1.count()
     d1 = lin.global_summary(data1, "chk", 0).collect()[0]["digest"]
     shutil.rmtree(f"{out}/_checkpoint")  # lose the commit log → full replay
+    # without the checkpoint the existing output would be wiped — that is
+    # never implicit: the un-authorized call must fail loudly...
+    with pytest.raises(FileExistsError, match="allow_reset"):
+        streaming.run_streaming_pipeline(spark, stream_input, out, RUN_DATE,
+                                         partitions=4)
+    # ...and the refused call must not have touched the committed output
+    assert spark.read.parquet(f"{out}/data").count() == n1
     streaming.run_streaming_pipeline(spark, stream_input, out, RUN_DATE,
-                                     partitions=4)
+                                     partitions=4, allow_reset=True)
     data2 = spark.read.parquet(f"{out}/data")
     assert data2.count() == n1 == N_PAGES
     assert lin.global_summary(data2, "chk", 0).collect()[0]["digest"] == d1
