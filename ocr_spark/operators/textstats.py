@@ -63,14 +63,42 @@ def _has_marker(text: Column, words: tuple[str, ...]) -> Column:
 def language_id(text: Column) -> Column:
     """Deterministic language guess: CJK range, then marker words, else 'und'.
 
-    A real pipeline would plug a fastText model in a pandas UDF here; this
-    operator keeps the *plan shape* (narrow projection) with a fully
-    reproducible heuristic.
+    A real pipeline would plug a fastText model in via
+    :func:`language_id_model`; this operator keeps the *plan shape*
+    (narrow projection) with a fully reproducible heuristic.
     """
     expr = F.when(text.rlike(r"[一-鿿]"), F.lit("zh"))
     for lang in ("de", "fr", "es", "en"):
         expr = expr.when(_has_marker(text, LANG_MARKERS[lang]), F.lit(lang))
     return expr.otherwise(F.lit("und"))
+
+
+def language_id_model(df: DataFrame, text_col: str = "text",
+                      out_col: str = "lang_pred",
+                      model_fn=None) -> DataFrame:
+    """Language-ID with a pluggable model slot (production shape).
+
+    ``model_fn`` has the fastText-style batch signature
+    ``list[str] -> list[str]`` (one ISO-ish label per input).  It is
+    wrapped in an Arrow-batched pandas UDF, so a real classifier loads
+    once per executor (put the heavyweight load inside ``model_fn``'s
+    closure/module, not per call) and scores thousands of rows per batch.
+    With ``model_fn=None`` the oracle-checked :func:`language_id`
+    heuristic is used — same output column, no Python workers.
+
+    Either way the plan stays a NARROW projection over the input — no
+    shuffle, no join — so a 100 TB scan remains I/O-bound (pinned by
+    ``tests/test_operators.py::test_language_id_model_hook``).
+    """
+    if model_fn is None:
+        return df.withColumn(out_col, language_id(F.col(text_col)))
+
+    @pandas_udf(T.StringType())
+    def _predict(text: pd.Series) -> pd.Series:
+        labels = model_fn([t or "" for t in text])
+        return pd.Series(list(labels), dtype="object")
+
+    return df.withColumn(out_col, _predict(F.col(text_col)))
 
 
 # function-word list shared by the stopword ratio in Spark and its DuckDB

@@ -718,3 +718,31 @@ def test_sample_fraction_one_is_lossless(spark):
     assert textstats.stratified_sample(strat, {"en": 1.0}).count() == 1
     # and the threshold itself: 1.0 maps above the max bucket value
     assert textstats._sample_threshold(1.0) == 0x1000000 > 0xFFFFFF
+
+
+def test_language_id_model_hook(spark):
+    """The pluggable model slot: a fake fastText-style batch classifier is
+    applied per Arrow batch; the default (no model) path equals the
+    oracle-checked heuristic; both plans stay narrow projections (no
+    shuffle/Exchange)."""
+    rows = [(0, "the cat and the dog is here"), (1, "el que una del los")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    def fake_model(texts):
+        # deterministic fake: label by first word
+        return ["en" if t.startswith("the") else "xx" for t in texts]
+
+    got = {r["doc_id"]: r["lang_pred"] for r in
+           textstats.language_id_model(df, model_fn=fake_model).collect()}
+    assert got == {0: "en", 1: "xx"}
+    default = {r["doc_id"]: r["lang_pred"] for r in
+               textstats.language_id_model(df).collect()}
+    heur = {r["doc_id"]: r["lang"] for r in
+            df.select("doc_id",
+                      textstats.language_id(F.col("text")).alias("lang"))
+            .collect()}
+    assert default == heur == {0: "en", 1: "es"}
+    for frame in (textstats.language_id_model(df, model_fn=fake_model),
+                  textstats.language_id_model(df)):
+        plan = frame._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan  # narrow projection, shuffle-free
