@@ -94,6 +94,19 @@ def q_language_id(spark, sf_dir):
             .select("doc_id", textstats.language_id(F.col("text")).alias("lang_guess")))
 
 
+def q_language_id_model(spark, sf_dir):
+    """The pluggable language-ID model hook (pandas-UDF slot) driven by a
+    deterministic fake classifier — label by text-length parity — chosen
+    because it is SQL-expressible, so the Arrow-batched hook path itself
+    is oracle-checked, not just the no-model heuristic."""
+    def fake_model(texts):
+        return ["even" if len(t) % 2 == 0 else "odd" for t in texts]
+
+    return (textstats.language_id_model(
+        _docs(spark, sf_dir).select("doc_id", "text"), model_fn=fake_model)
+        .select("doc_id", "lang_pred"))
+
+
 def q_quality_features(spark, sf_dir):
     return (textstats.quality_features(_docs(spark, sf_dir))
             .select("doc_id", "n_chars_calc", "n_tokens", "avg_token_len_x100",
@@ -762,6 +775,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_frequencies": q_token_frequencies,
         "stratified_sample": q_stratified_sample,
         "language_id": q_language_id,
+        "language_id_model": q_language_id_model,
         "quality_features": q_quality_features,
         "fingerprint": q_fingerprint,
         "winnow_fingerprints": q_winnow_fingerprints,
@@ -914,6 +928,11 @@ def oracle_sql() -> dict[str, str]:
         "token_count": f"SELECT doc_id, CAST({_NTOK} AS BIGINT) AS n_tokens "
                        "FROM documents ORDER BY doc_id",
         "language_id": f"SELECT doc_id, {_LANG_SQL} AS lang_guess FROM documents",
+        "language_id_model": """
+            SELECT doc_id,
+                   CASE WHEN length(text) % 2 = 0 THEN 'even' ELSE 'odd' END
+                       AS lang_pred
+            FROM documents""",
         "quality_features": f"""
             SELECT doc_id,
                    CAST(length(text) AS BIGINT) AS n_chars_calc,

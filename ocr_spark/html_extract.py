@@ -204,18 +204,62 @@ _RE_ATTR = _hp.attrfind_tolerant
 _RE_ENDTAGFIND = _hp.endtagfind               # </ \s* name \s* >
 _CDATA_TAGS = ("script", "style")  # HTMLParser raw-text (CDATA) elements
 _RE_CDATA_END = {t: re.compile(r"</\s*%s\s*>" % t, re.I) for t in _CDATA_TAGS}
+# marked-section tokenization, byte-identical to _markupbase's privates
+_RE_DECLNAME = re.compile(r"[a-zA-Z_:][-.a-zA-Z0-9_:]*\s*")
+_RE_MARKEDCLOSE = re.compile(r"]\s*]\s*>")
+_RE_MSMARKEDCLOSE = re.compile(r"]\s*>")
 _ATTR_CONTINUE = frozenset("abcdefghijklmnopqrstuvwxyz=/"
                            "ABCDEFGHIJKLMNOPQRSTUVWXYZ")
+
+# Validated tag-outcome caches (per-process, shared across documents).
+#
+# Web corpora repeat the same literal tags billions of times (`<div
+# class="nav">`, `</p>`, boilerplate blocks shared across a host), and the
+# tolerant html.parser machinery re-derives the identical outcome with ~4
+# regex matches every time.  These dicts map the EXACT tag byte slice —
+# ``text[lt : find('>', lt) + 1]`` — to the outcome that machinery
+# produced, and are populated ONLY when the slow path proves the outcome
+# was fully determined inside that slice (``endpos == gt + 1``): a quoted
+# ``>`` inside an attribute makes ``endpos`` land elsewhere, so such tags
+# are simply never cached.  Replaying a cached outcome is therefore
+# byte-identical to re-running the reference logic on the same slice (the
+# 20k-example differential fuzz in tests/test_html_extract.py gates this).
+# Outcome kinds: "s" start tag, "se" self-closing (start+end), "d" the
+# whole slice is data (bogus tag), "e" end tag, "n" no handler (bogus
+# comment / ``</>``).
+_START_CACHE: dict[str, tuple[str, str]] = {}
+_END_CACHE: dict[str, tuple[str, str]] = {}
+_CACHE_MAX = 100_000        # ~10 MB ceiling per executor process
+_CACHE_KEY_MAX = 256        # unique-attr tags (hrefs, ids) don't repeat —
+#                             don't let them churn the cache
 
 
 def _fast_scan(text: str, col: _BlockCollector) -> None:
     n = len(text)
     pos = 0
     find = text.find
+    start_cache_get = _START_CACHE.get
+    end_cache_get = _END_CACHE.get
 
     def emit(chunk: str) -> None:
         if chunk:
             col.handle_data(unescape(chunk) if "&" in chunk else chunk)
+
+    def recover(lt: int) -> int:
+        """goahead's invalid-tag resync at EOF (end=1): when parse_*tag
+        returns -1, emit data (unescaped — goahead's recovery applies
+        convert_charrefs) up to and including the next ">", else up to the
+        next "<", else one char — and CONTINUE parsing there; swallowing
+        to EOF would hide any real tag in the remainder."""
+        k = find(">", lt + 1)
+        if k < 0:
+            k = find("<", lt + 1)
+            if k < 0:
+                k = lt + 1
+        else:
+            k += 1
+        emit(text[lt:k])
+        return k
 
     while pos < n:
         lt = find("<", pos)
@@ -228,56 +272,113 @@ def _fast_scan(text: str, col: _BlockCollector) -> None:
         if nxt == "/":
             # mirror of html.parser.parse_endtag
             gt_any = find(">", lt + 1)
-            if gt_any < 0:  # unterminated at EOF: emitted as data
-                emit(text[lt:])
-                break
+            if gt_any < 0:  # unterminated at EOF → goahead resync
+                pos = recover(lt)
+                continue
+            sl = text[lt:gt_any + 1]
+            hit = end_cache_get(sl)
+            if hit is not None:
+                if hit[0] == "e":
+                    col.handle_endtag(hit[1])
+                pos = gt_any + 1
+                continue
             m = _RE_ENDTAGFIND.match(text, lt)  # </ \s* name \s* >
             if m:
-                col.handle_endtag(m.group(1).lower())
+                name = m.group(1).lower()
+                col.handle_endtag(name)
                 pos = m.end()
+                outcome = ("e", name)
             else:
                 nm = _RE_TAGNAME.match(text, lt + 2)
                 if nm:
                     gt = find(">", nm.end())
-                    col.handle_endtag(nm.group(1).lower())
+                    name = nm.group(1).lower()
+                    col.handle_endtag(name)
                     pos = gt + 1  # gt >= 0 because gt_any existed
+                    outcome = ("e", name)
                 elif text.startswith("</>", lt):
                     pos = lt + 3
+                    outcome = ("n", "")
                 else:  # bogus comment: skip to ">"
                     pos = gt_any + 1
+                    outcome = ("n", "")
             if pos <= lt:  # defensive: always advance
                 pos = gt_any + 1
+                outcome = None
+            # cache only slice-determined outcomes (every path above that
+            # set one ends exactly at gt_any + 1 — asserted by construction)
+            if (outcome is not None and pos == gt_any + 1
+                    and len(sl) <= _CACHE_KEY_MAX
+                    and len(_END_CACHE) < _CACHE_MAX):
+                _END_CACHE[sl] = outcome
         elif nxt == "!" or nxt == "?":
             if text.startswith("<!--", lt):
                 end = find("-->", lt + 4)
                 if end < 0:
-                    # html.parser quirk: unterminated comment containing a
-                    # ">" is emitted as data up to it and parsing resumes;
-                    # with no ">" at all, "<" + rest become data at EOF
-                    gt = find(">", lt + 4)
-                    if gt >= 0:
-                        emit(text[lt:gt + 1])
-                        pos = gt + 1
-                        continue
-                    emit("<")
-                    emit(text[lt + 1:])
-                    break
+                    # unterminated comment: parse_comment returns -1 →
+                    # goahead resync (data to next ">" and KEEP parsing)
+                    pos = recover(lt)
+                    continue
                 pos = end + 3
             elif text.startswith("<![", lt):  # marked section <![...]]>
-                end = find("]]>", lt + 3)
-                if end < 0:
-                    emit("<")
-                    emit(text[lt + 1:])
-                    break
-                pos = end + 3
+                # mirror of _markupbase.parse_marked_section: known section
+                # keywords close on "]\s*]\s*>" (MS-Office forms on
+                # "]\s*>"); an unknown keyword hits ParserBase.error →
+                # raises — so raise here too and let _segment fall back to
+                # the html.parser path, which degrades the whole document
+                # identically.
+                if lt + 3 >= n:
+                    pos = recover(lt)  # _scan_name at EOF → -1
+                    continue
+                dm = _RE_DECLNAME.match(text, lt + 3)
+                if not dm:
+                    raise ValueError("marked section: expected name token")
+                if dm.end() == n:
+                    pos = recover(lt)  # name runs to end of buffer → -1
+                    continue
+                sect = dm.group().strip().lower()
+                if sect in ("temp", "cdata", "ignore", "include", "rcdata"):
+                    cm = _RE_MARKEDCLOSE.search(text, lt + 3)
+                elif sect in ("if", "else", "endif"):
+                    cm = _RE_MSMARKEDCLOSE.search(text, lt + 3)
+                else:
+                    raise ValueError(
+                        f"unknown status keyword in marked section: {sect!r}")
+                if not cm:
+                    pos = recover(lt)
+                    continue
+                pos = cm.end()
             else:
                 gt = find(">", lt)
                 if gt < 0:
-                    emit("<")
-                    emit(text[lt + 1:])
-                    break
+                    pos = recover(lt)
+                    continue
                 pos = gt + 1
         elif nxt and ("a" <= nxt <= "z" or "A" <= nxt <= "Z"):
+            gt_naive = find(">", lt)
+            if gt_naive > 0:
+                sl = text[lt:gt_naive + 1]
+                hit = start_cache_get(sl)
+                if hit is not None:
+                    kind, tag = hit
+                    if kind == "s":
+                        col.handle_starttag(tag, ())
+                        pos = gt_naive + 1
+                        if tag in _CDATA_TAGS:
+                            em = _RE_CDATA_END[tag].search(text, pos)
+                            if em is None:
+                                pos = n
+                                break
+                            col.handle_endtag(tag)
+                            pos = em.end()
+                    elif kind == "se":
+                        col.handle_starttag(tag, ())
+                        col.handle_endtag(tag)
+                        pos = gt_naive + 1
+                    else:  # "d": bogus tag — raw data, no charref decode
+                        col.handle_data(sl)
+                        pos = gt_naive + 1
+                    continue
             # mirror of check_for_whole_start_tag + parse_starttag
             lm = _RE_LOCATE_START.match(text, lt)
             j = lm.end()
@@ -287,13 +388,13 @@ def _fast_scan(text: str, col: _BlockCollector) -> None:
             elif after == "/":
                 if text.startswith("/>", j):
                     endpos = j + 2
-                else:  # "/" at EOF: incomplete
-                    emit(text[lt:])
-                    break
+                else:  # "/" then EOF/junk: incomplete → goahead resync
+                    pos = recover(lt)
+                    continue
             elif after == "" or after in _ATTR_CONTINUE:
-                # EOF inside tag / attribute value: emitted as data
-                emit(text[lt:])
-                break
+                # EOF inside tag / attribute value → goahead resync
+                pos = recover(lt)
+                continue
             else:
                 endpos = j if j > lt else lt + 1
             nm = _RE_TAGNAME.match(text, lt + 1)
@@ -305,19 +406,42 @@ def _fast_scan(text: str, col: _BlockCollector) -> None:
                     break
                 k = am.end()
             end = text[k:endpos].strip()
+            # Soundness: ``endpos == gt_naive + 1`` guarantees the outcome
+            # is a function of the slice alone, in ANY document.  The only
+            # construct that reads past the naive ">" is a quoted attribute
+            # value still open at it; whether that scan *starts* is decided
+            # by the slice prefix, and when it does start the parse can
+            # never land back exactly on gt+1: either the closing quote is
+            # found beyond (endpos > gt+1 → not cached) or the quoted
+            # alternative fails and backtracks to a name-only attr, leaving
+            # the next char "=" — which hits the ATTR_CONTINUE incomplete-
+            # tag branch above (data-to-EOF, not cached).  So any slice
+            # that reaches this line with endpos == gt+1 parses identically
+            # wherever it appears.  (Names, bare values and whitespace all
+            # exclude ">" by charset.)  Gated empirically by the
+            # quote-adversarial differential fuzz in tests.
+            cacheable = (gt_naive > 0 and endpos == gt_naive + 1
+                         and len(sl) <= _CACHE_KEY_MAX
+                         and len(_START_CACHE) < _CACHE_MAX)
             if end not in (">", "/>"):
                 # bogus input: the whole tag text becomes data — RAW, no
                 # charref conversion (parse_starttag calls handle_data
                 # directly, bypassing the convert_charrefs path)
                 col.handle_data(text[lt:endpos])
                 pos = endpos
+                if cacheable:
+                    _START_CACHE[sl] = ("d", "")
                 continue
             col.handle_starttag(tag, ())
             if end == "/>":
                 col.handle_endtag(tag)
                 pos = endpos
+                if cacheable:
+                    _START_CACHE[sl] = ("se", tag)
                 continue
             pos = endpos
+            if cacheable:
+                _START_CACHE[sl] = ("s", tag)
             if tag in _CDATA_TAGS:
                 # raw-text element: scan for the FULL end tag, mirroring
                 # html.parser.set_cdata_mode's r"</\s*script\s*>" — so

