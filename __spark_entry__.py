@@ -74,7 +74,11 @@ def entry(spark: SparkSession) -> DataFrame:
                        F.sum("confianza_global").alias("sum_conf"))
                   .withColumn("digest", F.lit(summary["digest"]))
                   .orderBy("doc_type"))
-        return spark.createDataFrame(rollup.collect(), rollup.schema)
+        # materialize BEFORE the tmp dir vanishes; re-enter the plan as an
+        # Arrow local relation (plain-list createDataFrame parallelizes
+        # over defaultParallelism partitions — ~5 s of Python tasks for a
+        # 3-row frame at local[32])
+        return spark.createDataFrame(rollup.toPandas(), rollup.schema)
     finally:
         shutil.rmtree(wd, ignore_errors=True)
 
@@ -176,8 +180,9 @@ def q_minhash_dedup_keep(spark, sf_dir):
     base = docs.filter(F.col("doc_id") == 0).select("text").first()["text"]
     mutated = " ".join(
         ["spark" if i == 3 else t for i, t in enumerate(base.split())])
-    planted = spark.createDataFrame(
-        [(20_000_000, base), (20_000_001, mutated)], ["doc_id", "text"])
+    from ocr_spark.localrel import local_df
+    planted = local_df(spark, [(20_000_000, base), (20_000_001, mutated)],
+                       "doc_id bigint, text string")
     corpus = docs.unionByName(planted)
     kept = dedup.dedup_near_minhash(corpus, threshold=0.5)
     return (kept.agg(
@@ -541,10 +546,47 @@ def q_embedding_near_dups(spark, sf_dir):
         v = nu * (np.cos(alpha) * uhat + np.sin(alpha) * w)
         rotated_rows.append((row["vec_id"] + 20_000_000,
                              [float(x) for x in v]))
-    rotated = spark.createDataFrame(rotated_rows,
-                                    "vec_id bigint, embedding array<float>")
+    from ocr_spark.localrel import local_df
+    rotated = local_df(spark, rotated_rows,
+                       "vec_id bigint, embedding array<float>")
     corpus = emb.unionByName(colinear).unionByName(rotated)
     return dedup.near_duplicates_embedding(corpus, threshold=0.9)
+
+
+def q_embedding_dedup_keep(spark, sf_dir):
+    """Semantic-dedup end-to-end (the embedding analog of
+    minhash_dedup_keep): plant a 3-vector near-dup chain off vector 0 —
+    a ×2 scaled copy (cosine 1.0) under 40M and a rotation at cosine
+    0.93 under 40M+1 — run banded-LSH pairs → connected components →
+    min-id keeper, and return corpus accounting: the whole planted
+    cluster must resolve to keeper vec_id 0."""
+    import numpy as np
+
+    from ocr_spark.localrel import local_df
+
+    emb = (spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+           .select("vec_id", "embedding"))
+    base = np.asarray(
+        emb.filter(F.col("vec_id") == 0).first()["embedding"], dtype="float64")
+    nu = np.linalg.norm(base)
+    uhat = base / nu
+    rng = np.random.RandomState(93)
+    w = rng.normal(size=len(base))
+    w -= (w @ uhat) * uhat
+    w /= np.linalg.norm(w)
+    alpha = float(np.arccos(0.93))
+    rot = nu * (np.cos(alpha) * uhat + np.sin(alpha) * w)
+    planted = local_df(
+        spark,
+        [(40_000_000, [float(x) for x in base * 2.0]),
+         (40_000_001, [float(x) for x in rot])],
+        "vec_id bigint, embedding array<float>")
+    kept = dedup.dedup_near_embedding(emb.unionByName(planted), threshold=0.9)
+    return kept.agg(
+        F.count("*").alias("n_kept"),
+        F.sum((F.col("vec_id") >= 40_000_000).cast("int"))
+        .alias("planted_kept"),
+        F.sum((F.col("vec_id") == 0).cast("int")).alias("keeper_is_vec0"))
 
 
 def q_embedding_ann_ivf(spark, sf_dir):
@@ -700,7 +742,8 @@ def q_stream_vs_batch(spark, sf_dir):
                      F.sum(F.col("valido").cast("int")).alias("n_valido"))
                 .withColumn("digests_equal", F.lit(sdig == batch["digest"]))
                 .orderBy("doc_type"))
-        return spark.createDataFrame(rows.collect(), rows.schema)
+        # Arrow local relation (see entry()) — materialized before cleanup
+        return spark.createDataFrame(rows.toPandas(), rows.schema)
     finally:
         shutil.rmtree(wd, ignore_errors=True)
 
@@ -791,6 +834,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_near_dups": q_minhash_near_dups,
         "simhash_near_dups": q_simhash_near_dups,
         "embedding_near_dups": q_embedding_near_dups,
+        "embedding_dedup_keep": q_embedding_dedup_keep,
         # extraction scalar operators (native forms)
         "dni_check_letter": q_dni_check_letter,
         "cif_control": q_cif_control,

@@ -109,8 +109,9 @@ def engine_latency(pages: DataFrame, run_date: date,
             rows.append((engine, mode, n,
                          int((time.monotonic() - t0) * 1000)))
     sample.unpersist()
-    return spark.createDataFrame(
-        rows, "engine string, mode string, n_docs long, wall_ms long")
+    from ocr_spark.localrel import local_df
+    return local_df(spark, rows,
+                    "engine string, mode string, n_docs long, wall_ms long")
 
 
 def recommend(comparison: DataFrame) -> DataFrame:

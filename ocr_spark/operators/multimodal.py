@@ -324,4 +324,5 @@ def synthetic_media(spark, rows: int = 64) -> DataFrame:
         return (i, kind, payload,
                 {"mime": "application/x-fake-video", "width": None,
                  "height": None, "duration_ms": 1000 * (i % 30)})
-    return spark.createDataFrame([make(i) for i in range(rows)], schema=MEDIA_SCHEMA)
+    from ocr_spark.localrel import local_df
+    return local_df(spark, [make(i) for i in range(rows)], MEDIA_SCHEMA)

@@ -188,9 +188,11 @@ def ivf_save(path: str, centroids: np.ndarray, assigned: DataFrame) -> None:
     list read is hive partition pruning, proportional to n_probe/n_cells
     of the data, with no per-query k-means or assignment pass.
     """
+    from ocr_spark.localrel import local_df
+
     spark = assigned.sparkSession
     cent_rows = [(i, [float(x) for x in c]) for i, c in enumerate(centroids)]
-    (spark.createDataFrame(cent_rows, "cell int, centroid array<double>")
+    (local_df(spark, cent_rows, "cell int, centroid array<double>")
      .coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids"))
     (assigned.write.mode("overwrite").partitionBy("cell")
      .parquet(f"{path}/assigned"))
@@ -226,9 +228,11 @@ def cosine_topk_ivf(assigned: DataFrame, centroids: np.ndarray,
         order = np.argsort(((centroids - arr) ** 2).sum(axis=1), kind="stable")
         for cell in order[:n_probe]:
             probe_rows.append((row["qid"], int(cell), [float(x) for x in row["v"]]))
+    from ocr_spark.localrel import local_df
+
     spark = assigned.sparkSession
-    probes = spark.createDataFrame(
-        probe_rows, schema="qid bigint, cell int, v array<double>").alias("q")
+    probes = local_df(spark, probe_rows,
+                      "qid bigint, cell int, v array<double>").alias("q")
 
     c = assigned.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
                         "cell").alias("c")
