@@ -95,3 +95,27 @@ def test_pages_source_prunes_crawl_date_partitions(spark, tmp_path):
     plan = plans.physical_plan(one)
     assert "PartitionFilters" in plan and "warc_day" in plan.split(
         "PartitionFilters", 1)[1].split("]", 1)[0], plan
+
+
+def test_local_df_arrow_relation(spark):
+    """local_df must produce the same rows/schema as plain-list
+    createDataFrame, land as a local relation (no RDD scan of
+    defaultParallelism partitions), and survive the empty-list edge."""
+    from ocr_spark.localrel import local_df
+
+    rows = [(1, [1.0, 2.0]), (2, [3.0, 4.0])]
+    schema = "cell int, centroid array<double>"
+    got = local_df(spark, rows, schema)
+    ref = spark.createDataFrame(rows, schema)
+    assert got.schema == ref.schema
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, ref.collect()))
+    # local relation: one partition, not defaultParallelism
+    assert got.rdd.getNumPartitions() <= 2
+
+    empty = local_df(spark, [], schema)
+    assert empty.count() == 0 and empty.schema == ref.schema
+
+    # nested-struct DDL split must not break on the comma inside struct<>
+    nested = local_df(spark, [(1, {"a": 2})],
+                      "id int, s struct<a: int>")
+    assert nested.collect()[0]["s"]["a"] == 2
