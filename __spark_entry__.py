@@ -553,6 +553,13 @@ def q_embedding_near_dups(spark, sf_dir):
     return dedup.near_duplicates_embedding(corpus, threshold=0.9)
 
 
+def _ivf_index_path(sf_dir: str) -> str:
+    """Digest-keyed persisted-IVF location for ``q_embedding_ann_ivf`` —
+    exposed so bench.py can clear it and measure a true cold build."""
+    digest = _code_digest(similarity, extra=f"{sf_dir}:ncells=8")
+    return f"/tmp/ocr_spark_ivf_{_getpass.getuser()}_{digest}"
+
+
 def q_embedding_dedup_keep(spark, sf_dir):
     """Semantic-dedup end-to-end (the embedding analog of
     minhash_dedup_keep): plant a 3-vector near-dup chain off vector 0 —
@@ -596,15 +603,26 @@ def q_embedding_ann_ivf(spark, sf_dir):
     — the probe's ``cell`` equi-join prunes partition directories, so a
     query batch reads ~n_probe/n_cells of the corpus.  The index directory
     is keyed by (sf_dir, code digest): bench repeats hit the
-    build-once/query-many path, a code change rebuilds."""
+    build-once/query-many path, a code change rebuilds (stale-digest
+    siblings pruned).  Publication is ATOMIC — the index is built in a
+    scratch dir and os.rename'd into place, so a killed build can never
+    leave a partial index that later runs silently load."""
     import os
+    import shutil
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    digest = _code_digest(similarity, extra=f"{sf_dir}:ncells=8")
-    idx_path = f"/tmp/ocr_spark_ivf_{_getpass.getuser()}_{digest}"
-    if not os.path.isdir(f"{idx_path}/assigned"):
+    idx_path = _ivf_index_path(sf_dir)
+    _prune_stale_siblings(idx_path)
+    if not os.path.isdir(idx_path):
         centroids, assigned = similarity.ivf_build(emb, n_cells=8)
-        similarity.ivf_save(idx_path, centroids, assigned)
+        scratch = f"{idx_path}.build.{os.getpid()}"
+        shutil.rmtree(scratch, ignore_errors=True)
+        similarity.ivf_save(scratch, centroids, assigned)
+        try:
+            os.rename(scratch, idx_path)  # atomic on the same filesystem
+        except OSError:
+            # concurrent builder won the rename — its complete index wins
+            shutil.rmtree(scratch, ignore_errors=True)
     centroids, assigned = similarity.ivf_load(spark, idx_path)
     queries = emb.filter(F.col("vec_id") < 5)
     return similarity.cosine_topk_ivf(assigned, centroids, queries, k=5, n_probe=3)
@@ -773,12 +791,42 @@ def _code_digest(*modules, extra: str = "") -> str:
     return hashlib.md5(code.encode()).hexdigest()[:12]
 
 
-def _compare_cells_path() -> str:
-    from ocr_spark import compare as _cmp
-    from ocr_spark import pagegen as _pg
+def _prune_stale_siblings(path: str) -> None:
+    """Remove older digest-keyed artifact dirs sharing this path's prefix
+    (everything before the trailing _<digest>) — each code revision mints
+    a new digest and the old dirs become unreachable forever."""
+    import glob
+    import shutil
 
+    prefix = path.rsplit("_", 1)[0]
+    for stale in glob.glob(prefix + "_*"):
+        if stale != path:
+            shutil.rmtree(stale, ignore_errors=True)
+
+
+def _extraction_stack_modules():
+    """Every module whose code determines extraction-cell VALUES — the
+    digest must cover the full producing stack, not just the harness, or
+    an extraction-only change would keep the old path and silently serve
+    stale cells."""
+    from ocr_spark import compare as _cmp
+    from ocr_spark import html_extract as _hx
+    from ocr_spark import pagegen as _pg
+    from ocr_spark import score as _score
+    from ocr_spark import textops as _textops
+    from ocr_spark import validators as _validators
+    from ocr_spark.functions import udfs as _udfs
+    from ocr_spark.parsers import dni as _dni
+    from ocr_spark.parsers import nif as _nif
+    from ocr_spark.parsers import permis as _permis
+
+    return (_cmp, _pg, _hx, _udfs, _dni, _permis, _nif, _textops,
+            _validators, _score)
+
+
+def _compare_cells_path() -> str:
     return (f"/tmp/ocr_spark_compare_cells_{_getpass.getuser()}_"
-            f"{_code_digest(_cmp, _pg)}")
+            f"{_code_digest(*_extraction_stack_modules())}")
 
 
 _COMPARE_CELLS = _compare_cells_path()
@@ -786,6 +834,7 @@ _COMPARE_CELLS = _compare_cells_path()
 
 def _compare_cells(spark):
     from ocr_spark import compare, pagegen
+    _prune_stale_siblings(_COMPARE_CELLS)
     pages = pagegen.generate_df(spark, 256, partitions=8)
     cells = compare.extraction_cells(pages, RUN_DATE, sample_rows=256)
     cells.coalesce(1).write.mode("overwrite").parquet(_COMPARE_CELLS)

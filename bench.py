@@ -97,8 +97,12 @@ def main() -> None:
         # IVF index build+save is a once-per-corpus cost amortized over the
         # index lifetime (the whole point of the persisted path); run it
         # untimed like the other setup work, but REPORT its wall honestly
-        # so nothing hides.  The timed query below measures the
-        # production shape: load + partition-pruned probe.
+        # so nothing hides.  The index is cleared first so this number is
+        # always a true cold build+save (a digest-keyed dir surviving from
+        # a previous bench process would otherwise mislabel a warm
+        # load+probe as the build cost).  The timed query below measures
+        # the production shape: load + partition-pruned probe.
+        shutil.rmtree(entrymod._ivf_index_path(SF_DIR), ignore_errors=True)
         t0 = time.monotonic()
         _force(qs["embedding_ann_ivf"](spark, SF_DIR))
         extras["ivf_build_save_s"] = round(time.monotonic() - t0, 3)

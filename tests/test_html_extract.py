@@ -172,11 +172,13 @@ def test_fast_scanner_fuzz_matches_htmlparser():
         col = _BlockCollector()
         try:
             _fast_scan(text, col)
-        except Exception:
-            # the deliberate escape hatch: _segment catches and re-runs
-            # through the html.parser path, so parity holds by definition
-            # (used for unknown marked-section keywords, which make the
-            # reference itself raise → whole-document degraded mode)
+        except ValueError as exc:
+            # the ONLY deliberate escape hatch: unknown/garbled marked
+            # sections raise so _segment re-runs through the html.parser
+            # path (which itself raises → degraded mode for these inputs).
+            # Any other exception type is a crash regression and must
+            # fail the fuzz, not silently fall back.
+            assert "marked section" in str(exc), exc
             return
         col._flush()
         assert col.blocks == _segment_htmlparser(text), repr(text[:200])
