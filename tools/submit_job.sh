@@ -4,15 +4,17 @@
 # the batch job CLI.  On a real cluster replace --master with yarn/k8s and
 # size --partitions ≈ 2-3 × total executor cores.
 #
-#   tools/submit_job.sh <input> <output> <run-date> [master] [partitions]
+#   tools/submit_job.sh <input> <output> <run-date> [master] [partitions] [warmup]
 #
-# Example (the sandbox's two-parallelism-level evidence pair):
-#   tools/submit_job.sh /tmp/pages.parquet /tmp/out_n  2026-08-16 local[8]  64
-#   tools/submit_job.sh /tmp/pages.parquet /tmp/out_4n 2026-08-16 local[32] 64
+# Example (the sandbox's two-parallelism-level evidence pair; pass a small
+# warmup parquet so the measured wall is steady-state, as on a long-lived
+# cluster):
+#   tools/submit_job.sh /tmp/pages.parquet /tmp/out_n  2026-08-16 local[8]  64 /tmp/warm.parquet
+#   tools/submit_job.sh /tmp/pages.parquet /tmp/out_4n 2026-08-16 local[32] 64 /tmp/warm.parquet
 set -euo pipefail
 REPO="$(cd "$(dirname "$0")/.." && pwd)"
 INPUT="${1:?input path}"; OUTPUT="${2:?output path}"; RUN_DATE="${3:?run date}"
-MASTER="${4:-local[8]}"; PARTITIONS="${5:-64}"
+MASTER="${4:-local[8]}"; PARTITIONS="${5:-64}"; WARMUP="${6:-}"
 
 ZIP="$(mktemp -d)/ocr_spark.zip"
 (cd "$REPO" && python -c "
@@ -33,4 +35,4 @@ exec spark-submit \
     --conf spark.sql.shuffle.partitions="$PARTITIONS" \
     "$REPO/tools/run_job.py" \
     --input "$INPUT" --output "$OUTPUT" --run-date "$RUN_DATE" \
-    --partitions "$PARTITIONS"
+    --partitions "$PARTITIONS" ${WARMUP:+--warmup "$WARMUP"}
