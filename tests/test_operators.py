@@ -281,6 +281,17 @@ def test_embedding_lsh_recall_non_colinear(spark):
     assert lsh <= brute                           # exact verify: no false pairs
     recall = len(lsh & planted) / len(planted)
     assert recall >= 0.9, f"banded-LSH recall {recall} < 0.9"
+    # parallelism invariance: keys are pure functions of the vector, so
+    # the pair set must not depend on partition layout
+    lsh7 = {(r["id_a"], r["id_b"]) for r in
+            dedup.near_duplicates_embedding(vecs.repartition(7),
+                                            threshold=0.9).collect()}
+    assert lsh7 == lsh
+    # and the scale path must never be a cartesian product — the banded
+    # (band, key) equi-join is the whole point
+    plan = dedup.near_duplicates_embedding(vecs, threshold=0.9) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
 
 
 def test_topk_bruteforce(spark, vectors):
