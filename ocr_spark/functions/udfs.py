@@ -305,6 +305,83 @@ def fused_tier1_udf(run_date: date, mode: str = "standard", route: bool = True):
     return fn
 
 
+def fused_single_pass_udf(run_date: date, mode: str = "standard",
+                          tier2_enabled: bool = True,
+                          with_spans: bool = True):
+    """ONE mapInPandas stage for the whole dual-tier pipeline.
+
+    Produces exactly the rows the two-stage composition (tier-1 pass →
+    fallback-slice tier-2 pass → union) produces — same values, same
+    global digest (asserted by ``test_single_pass_matches_two_stage``) —
+    but in a single Python pass:
+
+    * a row that clears tier 1 emits its tier-1 row;
+    * a row routed to tier 2 emits ONLY its tier-2 row, computed
+      immediately: the DOM is segmented ONCE and both tiers' keep rules
+      run over the same block list, where the two-stage path re-decoded
+      and re-parsed the html in the second stage.
+
+    Scale rationale: the reference's two-engine split exists because its
+    tier 2 is a remote API; here tier 2 is local CPU, so the split buys
+    nothing and costs (a) a second full html parse for the ~43% fallback
+    slice, (b) an input-sized persisted tier-1 cache, (c) an extra stage
+    + union in every run.  The two-stage factories remain for the
+    engine-comparison harness and as the differential twin.
+    """
+
+    def fn(iterator):
+        import time
+        for pdf in iterator:
+            t0 = time.monotonic()
+            rows = []
+            for url, ts, html, text, lang in zip(
+                    pdf["url"], pdf["warc_ts"], pdf["html"], pdf["text"],
+                    pdf["lang"]):
+                blocks = None
+                if html is None:
+                    xt, conf = (text or ""), 100.0
+                else:
+                    hb = bytes(html)
+                    if not hb:
+                        xt, conf = "", 0.0
+                        blocks = []
+                    else:
+                        blocks = html_extract._segment(hb)
+                        xt, conf = html_extract.tier1_from_blocks(blocks, mode)
+                dt = route_doc_type(xt)
+                resp, needs, reason = parse_dispatch(
+                    dt, xt, conf, run_date, TIER1_ENGINE, tier2_enabled)
+                if not (needs and tier2_enabled):
+                    rows.append((url, ts, lang, None, None, dt, 1, False,
+                                 reason, xt, TIER1_ENGINE, conf,
+                                 resp["valido"], resp["confianza_global"],
+                                 _dumps(resp), None, 0))
+                    continue
+                # tier 2, inline, over the SAME segmentation
+                if html is None:
+                    xt2, spans = (text or ""), (
+                        html_extract.detect_spans(text or "")
+                        if with_spans else [])
+                    conf2 = 95.0 if xt2 else 0.0
+                else:
+                    xt2, conf2, spans = html_extract.tier2_from_blocks(
+                        blocks, mode, with_spans)
+                dt2 = route_doc_type(xt2)
+                resp2, _, _ = parse_dispatch(
+                    dt2, xt2, conf2, run_date, TIER2_ENGINE, route=False)
+                rows.append((url, ts, lang, None, text, dt2, 2, False,
+                             reason, xt2, TIER2_ENGINE, conf2,
+                             resp2["valido"], resp2["confianza_global"],
+                             _dumps(resp2), _dumps(spans) if spans else None,
+                             0))
+            out = pd.DataFrame(rows, columns=_FUSED_COLS)
+            if len(out):
+                out["proc_us"] = int((time.monotonic() - t0) * 1e6 / len(out))
+            yield out
+
+    return fn
+
+
 def fused_tier2_udf(run_date: date, mode: str = "standard",
                     with_spans: bool = True):
     """mapInPandas stage for the fallback branch: permissive extraction (+spans),

@@ -507,7 +507,17 @@ def extract_tier1(data: Optional[bytes], mode: str = "standard") -> tuple[str, f
     """
     if not data:
         return "", 0.0
-    blocks = _segment(data)
+    return tier1_from_blocks(_segment(data), mode)
+
+
+def tier1_from_blocks(blocks: list[Block], mode: str = "standard"
+                      ) -> tuple[str, float]:
+    """Tier-1 keep rule over a pre-segmented block list.
+
+    Split out of :func:`extract_tier1` so a caller that needs BOTH tiers
+    for one page (the single-pass fused pipeline stage) segments the DOM
+    once and applies each tier's rule to the same blocks.
+    """
     total = sum(b.n_chars for b in blocks)
     if total == 0:
         return "", 0.0
@@ -558,7 +568,13 @@ def extract_tier2(data: Optional[bytes], mode: str = "standard",
     """
     if not data:
         return "", 0.0, []
-    blocks = _segment(data)
+    return tier2_from_blocks(_segment(data), mode, with_spans)
+
+
+def tier2_from_blocks(blocks: list[Block], mode: str = "standard",
+                      with_spans: bool = True) -> tuple[str, float, list[dict]]:
+    """Tier-2 keep rule + spans over a pre-segmented block list (see
+    :func:`tier1_from_blocks` for why this is split out)."""
     kept = [b for b in blocks if b.is_pre or b.link_density <= _T2_MAX_LINK_DENSITY]
     text = "\n".join(b.text for b in kept)
     if not text:

@@ -4,25 +4,29 @@
       → admission gates (size cap, decodable) + quarantine      [S2–S4]
       → resume anti-join                                        [§4.3]
       → repartition(P, xxhash64(url) [+ salt])                  [§4.2-1]
-      → tier-1 extraction pUDF (boilerplate strip)              [T1]
-      → doc-type router (native when/contains)                  [R4]
-      → per-type fused parse+validate pUDF                      [§2.4–2.7]
-      → tier-2 branch: filter(needs_tier2) → permissive
-        extraction → re-route → re-parse → unionByName          [T2/T5/T6]
+      → ONE fused pUDF pass: tier-1 strip → route → parse →
+        validate, and — for rows the router sends to fallback —
+        the permissive tier-2 extraction INLINE over the same
+        DOM segmentation → re-route → re-parse                  [T1/T2/T5/T6]
       → ONE data sink partitioned by doc_type (unified columns +
         response_json; typed view via read_datos) + quarantine + lineage
 
+(``fuse_tiers=False`` selects the two-stage twin — tier-1 pass, persisted;
+tier-2 pass over the fallback slice; union — which produces byte-identical
+rows/digests and remains the differential check for the fused shape.)
+
 Scale notes (designed for 10^12 docs / 1000 executors, tested on local[*]):
 * the only shuffle is the single explicit ``repartition`` — everything after
-  is narrow (filters, pUDFs, unions), so scaling is governed by the parse
+  is narrow (one fused pUDF, filters), so scaling is governed by the parse
   stage which is embarrassingly parallel;
 * hot hosts are spread by hashing the full url (doc-level, not host-level);
   ``--salt`` adds an extra random-ish key term for pathological cases;
 * AQE left on for post-shuffle coalesce; Arrow batch size capped because a
   page can be ~100 KB of text (``§4.2-2``);
-* the tier-2 branch reuses the *persisted* tier-1 result, so the expensive
-  pass touches only the rows that failed the cheap pass — the reference's
-  "≤1 Vision credit per document" cost rule (``docs/API.md:85-86``).
+* tier-2 work runs ONLY for rows the tier-1 router sends to fallback — the
+  reference's "≤1 Vision credit per document" cost rule
+  (``docs/API.md:85-86``); fused inline it additionally reuses tier 1's
+  DOM segmentation instead of re-parsing the html.
 
 CLI::
 
@@ -172,14 +176,25 @@ def run_pipeline(spark: SparkSession, input_path: str, output_path: str,
                  tier2_enabled: bool = True, run_id: Optional[str] = None,
                  input_df: Optional[DataFrame] = None,
                  storage_level: str = "MEMORY_AND_DISK",
-                 canonicalize_urls: bool = False) -> dict:
+                 canonicalize_urls: bool = False,
+                 fuse_tiers: bool = True) -> dict:
     """Execute the full pipeline; returns run metrics (counts, digest, wall).
 
-    Plan shape: each row crosses the JVM↔Python boundary exactly once per
-    tier (one fused mapInPandas per stage — extract + route + parse +
-    validate); the tier-1 result is persisted so the fallback branch and
-    every sink reuse it, and the nested per-type response travels as a JSON
-    string decoded JVM-side with ``from_json`` (whole-stage codegen).
+    Plan shape (default, ``fuse_tiers=True``): each row crosses the
+    JVM↔Python boundary exactly ONCE — one fused mapInPandas doing
+    extract → route → parse → validate and, for routed-to-fallback rows,
+    the permissive tier-2 extraction inline over the same DOM
+    segmentation.  The unified result (html already dropped) is persisted
+    once so the sinks and lineage reuse it, and the nested per-type
+    response travels as a JSON string decoded JVM-side with ``from_json``
+    (whole-stage codegen).
+
+    ``fuse_tiers=False`` runs the two-stage composition (tier-1 pass over
+    all rows, persisted; tier-2 pass over the fallback slice; union) —
+    kept as the differential twin: both shapes produce byte-identical
+    rows and digests (``tests/test_pipeline.py``).  The fused shape saves
+    a second html parse for the fallback slice, an input-sized cache (the
+    persisted frame carries no raw html), and a stage + union per run.
     """
     t0 = time.monotonic()
     run_id = run_id or uuid.uuid4().hex[:12]
@@ -197,31 +212,40 @@ def run_pipeline(spark: SparkSession, input_path: str, output_path: str,
         admitted = lin.anti_join_done(admitted, f"{output_path}/data")
     admitted = spread_partitions(admitted, partitions, salt)
 
-    # --- tier 1: one fused pass (extract → route → parse → validate) ---------
-    # the cache is ~input-sized; DISK_ONLY is the right level when the input
-    # does not fit the cluster's memory (100 TB story, docs/SCALE.md)
+    # the persisted frame is ≲ extracted-text-sized (fused path carries no
+    # raw html); DISK_ONLY remains the right level when even that does not
+    # fit cluster memory (100 TB story, docs/SCALE.md)
     from pyspark import StorageLevel
     level = getattr(StorageLevel, storage_level)
-    fused1 = udfs.fused_tier1_udf(run_date, mode, route=tier2_enabled)
-    p1 = admitted.mapInPandas(fused1, udfs.FUSED_SCHEMA)
-    p1.persist(level)
 
-    parts = [p1.filter(~F.col("needs_tier2"))]
-    # --- tier 2: permissive fused pass on the failed slice only --------------
-    if tier2_enabled:
-        fallback = p1.filter(F.col("needs_tier2")).select(
-            "url", "warc_ts", "lang", "html",
-            F.col("src_text").alias("text"), "tier2_reason")
-        p2 = fallback.mapInPandas(udfs.fused_tier2_udf(run_date, mode),
-                                  udfs.FUSED_SCHEMA)
-        p2.persist(level)
-        parts.append(p2)
+    p1 = p2 = None
+    if fuse_tiers:
+        # --- ONE fused pass: tier 1 + inline tier 2 on the fallback rows -----
+        fused = udfs.fused_single_pass_udf(run_date, mode, tier2_enabled)
+        unified = admitted.mapInPandas(fused, udfs.FUSED_SCHEMA)
+    else:
+        # --- two-stage twin: tier-1 pass, then tier 2 on the failed slice ----
+        fused1 = udfs.fused_tier1_udf(run_date, mode, route=tier2_enabled)
+        p1 = admitted.mapInPandas(fused1, udfs.FUSED_SCHEMA)
+        p1.persist(level)
 
-    unified = parts[0]
-    for part in parts[1:]:
-        unified = unified.unionByName(part)
+        parts = [p1.filter(~F.col("needs_tier2"))]
+        if tier2_enabled:
+            fallback = p1.filter(F.col("needs_tier2")).select(
+                "url", "warc_ts", "lang", "html",
+                F.col("src_text").alias("text"), "tier2_reason")
+            p2 = fallback.mapInPandas(udfs.fused_tier2_udf(run_date, mode),
+                                      udfs.FUSED_SCHEMA)
+            p2.persist(level)
+            parts.append(p2)
+
+        unified = parts[0]
+        for part in parts[1:]:
+            unified = unified.unionByName(part)
     unified = unified.drop("html", "src_text").withColumn(
         "spans", F.from_json("spans_json", _SPANS_TYPE))
+    if fuse_tiers:
+        unified.persist(level)
 
     # --- writes.  ONE partitioned write carries both the unified table and
     #     the per-type response payload: ``data/`` is hive-partitioned by
@@ -256,11 +280,13 @@ def run_pipeline(spark: SparkSession, input_path: str, output_path: str,
         writer.parquet(f"{output_path}/{sub}")
 
     def _write_data() -> None:
-        # materialize tier 1 first: the unified DAG's two p1 branches
-        # (direct + tier-2 input) would otherwise race to compute the same
-        # uncached partitions inside the write job.  Tier 2 needs no such
-        # pre-count — it is reached once, from the cached p1.
-        p1.count()
+        if p1 is not None:
+            # (two-stage twin) materialize tier 1 first: the unified DAG's
+            # two p1 branches (direct + tier-2 input) would otherwise race
+            # to compute the same uncached partitions inside the write job.
+            # The fused path has one frame and one computing consumer —
+            # the write itself fills the cache.
+            p1.count()
         _write(unified.select(*_UNIFIED_COLS, "response_json"),
                "data", "doc_type")
 
@@ -285,9 +311,9 @@ def run_pipeline(spark: SparkSession, input_path: str, output_path: str,
     summary = summary_df.collect()[0].asDict()
     lrows.unpersist()
 
-    p1.unpersist()
-    if tier2_enabled:
-        p2.unpersist()
+    for cached in (p1, p2, unified if fuse_tiers else None):
+        if cached is not None:
+            cached.unpersist()
     summary["wall_ms"] = int((time.monotonic() - t0) * 1000)
     return summary
 

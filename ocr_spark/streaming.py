@@ -186,19 +186,11 @@ def run_streaming_pipeline(spark: SparkSession, input_path: str,
         admitted, quarantined = job.admission_split(batch_df)
         admitted = job.spread_partitions(admitted, partitions)
 
-        fused1 = udfs.fused_tier1_udf(run_date, mode, route=tier2_enabled)
-        p1 = admitted.mapInPandas(fused1, udfs.FUSED_SCHEMA)
-        p1.persist()
-        parts = [p1.filter(~F.col("needs_tier2"))]
-        if tier2_enabled:
-            fallback = p1.filter(F.col("needs_tier2")).select(
-                "url", "warc_ts", "lang", "html",
-                F.col("src_text").alias("text"), "tier2_reason")
-            parts.append(fallback.mapInPandas(
-                udfs.fused_tier2_udf(run_date, mode), udfs.FUSED_SCHEMA))
-        unified = parts[0]
-        for part in parts[1:]:
-            unified = unified.unionByName(part)
+        # the batch job's single fused pass (tier 1 + inline tier 2) —
+        # micro-batches run the exact batch stages, so stream and batch
+        # digests stay equal by construction
+        fused = udfs.fused_single_pass_udf(run_date, mode, tier2_enabled)
+        unified = admitted.mapInPandas(fused, udfs.FUSED_SCHEMA)
         unified = unified.drop("html", "src_text").withColumn(
             "spans", F.from_json("spans_json", job._SPANS_TYPE))
         unified.persist()
@@ -213,7 +205,6 @@ def run_streaming_pipeline(spark: SparkSession, input_path: str,
                          f"{run_id}-{batch_id}") \
             .write.mode("overwrite").parquet(f"{output_path}/lineage/{bsub}")
         unified.unpersist()
-        p1.unpersist()
 
     stream = read_pages_stream(spark, input_path, max_files_per_trigger)
     writer = (stream.writeStream

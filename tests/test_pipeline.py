@@ -72,6 +72,27 @@ def test_typed_outputs_match_pure_parser(spark, pipeline_out, pages_path):
                [e["code"] for e in resp["errores_detectados"]]
 
 
+def test_single_pass_matches_two_stage(spark, pages_path, tmp_path):
+    """The fused single-pass pipeline (default) and the two-stage twin
+    (fuse_tiers=False) must produce byte-identical output: same global
+    digest, same counts, and row-for-row equal data sinks (every unified
+    column + response_json + spans)."""
+    s_fused = run_pipeline(spark, pages_path, str(tmp_path / "fused"),
+                           RUN_DATE, partitions=8)
+    s_two = run_pipeline(spark, pages_path, str(tmp_path / "two"),
+                         RUN_DATE, partitions=8, fuse_tiers=False)
+    assert s_fused["digest"] == s_two["digest"]
+    for k in ("input_count", "extracted_count", "valid_count", "tier2_count"):
+        assert s_fused[k] == s_two[k], k
+    a = spark.read.parquet(f"{tmp_path}/fused/data")
+    b = spark.read.parquet(f"{tmp_path}/two/data")
+    cols = sorted(set(a.columns) - {"spans"})  # spans compared via json cast
+    proj = [F.col(c) for c in cols] + [F.to_json("spans").alias("spans_j")]
+    rows_a = sorted(map(tuple, a.select(*proj).collect()))
+    rows_b = sorted(map(tuple, b.select(*proj).collect()))
+    assert rows_a == rows_b
+
+
 def test_rerun_digest_identical(spark, pages_path, tmp_path):
     """Same input + same run-date ⇒ identical global digest (determinism),
     at any partition count and with salting on or off."""

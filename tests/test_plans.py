@@ -38,7 +38,7 @@ def test_tpch_q1_partial_aggregation(spark):
 
 
 def test_pipeline_one_python_pass_per_tier(spark):
-    """The fused plan crosses JVM↔Python exactly once per tier (§4.2-2)."""
+    """The two-stage twin crosses JVM↔Python exactly once per tier (§4.2-2)."""
     from datetime import date
     from ocr_spark import job, pagegen
     from ocr_spark.functions import udfs
@@ -48,6 +48,22 @@ def test_pipeline_one_python_pass_per_tier(spark):
     unified = p1.filter(~F.col("needs_tier2")).drop("html", "src_text")
     # pagegen itself is one mapInPandas; the pipeline adds exactly one more
     assert plans.python_eval_count(unified) == 2
+
+
+def test_pipeline_single_pass_one_python_stage_total(spark):
+    """The DEFAULT fused pipeline crosses JVM↔Python exactly once for the
+    whole dual-tier extraction — no second stage, no union."""
+    from datetime import date
+    from ocr_spark import job, pagegen
+    from ocr_spark.functions import udfs
+    pages = pagegen.generate_df(spark, 8, partitions=2)
+    fused = udfs.fused_single_pass_udf(date(2026, 8, 16), "standard", True)
+    unified = (job.spread_partitions(pages, 4)
+               .mapInPandas(fused, udfs.FUSED_SCHEMA)
+               .drop("html", "src_text"))
+    # pagegen itself is one mapInPandas; the whole pipeline adds ONE more
+    assert plans.python_eval_count(unified) == 2
+    assert "Union" not in plans.physical_plan(unified)
 
 
 def test_scan_reads_no_filters_for_full_count(spark):
