@@ -72,15 +72,22 @@ def test_typed_outputs_match_pure_parser(spark, pipeline_out, pages_path):
                [e["code"] for e in resp["errores_detectados"]]
 
 
-def test_single_pass_matches_two_stage(spark, pages_path, tmp_path):
+@pytest.mark.parametrize("mode,tier2", [("standard", True),
+                                         ("aggressive", True),
+                                         ("layout", True),
+                                         ("standard", False)])
+def test_single_pass_matches_two_stage(spark, pages_path, tmp_path,
+                                       mode, tier2):
     """The fused single-pass pipeline (default) and the two-stage twin
-    (fuse_tiers=False) must produce byte-identical output: same global
-    digest, same counts, and row-for-row equal data sinks (every unified
-    column + response_json + spans)."""
+    (fuse_tiers=False) must produce byte-identical output in EVERY mode
+    and with tier 2 on or off: same global digest, same counts, and
+    row-for-row equal data sinks (every unified column + spans)."""
     s_fused = run_pipeline(spark, pages_path, str(tmp_path / "fused"),
-                           RUN_DATE, partitions=8)
+                           RUN_DATE, partitions=8, mode=mode,
+                           tier2_enabled=tier2)
     s_two = run_pipeline(spark, pages_path, str(tmp_path / "two"),
-                         RUN_DATE, partitions=8, fuse_tiers=False)
+                         RUN_DATE, partitions=8, mode=mode,
+                         tier2_enabled=tier2, fuse_tiers=False)
     assert s_fused["digest"] == s_two["digest"]
     for k in ("input_count", "extracted_count", "valid_count", "tier2_count"):
         assert s_fused[k] == s_two[k], k
