@@ -1,14 +1,16 @@
 """Multimodal columns: opaque ``binary`` media + typed metadata.
 
 The Spark-side plumbing (schemas, batch shapes, partition strategy, UDF
-signatures) is real and tested, and the codec work is REAL for the two
+signatures) is real and tested, and the codec work is REAL for the
 formats that need no external library (:mod:`ocr_spark.operators.codecs`):
-24-bit BMP images are pixel-decoded/downsampled/re-encoded with numpy, and
-PCM-16 WAV audio is decoded/sliced via stdlib ``wave``.  Compressed formats
-(JPEG/PNG/H.264) stay behind :data:`HAVE_MEDIA_LIBS`:
-:func:`_decode_image_stub` raises ``NotImplementedError`` unless
-``deterministic_fake=True``, which produces a seeded fake feature vector so
-the distributed plumbing is exercised even for undecodable payloads.
+24-bit BMP and PNG images (PNG = stdlib zlib inflate + numpy row
+unfiltering, all five color types) are pixel-decoded/downsampled/
+re-encoded, and PCM-16 WAV audio is decoded/sliced via stdlib ``wave``.
+The remaining compressed formats (JPEG/H.264) stay behind
+:data:`HAVE_MEDIA_LIBS`: :func:`_decode_image_stub` raises
+``NotImplementedError`` unless ``deterministic_fake=True``, which produces
+a seeded fake feature vector so the distributed plumbing is exercised even
+for undecodable payloads.
 
 Design points that survive a 100 TB corpus:
 * media bytes stay in-column (no driver collect, no temp files);
@@ -68,7 +70,7 @@ MAX_PAYLOAD_BYTES = 8 * 1024 * 1024  # P7 analog: cap pathological blobs
 
 def _decode_image_stub(payload: bytes, deterministic_fake: bool) -> np.ndarray:
     """Fallback for payloads the pure-python codecs cannot decode
-    (JPEG/PNG/H.264…).
+    (JPEG/H.264/interlaced-PNG…).
 
     Real implementation would be: decode (PIL/libav) → resize/frame-sample
     → embed.  STUB: without media libs, either raise (production guard) or
@@ -131,9 +133,9 @@ def media_feature_vector(payload: bytes,
     the cap is checked BEFORE dispatch so a truncated header can't
     masquerade as an undecodable format)."""
     if len(payload) <= MAX_PAYLOAD_BYTES:
-        px = codecs.decode_bmp(payload)
-        if px is not None:
-            return True, _image_features(px)
+        img = codecs.decode_image(payload)   # BMP or PNG, real pixels
+        if img is not None:
+            return True, _image_features(img[0])
         wav = codecs.decode_wav(payload)
         if wav is not None:
             return True, _audio_features(*wav)
@@ -200,11 +202,12 @@ def resize_images(df: DataFrame, max_px: int = 512,
                   deterministic_fake: bool = True) -> DataFrame:
     """Image rows → capped-dimension payloads (P7 resize analog).
 
-    BMP payloads get a REAL area downsample (decode → block-mean →
-    re-encode, :func:`codecs.downsample_bmp`).  Other formats need external
-    codecs: the deterministic fake scales the recorded dims and truncates
-    the payload proportionally, so schema, batch shape, and the byte-budget
-    behavior are exercised end-to-end either way.
+    BMP and PNG payloads get a REAL area downsample (decode → block-mean →
+    re-encode in the same container, :func:`codecs.downsample_image`).
+    Other formats need external codecs: the deterministic fake scales the
+    recorded dims and truncates the payload proportionally, so schema,
+    batch shape, and the byte-budget behavior are exercised end-to-end
+    either way.
     """
 
     def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -213,7 +216,7 @@ def resize_images(df: DataFrame, max_px: int = 512,
             for mid, kind, payload, meta in zip(
                     pdf["media_id"], pdf["kind"], pdf["payload"], pdf["meta"]):
                 payload = bytes(payload or b"")
-                real = codecs.downsample_bmp(payload, max_px)
+                real = codecs.downsample_image(payload, max_px)
                 if real is not None:
                     out, w, h = real
                     rows.append({"media_id": mid, "kind": kind,
@@ -291,10 +294,12 @@ def media_metadata_stats(df: DataFrame) -> DataFrame:
 def synthetic_media(spark, rows: int = 64) -> DataFrame:
     """Deterministic media table for tests/benches.
 
-    Image rows carry REAL 24-bit BMPs (seeded gradient+noise pixels) and
-    audio rows REAL PCM-16 WAVs (seeded sine+noise), so the decode paths
-    above run genuine codec work end-to-end; video rows stay opaque seeded
-    bytes (no pure-python video container), exercising the stub branch.
+    Image rows alternate REAL 24-bit BMPs and REAL PNGs (seeded
+    gradient+noise pixels; the PNG path exercises zlib inflate + row
+    unfiltering) and audio rows carry REAL PCM-16 WAVs (seeded
+    sine+noise), so the decode paths above run genuine codec work
+    end-to-end; video rows stay opaque seeded bytes (no pure-python video
+    container), exercising the stub branch.
     """
     def make(i: int):
         kind = ("image", "audio", "video")[i % 3]
@@ -306,8 +311,12 @@ def synthetic_media(spark, rows: int = 64) -> DataFrame:
                            (yy * 255 // max(1, h - 1)),
                            rng.randint(0, 256, size=(h, w))],
                           axis=-1).astype(np.uint8)
-            return (i, kind, codecs.encode_bmp(px),
-                    {"mime": "image/bmp", "width": w, "height": h,
+            if i % 2 == 0:
+                return (i, kind, codecs.encode_bmp(px),
+                        {"mime": "image/bmp", "width": w, "height": h,
+                         "duration_ms": None})
+            return (i, kind, codecs.encode_png(px),
+                    {"mime": "image/png", "width": w, "height": h,
                      "duration_ms": None})
         if kind == "audio":
             rate = 8000

@@ -482,6 +482,86 @@ def test_bmp_roundtrip_and_downsample():
     assert codecs.decode_bmp(b"not a bitmap") is None
 
 
+def test_png_roundtrip_filters_and_color_types():
+    """Real PNG codec: lossless encode→decode round trip; decode of
+    streams forward-filtered with EVERY RFC 2083 filter type (the test
+    applies the filter, the codec must invert it); gray/RGBA color-type
+    normalization; container-preserving downsample; garbage safety."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from ocr_spark.operators import codecs
+
+    rng = np.random.RandomState(5)
+    px = rng.randint(0, 256, size=(23, 17, 3)).astype(np.uint8)
+    assert np.array_equal(codecs.decode_png(codecs.encode_png(px)), px)
+
+    def forward_filter(arr, ftype):
+        h, w, ch = arr.shape
+        stride = w * ch
+        flat = arr.reshape(h, stride).astype(np.int32)
+        out = bytearray()
+        prev = np.zeros(stride, dtype=np.int32)
+        for y in range(h):
+            cur = flat[y]
+            left = np.concatenate([np.zeros(ch, np.int32), cur[:-ch]])
+            if ftype == 0:
+                filt = cur
+            elif ftype == 1:
+                filt = cur - left
+            elif ftype == 2:
+                filt = cur - prev
+            elif ftype == 3:
+                filt = cur - (left + prev) // 2
+            else:  # Paeth
+                filt = np.zeros(stride, np.int32)
+                for i in range(stride):
+                    a = int(cur[i - ch]) if i >= ch else 0
+                    b = int(prev[i])
+                    c = int(prev[i - ch]) if i >= ch else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (
+                        b if pb <= pc else c)
+                    filt[i] = cur[i] - pred
+            out.append(ftype)
+            out += bytes((filt % 256).astype(np.uint8))
+            prev = cur
+        return bytes(out)
+
+    def build_png(arr, ftype, ctype):
+        h, w = arr.shape[:2]
+        body = forward_filter(arr, ftype)
+
+        def chunk(tag, data):
+            return (struct.pack(">I", len(data)) + tag + data
+                    + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF))
+
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+        return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+                + chunk(b"IDAT", zlib.compress(body)) + chunk(b"IEND", b""))
+
+    for f in range(5):
+        got = codecs.decode_png(build_png(px, f, 2))
+        assert got is not None and np.array_equal(got, px), f"filter {f}"
+
+    gray = rng.randint(0, 256, size=(9, 11, 1)).astype(np.uint8)
+    assert np.array_equal(codecs.decode_png(build_png(gray, 1, 0)),
+                          np.repeat(gray, 3, axis=2))
+    rgba = rng.randint(0, 256, size=(7, 5, 4)).astype(np.uint8)
+    assert np.array_equal(codecs.decode_png(build_png(rgba, 2, 6)),
+                          rgba[..., :3])
+
+    small = codecs.downsample_image(codecs.encode_png(px), 8)
+    assert small is not None and small[0].startswith(b"\x89PNG\r\n\x1a\n")
+    assert max(small[1], small[2]) <= 8
+    for junk in (b"", b"\x89PNG\r\n\x1a\n", b"\x89PNG\r\n\x1a\nXXXX",
+                 b"notpng", codecs.encode_png(px)[:40]):
+        assert codecs.decode_png(junk) is None
+
+
 def test_wav_roundtrip_and_frames(spark):
     import numpy as np
 
@@ -522,7 +602,9 @@ def test_media_features_real_decode(spark):
     for mid, r in resized.items():
         assert max(r["width"], r["height"]) <= 24
         from ocr_spark.operators import codecs
-        assert codecs.decode_bmp(bytes(r["payload"])) is not None
+        # real re-encode in the ORIGINAL container (BMP rows stay BMP,
+        # PNG rows stay PNG) — both decodable
+        assert codecs.decode_image(bytes(r["payload"])) is not None
 
 
 def test_ivf_persisted_index(spark, tmp_path):
