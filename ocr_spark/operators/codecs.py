@@ -224,6 +224,9 @@ def decode_image(payload: bytes) -> tuple[np.ndarray, str] | None:
     px = decode_png(payload)
     if px is not None:
         return px, "png"
+    px = decode_jpeg(payload)
+    if px is not None:
+        return px, "jpeg"
     return None
 
 
@@ -245,8 +248,461 @@ def downsample_image(payload: bytes, max_px: int
     cropped = px[:nh * factor, :nw * factor].astype(np.uint32)
     small = (cropped.reshape(nh, factor, nw, factor, 3)
              .mean(axis=(1, 3)).astype(np.uint8))
-    encode = encode_bmp if fmt == "bmp" else encode_png
+    encode = {"bmp": encode_bmp, "png": encode_png,
+              "jpeg": encode_jpeg}[fmt]
     return encode(small), nw, nh
+
+
+# ---------------------------------------------------------------------------
+# JPEG (baseline sequential DCT, Huffman — ITU-T T.81; pure numpy)
+# ---------------------------------------------------------------------------
+#
+# Scope: the dominant web JPEG — baseline sequential (SOF0), 8-bit, 1 or 3
+# components, any sampling factors up to 2x2 (4:4:4 / 4:2:2 / 4:2:0),
+# restart markers.  Progressive (SOF2), arithmetic coding, 12-bit, and
+# CMYK return None and take the disclosed stub path downstream.
+
+ZIGZAG = np.array([
+     0,  1,  8, 16,  9,  2,  3, 10, 17, 24, 32, 25, 18, 11,  4,  5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13,  6,  7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63],
+    dtype=np.int32)
+
+# orthonormal 8-point DCT-II basis: _DCT8[k, n] = c(k) cos((2n+1)kπ/16)
+_DCT8 = np.zeros((8, 8))
+for _k in range(8):
+    _c = np.sqrt(0.5) if _k == 0 else 1.0
+    _DCT8[_k] = 0.5 * _c * np.cos((2 * np.arange(8) + 1) * _k * np.pi / 16)
+del _k, _c
+
+
+def _idct2(coef: np.ndarray) -> np.ndarray:
+    """Inverse 2-D DCT of an 8×8 coefficient block (float in/out)."""
+    return _DCT8.T @ coef @ _DCT8
+
+
+def _fdct2(block: np.ndarray) -> np.ndarray:
+    """Forward 2-D DCT of an 8×8 sample block (float in/out)."""
+    return _DCT8 @ block @ _DCT8.T
+
+
+class _HuffTable:
+    """Canonical JPEG Huffman table → (code → symbol) decode dict keyed by
+    (length, code-value), mirroring the spec's BITS/HUFFVAL construction."""
+
+    def __init__(self, bits: list[int], values: bytes) -> None:
+        self.lookup: dict[tuple[int, int], int] = {}
+        code = 0
+        k = 0
+        for length in range(1, 17):
+            for _ in range(bits[length - 1]):
+                self.lookup[(length, code)] = values[k]
+                code += 1
+                k += 1
+            code <<= 1
+
+
+class _BitReader:
+    """MSB-first bit reader over entropy-coded data (already unstuffed)."""
+
+    def __init__(self, data: bytes) -> None:
+        self.data = data
+        self.pos = 0
+        self.bit = 0
+
+    def read_bit(self) -> int:
+        if self.pos >= len(self.data):
+            raise EOFError
+        b = (self.data[self.pos] >> (7 - self.bit)) & 1
+        self.bit += 1
+        if self.bit == 8:
+            self.bit = 0
+            self.pos += 1
+        return b
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def decode_huff(self, table: _HuffTable) -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | self.read_bit()
+            sym = table.lookup.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid Huffman code")
+
+
+def _extend(v: int, size: int) -> int:
+    """JPEG EXTEND: map `size`-bit magnitude bits to the signed value."""
+    if size == 0:
+        return 0
+    return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+
+
+def decode_jpeg(payload: bytes) -> np.ndarray | None:
+    """Baseline JPEG → (h, w, 3) uint8 RGB; None for non/unsupported JPEG."""
+    b = payload
+    if len(b) < 4 or b[0:2] != b"\xff\xd8":
+        return None
+    try:
+        return _decode_jpeg_inner(b)
+    except (EOFError, ValueError, IndexError, KeyError, ZeroDivisionError):
+        return None
+
+
+def _decode_jpeg_inner(b: bytes) -> np.ndarray | None:
+    pos = 2
+    qt: dict[int, np.ndarray] = {}
+    huff_dc: dict[int, _HuffTable] = {}
+    huff_ac: dict[int, _HuffTable] = {}
+    frame = None          # (h, w, [(cid, hs, vs, tq)])
+    restart_interval = 0
+    scan = None
+    while pos + 4 <= len(b):
+        if b[pos] != 0xFF:
+            return None
+        marker = b[pos + 1]
+        if marker == 0xD8:       # stray SOI
+            pos += 2
+            continue
+        seg_len = int.from_bytes(b[pos + 2:pos + 4], "big")
+        data = b[pos + 4:pos + 2 + seg_len]
+        if marker == 0xDB:       # DQT
+            i = 0
+            while i < len(data):
+                pq, tq = data[i] >> 4, data[i] & 0xF
+                if pq != 0:      # 16-bit tables: out of scope
+                    return None
+                tbl = np.frombuffer(data[i + 1:i + 65], dtype=np.uint8)
+                if tbl.size != 64:
+                    return None
+                qt[tq] = tbl.astype(np.int32)
+                i += 65
+        elif marker == 0xC0:     # SOF0 baseline
+            h = int.from_bytes(data[1:3], "big")
+            w = int.from_bytes(data[3:5], "big")
+            ncomp = data[5]
+            if data[0] != 8 or ncomp not in (1, 3) or not h or not w:
+                return None
+            comps = []
+            for ci in range(ncomp):
+                cid = data[6 + ci * 3]
+                hs, vs = data[7 + ci * 3] >> 4, data[7 + ci * 3] & 0xF
+                tq = data[8 + ci * 3]
+                if not (1 <= hs <= 2 and 1 <= vs <= 2):
+                    return None
+                comps.append((cid, hs, vs, tq))
+            frame = (h, w, comps)
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                        0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            return None          # non-baseline frame types
+        elif marker == 0xC4:     # DHT
+            i = 0
+            while i + 17 <= len(data):
+                tc, th = data[i] >> 4, data[i] & 0xF
+                bits = list(data[i + 1:i + 17])
+                nval = sum(bits)
+                vals = data[i + 17:i + 17 + nval]
+                (huff_dc if tc == 0 else huff_ac)[th] = _HuffTable(bits, vals)
+                i += 17 + nval
+        elif marker == 0xDD:     # DRI
+            restart_interval = int.from_bytes(data[0:2], "big")
+        elif marker == 0xDA:     # SOS
+            ns = data[0]
+            scan = []
+            for si in range(ns):
+                cs = data[1 + si * 2]
+                td, ta = data[2 + si * 2] >> 4, data[2 + si * 2] & 0xF
+                scan.append((cs, td, ta))
+            pos = pos + 2 + seg_len
+            break
+        pos += 2 + seg_len
+    if frame is None or scan is None:
+        return None
+    h, w, comps = frame
+    if len(scan) != len(comps):
+        return None
+
+    # entropy-coded segment: unstuff FF00, collect restart boundaries
+    ecs = bytearray()
+    resets = []
+    i = pos
+    n = len(b)
+    while i < n:
+        c = b[i]
+        if c == 0xFF:
+            nxt = b[i + 1] if i + 1 < n else 0xD9
+            if nxt == 0x00:
+                ecs.append(0xFF)
+                i += 2
+                continue
+            if 0xD0 <= nxt <= 0xD7:          # RSTn
+                resets.append(len(ecs))
+                i += 2
+                continue
+            break                            # EOI or next marker
+        ecs.append(c)
+        i += 1
+
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    planes = []
+    for cid, hs, vs, tq in comps:
+        planes.append(np.zeros((mcuy * vs * 8, mcux * hs * 8),
+                               dtype=np.float64))
+
+    reader = _BitReader(bytes(ecs))
+    preds = [0] * len(comps)
+    mcu_index = 0
+    reset_iter = iter(resets)
+    next_reset = next(reset_iter, None)
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if (restart_interval and mcu_index
+                    and mcu_index % restart_interval == 0):
+                # align to the recorded restart boundary and reset DC
+                if next_reset is None:
+                    raise ValueError("missing restart marker")
+                reader.pos, reader.bit = next_reset, 0
+                next_reset = next(reset_iter, None)
+                preds = [0] * len(comps)
+            for ci, (cid, hs, vs, tq) in enumerate(comps):
+                _, td, ta = scan[ci]
+                for by in range(vs):
+                    for bx in range(hs):
+                        zz = np.zeros(64, dtype=np.int32)
+                        t = reader.decode_huff(huff_dc[td])
+                        diff = _extend(reader.read_bits(t), t)
+                        preds[ci] += diff
+                        zz[0] = preds[ci]
+                        k = 1
+                        while k < 64:
+                            rs = reader.decode_huff(huff_ac[ta])
+                            r, s = rs >> 4, rs & 0xF
+                            if s == 0:
+                                if r == 15:
+                                    k += 16
+                                    continue
+                                break        # EOB
+                            k += r
+                            if k > 63:
+                                raise ValueError("AC run past block end")
+                            zz[k] = _extend(reader.read_bits(s), s)
+                            k += 1
+                        # DQT tables arrive in zigzag order, so qt[i]
+                        # dequantizes the coefficient at zigzag index i
+                        coef = np.zeros(64, dtype=np.float64)
+                        coef[ZIGZAG] = zz * qt[tq]
+                        block = _idct2(coef.reshape(8, 8)) + 128.0
+                        y0 = (my * vs + by) * 8
+                        x0 = (mx * hs + bx) * 8
+                        planes[ci][y0:y0 + 8, x0:x0 + 8] = block
+            mcu_index += 1
+
+    # upsample each component to full MCU-aligned resolution, crop, combine
+    full = []
+    for (cid, hs, vs, tq), plane in zip(comps, planes):
+        up = np.repeat(np.repeat(plane, vmax // vs, axis=0),
+                       hmax // hs, axis=1)
+        full.append(up[:h, :w])
+    if len(full) == 1:
+        y = np.clip(full[0], 0, 255).astype(np.uint8)
+        return np.repeat(y[..., None], 3, axis=2)
+    y, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    bl = y + 1.772 * cb
+    rgb = np.stack([r, g, bl], axis=-1)
+    return np.clip(np.rint(rgb), 0, 255).astype(np.uint8)
+
+
+# --- JPEG encoder (baseline, 4:4:4, Annex K tables) — primarily the
+#     differential twin for decode_jpeg, and a real encoder nonetheless ----
+
+# ITU-T T.81 Annex K quantization tables (luminance / chrominance)
+_QL = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61, 12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56, 14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77, 24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101, 72, 92, 95, 98, 112, 100, 103, 99],
+    dtype=np.int32)
+_QC = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99, 18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99, 47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99],
+    dtype=np.int32)
+
+# Annex K typical Huffman tables: (BITS list, HUFFVAL bytes)
+_DC_L = ([0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+         bytes(range(12)))
+_DC_C = ([0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+         bytes(range(12)))
+_AC_L = ([0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D], bytes([
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41, 0x06,
+    0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24, 0x33, 0x62, 0x72,
+    0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44, 0x45,
+    0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75,
+    0x76, 0x77, 0x78, 0x79, 0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+    0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2, 0xF3, 0xF4,
+    0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA]))
+_AC_C = ([0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77], bytes([
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12, 0x41,
+    0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+    0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15, 0x62, 0x72, 0xD1,
+    0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+    0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44,
+    0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+    0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74,
+    0x75, 0x76, 0x77, 0x78, 0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+    0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A,
+    0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+    0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+    0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2, 0xF3, 0xF4,
+    0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA]))
+
+
+def _huff_encode_map(bits: list[int], values: bytes) -> dict[int, tuple[int, int]]:
+    """symbol → (code, length) for the canonical table."""
+    out: dict[int, tuple[int, int]] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[values[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            byte = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:
+                self.out.append(0x00)     # byte stuffing
+            self.nbits -= 8
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)   # pad with 1s
+        return bytes(self.out)
+
+
+def _mag_cat(v: int) -> tuple[int, int]:
+    """(size category, magnitude bits) for a signed DCT coefficient."""
+    if v == 0:
+        return 0, 0
+    a = abs(v)
+    size = a.bit_length()
+    bits = v if v > 0 else v + (1 << size) - 1
+    return size, bits
+
+
+def encode_jpeg(rgb: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 RGB → baseline JPEG (4:4:4, Annex K tables)."""
+    h, w = rgb.shape[:2]
+    px = np.asarray(rgb, dtype=np.float64)
+    y = 0.299 * px[..., 0] + 0.587 * px[..., 1] + 0.114 * px[..., 2]
+    cb = 128.0 - 0.168736 * px[..., 0] - 0.331264 * px[..., 1] + 0.5 * px[..., 2]
+    cr = 128.0 + 0.5 * px[..., 0] - 0.418688 * px[..., 1] - 0.081312 * px[..., 2]
+
+    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+    planes = []
+    for plane in (y, cb, cr):
+        p = np.empty((ph, pw))
+        p[:h, :w] = plane
+        p[h:, :w] = plane[-1:, :]          # edge-replicate padding
+        p[:, w:] = p[:, w - 1:w]
+        planes.append(p - 128.0)
+
+    dc_maps = (_huff_encode_map(*_DC_L), _huff_encode_map(*_DC_C))
+    ac_maps = (_huff_encode_map(*_AC_L), _huff_encode_map(*_AC_C))
+    qts = (_QL, _QC)
+    # quant tables are stored/applied in NATURAL order here; the DQT
+    # segment serializes them in zigzag order as the spec requires
+    writer = _BitWriter()
+    preds = [0, 0, 0]
+    for by in range(ph // 8):
+        for bx in range(pw // 8):
+            for ci in range(3):
+                ti = 0 if ci == 0 else 1
+                block = planes[ci][by * 8:by * 8 + 8, bx * 8:bx * 8 + 8]
+                coef = _fdct2(block)
+                q = np.rint(coef / qts[ti].reshape(8, 8)).astype(np.int32)
+                zz = q.reshape(64)[ZIGZAG]
+                diff = int(zz[0]) - preds[ci]
+                preds[ci] = int(zz[0])
+                size, bits = _mag_cat(diff)
+                code, ln = dc_maps[ti][size]
+                writer.write(code, ln)
+                if size:
+                    writer.write(bits, size)
+                run = 0
+                last_nz = int(np.max(np.nonzero(zz)[0])) if np.any(zz) else 0
+                for k in range(1, 64):
+                    v = int(zz[k])
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        code, ln = ac_maps[ti][0xF0]   # ZRL
+                        writer.write(code, ln)
+                        run -= 16
+                    size, bits = _mag_cat(v)
+                    code, ln = ac_maps[ti][(run << 4) | size]
+                    writer.write(code, ln)
+                    writer.write(bits, size)
+                    run = 0
+                    if k == last_nz:
+                        break
+                if last_nz < 63:
+                    code, ln = ac_maps[ti][0x00]       # EOB
+                    writer.write(code, ln)
+    ecs = writer.flush()
+
+    def seg(marker: int, data: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(data) + 2) + data
+
+    def dqt(tq: int, tbl: np.ndarray) -> bytes:
+        return seg(0xDB, bytes([tq]) + bytes(
+            int(tbl[ZIGZAG[i]]) for i in range(64)))
+
+    def dht(tc: int, th: int, bits: list[int], vals: bytes) -> bytes:
+        return seg(0xC4, bytes([(tc << 4) | th]) + bytes(bits) + vals)
+
+    sof = seg(0xC0, bytes([8]) + struct.pack(">HH", h, w) + bytes([3])
+              + bytes([1, 0x11, 0]) + bytes([2, 0x11, 1]) + bytes([3, 0x11, 1]))
+    sos = seg(0xDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
+    return (b"\xff\xd8" + dqt(0, _QL) + dqt(1, _QC)
+            + dht(0, 0, *_DC_L) + dht(1, 0, *_AC_L)
+            + dht(0, 1, *_DC_C) + dht(1, 1, *_AC_C)
+            + sof + sos + ecs + b"\xff\xd9")
 
 
 # ---------------------------------------------------------------------------

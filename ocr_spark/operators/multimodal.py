@@ -3,11 +3,13 @@
 The Spark-side plumbing (schemas, batch shapes, partition strategy, UDF
 signatures) is real and tested, and the codec work is REAL for the
 formats that need no external library (:mod:`ocr_spark.operators.codecs`):
-24-bit BMP and PNG images (PNG = stdlib zlib inflate + numpy row
-unfiltering, all five color types) are pixel-decoded/downsampled/
-re-encoded, and PCM-16 WAV audio is decoded/sliced via stdlib ``wave``.
-The remaining compressed formats (JPEG/H.264) stay behind
-:data:`HAVE_MEDIA_LIBS`: :func:`_decode_image_stub` raises
+24-bit BMP, PNG (stdlib zlib inflate + numpy row unfiltering, all five
+color types), and baseline JPEG (pure-numpy Huffman + dequant + IDCT,
+4:4:4/4:2:2/4:2:0, restart markers) images are pixel-decoded/
+downsampled/re-encoded, and PCM-16 WAV audio is decoded/sliced via
+stdlib ``wave``.  What remains stubbed behind :data:`HAVE_MEDIA_LIBS` is
+video (H.264…) plus exotic image variants (progressive JPEG,
+interlaced/16-bit PNG): :func:`_decode_image_stub` raises
 ``NotImplementedError`` unless ``deterministic_fake=True``, which produces
 a seeded fake feature vector so the distributed plumbing is exercised even
 for undecodable payloads.
@@ -70,7 +72,7 @@ MAX_PAYLOAD_BYTES = 8 * 1024 * 1024  # P7 analog: cap pathological blobs
 
 def _decode_image_stub(payload: bytes, deterministic_fake: bool) -> np.ndarray:
     """Fallback for payloads the pure-python codecs cannot decode
-    (JPEG/H.264/interlaced-PNG…).
+    (H.264/progressive-JPEG/interlaced-PNG…).
 
     Real implementation would be: decode (PIL/libav) → resize/frame-sample
     → embed.  STUB: without media libs, either raise (production guard) or
@@ -294,10 +296,10 @@ def media_metadata_stats(df: DataFrame) -> DataFrame:
 def synthetic_media(spark, rows: int = 64) -> DataFrame:
     """Deterministic media table for tests/benches.
 
-    Image rows alternate REAL 24-bit BMPs and REAL PNGs (seeded
-    gradient+noise pixels; the PNG path exercises zlib inflate + row
-    unfiltering) and audio rows carry REAL PCM-16 WAVs (seeded
-    sine+noise), so the decode paths above run genuine codec work
+    Image rows rotate through REAL 24-bit BMPs, REAL PNGs (zlib inflate +
+    row unfiltering), and REAL baseline JPEGs (Huffman + IDCT) over
+    seeded gradient+noise pixels, and audio rows carry REAL PCM-16 WAVs
+    (seeded sine+noise), so the decode paths above run genuine codec work
     end-to-end; video rows stay opaque seeded bytes (no pure-python video
     container), exercising the stub branch.
     """
@@ -311,12 +313,17 @@ def synthetic_media(spark, rows: int = 64) -> DataFrame:
                            (yy * 255 // max(1, h - 1)),
                            rng.randint(0, 256, size=(h, w))],
                           axis=-1).astype(np.uint8)
-            if i % 2 == 0:
+            container = (i // 3) % 3
+            if container == 0:
                 return (i, kind, codecs.encode_bmp(px),
                         {"mime": "image/bmp", "width": w, "height": h,
                          "duration_ms": None})
-            return (i, kind, codecs.encode_png(px),
-                    {"mime": "image/png", "width": w, "height": h,
+            if container == 1:
+                return (i, kind, codecs.encode_png(px),
+                        {"mime": "image/png", "width": w, "height": h,
+                         "duration_ms": None})
+            return (i, kind, codecs.encode_jpeg(px),
+                    {"mime": "image/jpeg", "width": w, "height": h,
                      "duration_ms": None})
         if kind == "audio":
             rate = 8000

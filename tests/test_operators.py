@@ -562,6 +562,108 @@ def test_png_roundtrip_filters_and_color_types():
         assert codecs.decode_png(junk) is None
 
 
+def test_jpeg_codec_roundtrip_and_reference_stream():
+    """Real baseline JPEG codec.  Three independent groundings:
+
+    1. the DCT kernel matches the direct O(N^4) ITU-T definition;
+    2. encode→decode round trips: a solid field decodes EXACTLY (all AC
+       zero), a smooth gradient within quantization error;
+    3. a HAND-CRAFTED minimal stream (trivial Huffman tables, DC-only
+       block — fully independent of our encoder) decodes to the value
+       computed from the spec by hand, including a restart-marker variant
+       with its DC-predictor reset."""
+    import struct
+
+    import numpy as np
+
+    from ocr_spark.operators import codecs
+
+    # 1. kernel vs direct definition
+    rng = np.random.RandomState(0)
+    blk = rng.uniform(-128, 127, size=(8, 8))
+    ref = np.zeros((8, 8))
+    for u in range(8):
+        for v in range(8):
+            cu = np.sqrt(0.5) if u == 0 else 1.0
+            cv = np.sqrt(0.5) if v == 0 else 1.0
+            s = (blk * np.outer(np.cos((2 * np.arange(8) + 1) * u * np.pi / 16),
+                                np.cos((2 * np.arange(8) + 1) * v * np.pi / 16))
+                 ).sum()
+            ref[u, v] = 0.25 * cu * cv * s
+    assert np.abs(codecs._fdct2(blk) - ref).max() < 1e-9
+
+    # 2. round trips
+    flat = np.full((16, 24, 3), 128, dtype=np.uint8)
+    assert np.array_equal(codecs.decode_jpeg(codecs.encode_jpeg(flat)), flat)
+    yy, xx = np.mgrid[0:40, 0:56]
+    grad = np.stack([xx * 255 // 55, yy * 255 // 39,
+                     (xx + yy) * 255 // 94], axis=-1).astype(np.uint8)
+    out = codecs.decode_jpeg(codecs.encode_jpeg(grad))
+    assert np.abs(out.astype(int) - grad.astype(int)).mean() < 4.0
+
+    # 3. hand-crafted reference stream: 1 gray component, quant all-16,
+    #    DC Huffman = {size 2: "0"}, AC Huffman = {EOB: "0"}.
+    #    Bits: DC code "0" + magnitude "11" (EXTEND→diff 3) + EOB "0"
+    #    → 0b0110 padded with 1s → 0x6F.  Pixel = 128 + 16·3·(1/8) = 134.
+    def seg(marker, data):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(data) + 2) + data
+
+    dqt = seg(0xDB, bytes([0]) + bytes([16] * 64))
+    dht_dc = seg(0xC4, bytes([0x00]) + bytes([1] + [0] * 15) + bytes([2]))
+    dht_ac = seg(0xC4, bytes([0x10]) + bytes([1] + [0] * 15) + bytes([0x00]))
+    sof = seg(0xC0, bytes([8]) + struct.pack(">HH", 8, 8) + bytes([1])
+              + bytes([1, 0x11, 0]))
+    sos = seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    hand = (b"\xff\xd8" + dqt + dht_dc + dht_ac + sof + sos
+            + bytes([0x6F]) + b"\xff\xd9")
+    got = codecs.decode_jpeg(hand)
+    assert got is not None and got.shape == (8, 8, 3)
+    assert (got == 134).all(), got[0, 0]
+
+    # restart variant: 16×8 → 2 MCUs, DRI=1, FFD0 between them; the DC
+    # predictor must RESET, so MCU2's identical "diff 3" bits give 134
+    # again (without the reset it would accumulate to 6 → 140)
+    sof2 = seg(0xC0, bytes([8]) + struct.pack(">HH", 8, 16) + bytes([1])
+               + bytes([1, 0x11, 0]))
+    dri = seg(0xDD, struct.pack(">H", 1))
+    hand2 = (b"\xff\xd8" + dqt + dht_dc + dht_ac + sof2 + dri + sos
+             + bytes([0x6F]) + b"\xff\xd0" + bytes([0x6F]) + b"\xff\xd9")
+    got2 = codecs.decode_jpeg(hand2)
+    assert got2 is not None and got2.shape == (8, 16, 3)
+    assert (got2 == 134).all()
+
+    # 4:2:0 hand stream: Y sampled 2×2, Cb/Cr 1×1 — one MCU covers 16×16.
+    # DC table now holds sizes {2, 0} (codes "00"/"01"); block order in
+    # the MCU is Y×4 then Cb then Cr; first Y carries diff 3, the rest
+    # diff 0 (the per-component DC predictor carries within the MCU), and
+    # zero chroma leaves Cb=Cr=128 → a uniform gray 134 image.
+    dht_dc2 = seg(0xC4, bytes([0x00]) + bytes([0, 2] + [0] * 14)
+                  + bytes([2, 0]))
+    sof420 = seg(0xC0, bytes([8]) + struct.pack(">HH", 16, 16) + bytes([3])
+                 + bytes([1, 0x22, 0]) + bytes([2, 0x11, 0])
+                 + bytes([3, 0x11, 0]))
+    sos3 = seg(0xDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0]))
+    wr = codecs._BitWriter()
+    wr.write(0b00, 2); wr.write(0b11, 2); wr.write(0, 1)   # Y1: diff 3, EOB
+    for _ in range(3):                                      # Y2-4: diff 0
+        wr.write(0b01, 2); wr.write(0, 1)
+    for _ in range(2):                                      # Cb, Cr: diff 0
+        wr.write(0b01, 2); wr.write(0, 1)
+    hand420 = (b"\xff\xd8" + dqt + dht_dc2 + dht_ac + sof420 + sos3
+               + wr.flush() + b"\xff\xd9")
+    got420 = codecs.decode_jpeg(hand420)
+    assert got420 is not None and got420.shape == (16, 16, 3)
+    assert (got420 == 134).all()
+
+    # progressive (SOF2) and garbage are rejected, not mis-decoded
+    sof_prog = seg(0xC2, bytes([8]) + struct.pack(">HH", 8, 8) + bytes([1])
+                   + bytes([1, 0x11, 0]))
+    assert codecs.decode_jpeg(b"\xff\xd8" + dqt + sof_prog) is None
+    for junk in (b"", b"\xff\xd8", b"\xff\xd8\xff\xd9",
+                 codecs.encode_jpeg(flat)[:60]):
+        assert codecs.decode_jpeg(junk) is None
+
+
 def test_wav_roundtrip_and_frames(spark):
     import numpy as np
 
