@@ -706,6 +706,71 @@ def encode_jpeg(rgb: np.ndarray) -> bytes:
 
 
 # ---------------------------------------------------------------------------
+# AVI / MJPEG (RIFF demux; frames are baseline JPEGs → decode_jpeg)
+# ---------------------------------------------------------------------------
+
+def decode_avi_mjpeg(payload: bytes) -> tuple[list[bytes], float] | None:
+    """Motion-JPEG AVI → (list of JPEG frame blobs, frames-per-second).
+
+    Real container demux: RIFF walk → ``avih`` main header (µs/frame) →
+    ``movi`` LIST → ``00dc``/``00db`` video chunks in stream order.  The
+    frames themselves are baseline JPEGs handled by :func:`decode_jpeg`.
+    Returns None for non-AVI payloads or AVIs with no video chunks.
+    """
+    b = payload
+    if len(b) < 12 or b[0:4] != b"RIFF" or b[8:12] != b"AVI ":
+        return None
+    us_per_frame = 0
+    frames: list[bytes] = []
+
+    def walk(start: int, end: int) -> None:
+        nonlocal us_per_frame
+        pos = start
+        while pos + 8 <= end:
+            tag = b[pos:pos + 4]
+            size = int.from_bytes(b[pos + 4:pos + 8], "little")
+            body = pos + 8
+            if body + size > end:
+                return
+            if tag == b"LIST":
+                walk(body + 4, body + size)     # skip the list type fourcc
+            elif tag == b"avih" and size >= 4:
+                us_per_frame = int.from_bytes(b[body:body + 4], "little")
+            elif tag[2:4] in (b"dc", b"db") and size > 0:
+                frames.append(b[body:body + size])
+            pos = body + size + (size & 1)      # chunks pad to even
+
+    walk(12, min(len(b), 8 + int.from_bytes(b[4:8], "little")))
+    if not frames:
+        return None
+    fps = 1e6 / us_per_frame if us_per_frame else 25.0
+    return frames, fps
+
+
+def encode_avi_mjpeg(frames: list[bytes], fps: int = 25) -> bytes:
+    """JPEG frame blobs → minimal valid Motion-JPEG AVI bytes."""
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return tag + struct.pack("<I", len(data)) + data + (
+            b"\x00" if len(data) & 1 else b"")
+
+    def lst(four: bytes, data: bytes) -> bytes:
+        return chunk(b"LIST", four + data)
+
+    n = len(frames)
+    avih = struct.pack("<14I", 1_000_000 // max(1, fps), 0, 0, 0x10, n,
+                       0, 1, 0, 0, 0, 0, 0, 0, 0)
+    strh = (b"vids" + b"MJPG" + struct.pack("<IHHIIIIIIIII", 0, 0, 0, 0,
+                                            1, fps, 0, n, 0, 0, 0, 0))
+    strf = struct.pack("<IiiHH4sIiiII", 40, 0, 0, 1, 24, b"MJPG",
+                       0, 0, 0, 0, 0)
+    hdrl = lst(b"hdrl", chunk(b"avih", avih)
+               + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi = lst(b"movi", b"".join(chunk(b"00dc", f) for f in frames))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+# ---------------------------------------------------------------------------
 # WAV (PCM-16, stdlib wave)
 # ---------------------------------------------------------------------------
 

@@ -135,12 +135,20 @@ def media_feature_vector(payload: bytes,
     the cap is checked BEFORE dispatch so a truncated header can't
     masquerade as an undecodable format)."""
     if len(payload) <= MAX_PAYLOAD_BYTES:
-        img = codecs.decode_image(payload)   # BMP or PNG, real pixels
+        img = codecs.decode_image(payload)   # BMP/PNG/JPEG, real pixels
         if img is not None:
             return True, _image_features(img[0])
         wav = codecs.decode_wav(payload)
         if wav is not None:
             return True, _audio_features(*wav)
+        avi = codecs.decode_avi_mjpeg(payload)
+        if avi is not None:                  # real demux + first-frame decode
+            frames, fps = avi
+            first = codecs.decode_jpeg(frames[0])
+            if first is not None:
+                f = _image_features(first)
+                f[-2], f[-1] = float(len(frames)), float(fps)
+                return True, f
     capped = payload[:MAX_PAYLOAD_BYTES]
     return False, [float(v) for v in _decode_image_stub(capped,
                                                         deterministic_fake)]
@@ -246,8 +254,11 @@ def sample_frames(df: DataFrame, every_ms: int = 1000,
     """Video/audio rows → one row per sampled frame (1→N mapInPandas shape).
 
     WAV payloads get REAL PCM windowing: the stream is decoded and each
-    ``every_ms`` window is re-encoded as a standalone WAV clip.  Video
-    demux needs external codecs (stubbed): the fake emits
+    ``every_ms`` window is re-encoded as a standalone WAV clip.  MJPEG
+    AVI payloads get REAL container demux: the ``movi`` chunks are
+    walked and the JPEG frame nearest each ``every_ms`` tick is emitted
+    (decodable by :func:`codecs.decode_jpeg`).  Other video codecs
+    (H.264…) need external libs (stubbed): the fake emits
     duration//every_ms deterministic payload slices, exercising the
     explode-shaped batch contract either way.
     """
@@ -258,6 +269,18 @@ def sample_frames(df: DataFrame, every_ms: int = 1000,
             for mid, payload, meta in zip(
                     pdf["media_id"], pdf["payload"], pdf["meta"]):
                 payload = bytes(payload or b"")
+                avi = codecs.decode_avi_mjpeg(payload)
+                if avi is not None:
+                    frames, fps = avi
+                    total_ms = int(len(frames) * 1000 / fps)
+                    n = max(1, total_ms // every_ms)
+                    for i in range(n):
+                        src = min(len(frames) - 1,
+                                  int(round(i * every_ms * fps / 1000)))
+                        rows.append({"media_id": mid, "frame_idx": i,
+                                     "ts_ms": i * every_ms,
+                                     "frame": frames[src]})
+                    continue
                 wav = codecs.decode_wav(payload)
                 if wav is not None:
                     pcm, rate = wav
@@ -335,6 +358,22 @@ def synthetic_media(spark, rows: int = 64) -> DataFrame:
             return (i, kind, codecs.encode_wav(pcm, rate),
                     {"mime": "audio/wav", "width": None, "height": None,
                      "duration_ms": dur_ms})
+        if (i // 3) % 2 == 0:
+            # REAL Motion-JPEG AVI: n JPEG frames of a moving gradient
+            n_frames = 4 + i % 4
+            fps = 4
+            frames = []
+            for fi in range(n_frames):
+                w, h = 24, 16
+                yy, xx = np.mgrid[0:h, 0:w]
+                px = np.stack([(xx * 255 // (w - 1) + fi * 9) % 256,
+                               (yy * 255 // (h - 1)),
+                               np.full((h, w), (i * 31 + fi * 5) % 256)],
+                              axis=-1).astype(np.uint8)
+                frames.append(codecs.encode_jpeg(px))
+            return (i, kind, codecs.encode_avi_mjpeg(frames, fps),
+                    {"mime": "video/x-motion-jpeg", "width": 24, "height": 16,
+                     "duration_ms": 1000 * n_frames // fps})
         payload = bytes(((i * 131 + j * 17) % 256)
                         for j in range(256 + i % 512))
         return (i, kind, payload,

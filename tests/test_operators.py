@@ -330,7 +330,10 @@ def test_media_features_deterministic(spark):
 
 
 def test_media_stub_guard(spark):
-    media = multimodal.synthetic_media(spark, rows=3)
+    # rows=6 includes media_id 5: an OPAQUE video payload (the (i//3)%2
+    # alternation) — ids 0-2 and the MJPEG video row all decode for real
+    # now, so only the genuinely undecodable row can trip the guard
+    media = multimodal.synthetic_media(spark, rows=6)
     with pytest.raises(Exception):  # NotImplementedError inside the executor
         multimodal.extract_media_features(media, deterministic_fake=False).collect()
 
@@ -867,14 +870,45 @@ def test_canonical_url_preserves_userinfo_case(spark):
 
 def test_media_features_decoded_flag(spark):
     from ocr_spark.operators import multimodal
-    media = multimodal.synthetic_media(spark, rows=9)
+    media = multimodal.synthetic_media(spark, rows=18)
     rows = multimodal.extract_media_features(media).collect()
     by_kind = {}
     for r in rows:
         by_kind.setdefault(r["kind"], set()).add(r["decoded"])
-    assert by_kind["image"] == {True}    # real BMP decode
-    assert by_kind["audio"] == {True}    # real WAV decode
-    assert by_kind["video"] == {False}   # opaque stub path
+    assert by_kind["image"] == {True}          # real BMP/PNG/JPEG decode
+    assert by_kind["audio"] == {True}          # real WAV decode
+    # video alternates REAL MJPEG-AVI (demux + first-frame JPEG decode)
+    # and opaque fake bytes (the disclosed stub path) — both must appear
+    assert by_kind["video"] == {True, False}
+
+
+def test_avi_mjpeg_roundtrip_and_frame_sampling(spark):
+    """Real video path: encode an MJPEG AVI, demux it back losslessly
+    (byte-identical frames), and sample_frames must emit the JPEG nearest
+    each tick — decodable by decode_jpeg with the expected pixels."""
+    import numpy as np
+
+    from ocr_spark.operators import codecs, multimodal
+
+    frames = []
+    for fi in range(6):
+        px = np.full((16, 24, 3), 40 * fi, dtype=np.uint8)
+        frames.append(codecs.encode_jpeg(px))
+    avi = codecs.encode_avi_mjpeg(frames, fps=2)     # 3 s of video
+    back = codecs.decode_avi_mjpeg(avi)
+    assert back is not None
+    got_frames, fps = back
+    assert fps == 2.0 and got_frames == frames       # lossless demux
+    assert codecs.decode_avi_mjpeg(b"RIFFxxxxAVI ") is None
+    assert codecs.decode_avi_mjpeg(b"junk") is None
+
+    media = multimodal.synthetic_media(spark, rows=18)
+    sampled = multimodal.sample_frames(media, every_ms=500).collect()
+    mjpeg = [r for r in sampled
+             if bytes(r["frame"])[:2] == b"\xff\xd8"]
+    assert mjpeg                                     # real demuxed frames
+    px = codecs.decode_jpeg(bytes(mjpeg[0]["frame"]))
+    assert px is not None and px.shape == (16, 24, 3)
 
 
 def test_deterministic_sample_invariance(spark, docs):
