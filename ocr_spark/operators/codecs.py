@@ -217,7 +217,9 @@ def encode_png(rgb: np.ndarray) -> bytes:
 
 
 def decode_image(payload: bytes) -> tuple[np.ndarray, str] | None:
-    """(pixels, format) for any format the pure-python codecs handle."""
+    """(pixels, format) for any format the pure-python codecs handle.
+    Animated GIFs surface their FIRST frame here (the video-shaped
+    operators use :func:`decode_gif` directly for the full sequence)."""
     px = decode_bmp(payload)
     if px is not None:
         return px, "bmp"
@@ -227,7 +229,20 @@ def decode_image(payload: bytes) -> tuple[np.ndarray, str] | None:
     px = decode_jpeg(payload)
     if px is not None:
         return px, "jpeg"
+    gif = decode_gif(payload)
+    if gif is not None:
+        return gif[0][0], "gif"
     return None
+
+
+def _posterize_332(rgb: np.ndarray) -> np.ndarray:
+    """Quantize to the 3-3-2-bit web-safe-ish cube (≤256 colors) so any
+    RGB image becomes GIF-encodable after resampling."""
+    out = rgb.copy()
+    out[..., 0] &= 0xE0
+    out[..., 1] &= 0xE0
+    out[..., 2] &= 0xC0
+    return out
 
 
 def downsample_image(payload: bytes, max_px: int
@@ -248,6 +263,10 @@ def downsample_image(payload: bytes, max_px: int
     cropped = px[:nh * factor, :nw * factor].astype(np.uint32)
     small = (cropped.reshape(nh, factor, nw, factor, 3)
              .mean(axis=(1, 3)).astype(np.uint8))
+    if fmt == "gif":
+        # block-mean can mint >256 colors; GIF re-encode needs a palette,
+        # so posterize to the 3-3-2 cube first (real pipelines quantize)
+        return encode_gif([_posterize_332(small)]), nw, nh
     encode = {"bmp": encode_bmp, "png": encode_png,
               "jpeg": encode_jpeg}[fmt]
     return encode(small), nw, nh
@@ -703,6 +722,244 @@ def encode_jpeg(rgb: np.ndarray) -> bytes:
             + dht(0, 0, *_DC_L) + dht(1, 0, *_AC_L)
             + dht(0, 1, *_DC_C) + dht(1, 1, *_AC_C)
             + sof + sos + ecs + b"\xff\xd9")
+
+
+# ---------------------------------------------------------------------------
+# GIF (LZW decode, GIF87a/89a, palettes, interlace, animation)
+# ---------------------------------------------------------------------------
+
+def _lzw_decode(data: bytes, min_code_size: int) -> list[int] | None:
+    """GIF-variant LZW: LSB-first bit packing, variable width, clear/EOI."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    width = min_code_size + 1
+    dictionary: list[list[int]] = [[i] for i in range(clear)] + [[], []]
+    out: list[int] = []
+    prev: list[int] | None = None
+    acc = nbits = 0
+    pos = 0
+    n = len(data)
+    while True:
+        while nbits < width:
+            if pos >= n:
+                return out  # truncated stream: return what decoded
+            acc |= data[pos] << nbits
+            nbits += 8
+            pos += 1
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        if code == clear:
+            dictionary = [[i] for i in range(clear)] + [[], []]
+            width = min_code_size + 1
+            prev = None
+            continue
+        if code == eoi:
+            return out
+        if code < len(dictionary) and (code < clear or dictionary[code]):
+            entry = dictionary[code]
+        elif code == len(dictionary) and prev is not None:
+            entry = prev + [prev[0]]
+        else:
+            return None  # corrupt
+        out.extend(entry)
+        if prev is not None:
+            dictionary.append(prev + [entry[0]])
+            if len(dictionary) == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+    return out
+
+
+_GIF_INTERLACE = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def decode_gif(payload: bytes) -> tuple[list[np.ndarray], list[int]] | None:
+    """GIF → (list of (h, w, 3) uint8 RGB frames, per-frame delay ms).
+
+    Real decode: logical screen + palettes → per-image LZW inflate →
+    interlace reorder → transparency-aware compositing onto the running
+    canvas (animation).  Returns None for non-GIF payloads.
+    """
+    b = payload
+    if b[:6] not in (b"GIF87a", b"GIF89a"):
+        return None
+    try:
+        w = int.from_bytes(b[6:8], "little")
+        h = int.from_bytes(b[8:10], "little")
+        packed = b[10]
+        pos = 13
+        gct = None
+        if packed & 0x80:
+            size = 3 * (2 << (packed & 7))
+            gct = np.frombuffer(b[pos:pos + size],
+                                dtype=np.uint8).reshape(-1, 3)
+            pos += size
+        if not w or not h:
+            return None
+        canvas = np.zeros((h, w, 3), dtype=np.uint8)
+        if gct is not None and len(gct) > (b[11] if b[11] < len(gct) else 0):
+            canvas[:] = gct[b[11]] if b[11] < len(gct) else 0
+        frames: list[np.ndarray] = []
+        delays: list[int] = []
+        delay_ms = 0
+        transparent = None
+        while pos < len(b):
+            block = b[pos]
+            pos += 1
+            if block == 0x3B:        # trailer
+                break
+            if block == 0x21:        # extension
+                label = b[pos]
+                pos += 1
+                if label == 0xF9 and b[pos] >= 4:   # graphic control
+                    flags = b[pos + 1]
+                    delay_ms = int.from_bytes(b[pos + 2:pos + 4],
+                                              "little") * 10
+                    transparent = b[pos + 4] if flags & 1 else None
+                while True:          # skip/consume sub-blocks
+                    sz = b[pos]
+                    pos += 1 + sz
+                    if sz == 0:
+                        break
+                continue
+            if block != 0x2C:        # not an image descriptor
+                return None
+            il = int.from_bytes(b[pos:pos + 2], "little")
+            it = int.from_bytes(b[pos + 2:pos + 4], "little")
+            iw = int.from_bytes(b[pos + 4:pos + 6], "little")
+            ih = int.from_bytes(b[pos + 6:pos + 8], "little")
+            ipacked = b[pos + 8]
+            pos += 9
+            pal = gct
+            if ipacked & 0x80:
+                size = 3 * (2 << (ipacked & 7))
+                pal = np.frombuffer(b[pos:pos + size],
+                                    dtype=np.uint8).reshape(-1, 3)
+                pos += size
+            if pal is None or not iw or not ih:
+                return None
+            min_code = b[pos]
+            pos += 1
+            lzw = bytearray()
+            while True:
+                sz = b[pos]
+                pos += 1
+                if sz == 0:
+                    break
+                lzw += b[pos:pos + sz]
+                pos += sz
+            idx = _lzw_decode(bytes(lzw), min_code)
+            if idx is None or len(idx) < iw * ih:
+                return None
+            arr = np.asarray(idx[:iw * ih], dtype=np.int32).reshape(ih, iw)
+            if ipacked & 0x40:       # interlaced: reorder rows (4 passes)
+                ordered = np.empty_like(arr)
+                src = 0
+                for start, step in _GIF_INTERLACE:
+                    for y in range(start, ih, step):
+                        ordered[y] = arr[src]
+                        src += 1
+                arr = ordered
+            arr = np.clip(arr, 0, len(pal) - 1)
+            sub = canvas[it:it + ih, il:il + iw]
+            painted = pal[arr]
+            if transparent is not None:
+                mask = (np.asarray(idx[:iw * ih], dtype=np.int32)
+                        .reshape(ih, iw) == transparent)
+                painted = np.where(mask[..., None], sub, painted)
+            canvas[it:it + ih, il:il + iw] = painted
+            frames.append(canvas.copy())
+            delays.append(delay_ms)
+            delay_ms = 0
+            transparent = None
+        if not frames:
+            return None
+        return frames, delays
+    except (IndexError, ValueError):
+        return None
+
+
+def _lzw_encode(indices: list[int], min_code_size: int) -> bytes:
+    """GIF-variant LZW encoder (the differential twin for _lzw_decode)."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out = bytearray()
+    acc = nbits = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    width = min_code_size + 1
+    table: dict[tuple[int, ...], int] = {(i,): i for i in range(clear)}
+    next_code = eoi + 1
+    emit(clear, width)
+    prefix: tuple[int, ...] = ()
+    for sym in indices:
+        cand = prefix + (sym,)
+        if cand in table:
+            prefix = cand
+            continue
+        emit(table[prefix], width)
+        table[cand] = next_code
+        next_code += 1
+        if next_code - 1 == (1 << width) and width < 12:
+            width += 1
+        if next_code == 4096:        # table full: reset
+            emit(clear, width)
+            table = {(i,): i for i in range(clear)}
+            next_code = eoi + 1
+            width = min_code_size + 1
+        prefix = (sym,)
+    if prefix:
+        emit(table[prefix], width)
+    emit(eoi, width)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def encode_gif(frames: list[np.ndarray], delay_ms: int = 100) -> bytes:
+    """RGB frames (≤256 distinct colors TOTAL) → animated GIF89a bytes."""
+    colors: dict[tuple[int, int, int], int] = {}
+    for f in frames:
+        for c in {tuple(int(v) for v in c)
+                  for c in f.reshape(-1, 3).tolist()}:
+            if c not in colors:
+                colors[c] = len(colors)
+    if len(colors) > 256:
+        raise ValueError("encode_gif: more than 256 distinct colors")
+    depth = max(1, (len(colors) - 1).bit_length())
+    pal_size = 1 << depth
+    palette = np.zeros((pal_size, 3), dtype=np.uint8)
+    for c, i in colors.items():
+        palette[i] = c
+    h, w = frames[0].shape[:2]
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | (depth - 1), 0, 0)
+    out += palette.tobytes()
+    lut = {c: i for c, i in colors.items()}
+    for f in frames:
+        out += bytes([0x21, 0xF9, 4, 0, delay_ms // 10, 0, 0, 0])
+        out += bytes([0x2C]) + struct.pack("<HHHHB", 0, 0, w, h, 0)
+        idx = [lut[tuple(int(v) for v in px)]
+               for px in f.reshape(-1, 3).tolist()]
+        min_code = max(2, depth)
+        out.append(min_code)
+        lzw = _lzw_encode(idx, min_code)
+        for i in range(0, len(lzw), 255):
+            chunk_ = lzw[i:i + 255]
+            out.append(len(chunk_))
+            out += chunk_
+        out.append(0)
+    out.append(0x3B)
+    return bytes(out)
 
 
 # ---------------------------------------------------------------------------

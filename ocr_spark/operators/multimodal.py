@@ -149,6 +149,13 @@ def media_feature_vector(payload: bytes,
                 f = _image_features(first)
                 f[-2], f[-1] = float(len(frames)), float(fps)
                 return True, f
+        gif = codecs.decode_gif(payload)
+        if gif is not None and len(gif[0]) > 1:   # animated GIF as video
+            gframes, delays = gif
+            f = _image_features(gframes[0])
+            rate = 1000.0 / delays[0] if delays and delays[0] else 10.0
+            f[-2], f[-1] = float(len(gframes)), float(rate)
+            return True, f
     capped = payload[:MAX_PAYLOAD_BYTES]
     return False, [float(v) for v in _decode_image_stub(capped,
                                                         deterministic_fake)]
@@ -281,6 +288,32 @@ def sample_frames(df: DataFrame, every_ms: int = 1000,
                                      "ts_ms": i * every_ms,
                                      "frame": frames[src]})
                     continue
+                gif = codecs.decode_gif(payload)
+                if gif is not None and len(gif[0]) > 1:
+                    # animated GIF: real frame timeline from per-frame
+                    # delays; each tick emits the composited frame
+                    # re-encoded as a standalone single-frame GIF
+                    gframes, delays = gif
+                    starts = []
+                    t = 0
+                    for d in delays:
+                        starts.append(t)
+                        t += d or 100
+                    n = max(1, t // every_ms)
+                    for i in range(n):
+                        ts = i * every_ms
+                        src = max(si for si, s in enumerate(starts)
+                                  if s <= ts)
+                        try:
+                            clip = codecs.encode_gif([gframes[src]])
+                        except ValueError:
+                            # composition across per-frame palettes can
+                            # exceed 256 colors — quantize, never fail
+                            clip = codecs.encode_gif(
+                                [codecs._posterize_332(gframes[src])])
+                        rows.append({"media_id": mid, "frame_idx": i,
+                                     "ts_ms": ts, "frame": clip})
+                    continue
                 wav = codecs.decode_wav(payload)
                 if wav is not None:
                     pcm, rate = wav
@@ -358,7 +391,8 @@ def synthetic_media(spark, rows: int = 64) -> DataFrame:
             return (i, kind, codecs.encode_wav(pcm, rate),
                     {"mime": "audio/wav", "width": None, "height": None,
                      "duration_ms": dur_ms})
-        if (i // 3) % 2 == 0:
+        container = (i // 3) % 3
+        if container == 0:
             # REAL Motion-JPEG AVI: n JPEG frames of a moving gradient
             n_frames = 4 + i % 4
             fps = 4
@@ -374,6 +408,17 @@ def synthetic_media(spark, rows: int = 64) -> DataFrame:
             return (i, kind, codecs.encode_avi_mjpeg(frames, fps),
                     {"mime": "video/x-motion-jpeg", "width": 24, "height": 16,
                      "duration_ms": 1000 * n_frames // fps})
+        if container == 1:
+            # REAL animated GIF: moving block over a flat background
+            n_frames = 3 + i % 3
+            frames = []
+            for fi in range(n_frames):
+                px = np.full((12, 20, 3), 32, dtype=np.uint8)
+                px[4:8, 2 + 3 * fi:6 + 3 * fi] = [250, 60, (i * 23) % 256]
+                frames.append(px)
+            return (i, kind, codecs.encode_gif(frames, delay_ms=250),
+                    {"mime": "image/gif", "width": 20, "height": 12,
+                     "duration_ms": 250 * n_frames})
         payload = bytes(((i * 131 + j * 17) % 256)
                         for j in range(256 + i % 512))
         return (i, kind, payload,

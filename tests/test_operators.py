@@ -330,10 +330,11 @@ def test_media_features_deterministic(spark):
 
 
 def test_media_stub_guard(spark):
-    # rows=6 includes media_id 5: an OPAQUE video payload (the (i//3)%2
-    # alternation) — ids 0-2 and the MJPEG video row all decode for real
-    # now, so only the genuinely undecodable row can trip the guard
-    media = multimodal.synthetic_media(spark, rows=6)
+    # rows=9 includes media_id 8: an OPAQUE video payload (the (i//3)%3
+    # container rotation) — every other row decodes for real now (BMP/
+    # PNG/JPEG images, WAV audio, MJPEG-AVI and animated-GIF video), so
+    # only the genuinely undecodable row can trip the guard
+    media = multimodal.synthetic_media(spark, rows=9)
     with pytest.raises(Exception):  # NotImplementedError inside the executor
         multimodal.extract_media_features(media, deterministic_fake=False).collect()
 
@@ -880,6 +881,65 @@ def test_media_features_decoded_flag(spark):
     # video alternates REAL MJPEG-AVI (demux + first-frame JPEG decode)
     # and opaque fake bytes (the disclosed stub path) — both must appear
     assert by_kind["video"] == {True, False}
+
+
+def test_gif_lzw_reference_and_roundtrip(spark):
+    """Real GIF codec.  The LZW kernel is grounded in a HAND-DERIVED code
+    sequence (pixels [0,0,1,1,0,0] at min-code 2 → codes 4,0,0,1,1,6,5
+    with the width bump exactly at dictionary entry 8 = 2^3): the decoder
+    must invert the hand-packed bytes and the encoder must reproduce them
+    byte-exactly.  Plus: multi-width-crossing round trip, animated-GIF
+    compositing with delays, and the video operators' GIF paths."""
+    import numpy as np
+
+    from ocr_spark.operators import codecs, multimodal
+
+    def pack_lsb(codes_widths):
+        acc = nbits = 0
+        out = bytearray()
+        for c, w in codes_widths:
+            acc |= c << nbits
+            nbits += w
+            while nbits >= 8:
+                out.append(acc & 0xFF)
+                acc >>= 8
+                nbits -= 8
+        if nbits:
+            out.append(acc & 0xFF)
+        return bytes(out)
+
+    hand = pack_lsb([(4, 3), (0, 3), (0, 3), (1, 3),
+                     (1, 4), (6, 4), (5, 4)])
+    assert codecs._lzw_decode(hand, 2) == [0, 0, 1, 1, 0, 0]
+    assert codecs._lzw_encode([0, 0, 1, 1, 0, 0], 2) == hand
+
+    rng = np.random.RandomState(1)
+    seq = rng.randint(0, 256, size=9000).tolist()   # crosses widths 9→11
+    assert codecs._lzw_decode(codecs._lzw_encode(seq, 8), 8) == seq
+
+    f1 = np.zeros((10, 14, 3), np.uint8)
+    f1[2:5, 3:9] = [255, 0, 0]
+    f2 = f1.copy()
+    f2[6:9, 1:5] = [0, 255, 0]
+    out = codecs.decode_gif(codecs.encode_gif([f1, f2], delay_ms=200))
+    assert out is not None
+    frames, delays = out
+    assert delays == [200, 200]
+    assert all(np.array_equal(a, b) for a, b in zip(frames, [f1, f2]))
+    for junk in (b"", b"GIF89a", b"GIF89a" + b"\x00" * 20, b"nope"):
+        assert codecs.decode_gif(junk) is None
+    # single-frame GIF surfaces as an image; downsample keeps the format
+    single = codecs.encode_gif([f1])
+    assert codecs.decode_image(single)[1] == "gif"
+    small = codecs.downsample_image(single, 7)
+    assert small is not None and small[0][:6] == b"GIF89a"
+    # animated-GIF video path: real per-tick frames, each a decodable GIF
+    media = multimodal.synthetic_media(spark, rows=18)
+    sampled = multimodal.sample_frames(media, every_ms=250).collect()
+    gif_frames = [r for r in sampled if bytes(r["frame"])[:6] == b"GIF89a"]
+    assert gif_frames
+    one = codecs.decode_gif(bytes(gif_frames[0]["frame"]))
+    assert one is not None and one[0][0].shape == (12, 20, 3)
 
 
 def test_avi_mjpeg_roundtrip_and_frame_sampling(spark):
