@@ -92,6 +92,55 @@ def downsample_bmp(payload: bytes, max_px: int) -> tuple[bytes, int, int] | None
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 # color type → samples per pixel
 _PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+# Adam7 interlace passes: (x-start, y-start, x-step, y-step)
+_ADAM7 = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+
+
+def _png_unfilter(raw: bytes, h: int, stride: int, bpp: int
+                  ) -> np.ndarray | None:
+    """Invert RFC 2083 row filters over ``h`` rows of ``stride`` bytes
+    (``bpp`` = the filter's byte distance to the 'left' sample)."""
+    if len(raw) < h * (1 + stride):
+        return None
+    rows = np.frombuffer(raw, dtype=np.uint8,
+                         count=h * (1 + stride)).reshape(h, 1 + stride)
+    filters = rows[:, 0]
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        cur = rows[y, 1:].copy()
+        f = filters[y]
+        if f == 0:                       # None
+            recon = cur
+        elif f == 1:                     # Sub: per-lane prefix sum mod 256
+            recon = np.add.accumulate(
+                cur.reshape(-1, bpp), axis=0, dtype=np.uint8).reshape(stride)
+        elif f == 2:                     # Up
+            recon = cur + prev           # uint8 wraps mod 256
+        elif f == 3:                     # Average (left-serial)
+            recon = cur
+            recon[:bpp] = ((recon[:bpp].astype(np.int32)
+                            + prev[:bpp] // 2) & 0xFF).astype(np.uint8)
+            for i in range(bpp, stride):
+                recon[i] = (int(recon[i]) + (int(recon[i - bpp])
+                                             + int(prev[i])) // 2) & 0xFF
+        elif f == 4:                     # Paeth (left-serial)
+            recon = cur
+            for i in range(stride):
+                a = int(recon[i - bpp]) if i >= bpp else 0
+                bb = int(prev[i])
+                c = int(prev[i - bpp]) if i >= bpp else 0
+                p = a + bb - c
+                pa, pb, pc = abs(p - a), abs(p - bb), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (
+                    bb if pb <= pc else c)
+                recon[i] = (int(recon[i]) + pred) & 0xFF
+        else:
+            return None
+        out[y] = recon
+        prev = recon
+    return out
 
 
 def decode_png(payload: bytes) -> np.ndarray | None:
@@ -100,10 +149,11 @@ def decode_png(payload: bytes) -> np.ndarray | None:
     Real decode: chunk walk → concatenated-IDAT inflate (stdlib zlib) →
     per-row unfilter (None/Sub/Up/Average/Paeth, the full RFC 2083 set;
     Sub/Up vectorized with numpy's wrap-around uint8 accumulate, the
-    left-dependent Average/Paeth per-pixel) → color-type normalization
-    (gray/palette expanded, alpha dropped).  Supported: bit depth 8, all
-    five color types, non-interlaced — the overwhelmingly common web PNG.
-    Interlaced/1-2-4-16-bit images return None (stub path downstream).
+    left-dependent Average/Paeth per-pixel) → Adam7 de-interlace when
+    flagged → color-type normalization (gray/palette expanded, alpha
+    dropped, 16-bit samples folded to their high byte).  Supported: bit
+    depths 8 and 16, all five color types, interlaced or not.  Depths
+    1/2/4 return None (stub path downstream).
     """
     b = payload
     if not b.startswith(_PNG_SIG):
@@ -136,54 +186,40 @@ def decode_png(payload: bytes) -> np.ndarray | None:
                 idat += data
             elif ctag == b"IEND":
                 break
-        if (w is None or not w or not h or depth != 8 or interlace != 0
+        if (w is None or not w or not h or depth not in (8, 16)
+                or interlace not in (0, 1)
                 or ctype not in _PNG_CHANNELS or not idat):
             return None
         ch = _PNG_CHANNELS[ctype]
+        bpp = ch * (depth // 8)              # filter distance in BYTES
         raw = zlib.decompress(bytes(idat))
-        stride = w * ch
-        if len(raw) < h * (1 + stride):
-            return None
-        rows = np.frombuffer(raw, dtype=np.uint8,
-                             count=h * (1 + stride)).reshape(h, 1 + stride)
-        filters = rows[:, 0]
-        out = np.zeros((h, stride), dtype=np.uint8)
-        prev = np.zeros(stride, dtype=np.uint8)
-        for y in range(h):
-            cur = rows[y, 1:].copy()
-            f = filters[y]
-            if f == 0:                       # None
-                recon = cur
-            elif f == 1:                     # Sub: per-lane prefix sum mod 256
-                recon = np.add.accumulate(
-                    cur.reshape(w, ch), axis=0, dtype=np.uint8).reshape(stride)
-            elif f == 2:                     # Up
-                recon = cur + prev           # uint8 wraps mod 256
-            elif f == 3:                     # Average (left-serial)
-                recon = cur
-                recon[:ch] = ((recon[:ch].astype(np.int32)
-                               + prev[:ch] // 2) & 0xFF).astype(np.uint8)
-                for i in range(ch, stride):
-                    recon[i] = (int(recon[i]) + (int(recon[i - ch])
-                                                 + int(prev[i])) // 2) & 0xFF
-            elif f == 4:                     # Paeth (left-serial)
-                recon = cur
-                for i in range(stride):
-                    a = int(recon[i - ch]) if i >= ch else 0
-                    bb = int(prev[i])
-                    c = int(prev[i - ch]) if i >= ch else 0
-                    p = a + bb - c
-                    pa, pb, pc = abs(p - a), abs(p - bb), abs(p - c)
-                    pred = a if (pa <= pb and pa <= pc) else (
-                        bb if pb <= pc else c)
-                    recon[i] = (int(recon[i]) + pred) & 0xFF
-            else:
+        if interlace == 0:
+            out = _png_unfilter(raw, h, w * bpp, bpp)
+            if out is None:
                 return None
-            out[y] = recon
-            prev = recon
+        else:                                # Adam7
+            out = np.zeros((h, w * bpp), dtype=np.uint8)
+            offset = 0
+            for x0, y0, dx, dy in _ADAM7:
+                pw = -(-(w - x0) // dx)
+                ph = -(-(h - y0) // dy)
+                if pw <= 0 or ph <= 0:
+                    continue
+                sub = _png_unfilter(raw[offset:], ph, pw * bpp, bpp)
+                if sub is None:
+                    return None
+                offset += ph * (1 + pw * bpp)
+                cols = x0 + dx * np.arange(pw)
+                sub = sub.reshape(ph, pw, bpp)
+                for yi in range(ph):
+                    row = out[y0 + dy * yi].reshape(w, bpp)
+                    row[cols] = sub[yi]
     except (zlib.error, ValueError):
         return None
-    px = out.reshape(h, w, ch)
+    if depth == 16:                          # fold to the high byte
+        px = out.reshape(h, w, ch, 2)[..., 0]
+    else:
+        px = out.reshape(h, w, ch)
     if ctype == 2:                # RGB
         return px
     if ctype == 6:                # RGBA → drop alpha

@@ -565,6 +565,41 @@ def test_png_roundtrip_filters_and_color_types():
                  b"notpng", codecs.encode_png(px)[:40]):
         assert codecs.decode_png(junk) is None
 
+    def raw_png(body: bytes, w_, h_, depth, ctype, interlace):
+        def chunk(tag, data):
+            return (struct.pack(">I", len(data)) + tag + data
+                    + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF))
+        ihdr = struct.pack(">IIBBBBB", w_, h_, depth, ctype, 0, 0, interlace)
+        return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+                + chunk(b"IDAT", zlib.compress(body)) + chunk(b"IEND", b""))
+
+    # 16-bit depth: big-endian samples v*257 must fold to the 8-bit value
+    h16, w16 = 11, 7
+    px8 = rng.randint(0, 256, size=(h16, w16, 3)).astype(np.uint8)
+    body16 = bytearray()
+    for y in range(h16):
+        body16.append(0)
+        body16 += (px8[y].astype(np.uint16) * 257).astype(">u2").tobytes()
+    assert np.array_equal(
+        codecs.decode_png(raw_png(bytes(body16), w16, h16, 16, 2, 0)), px8)
+
+    # Adam7 interlace: build the pass-ordered stream by hand (filter 0)
+    adam7 = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+             (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+    for hi, wi in ((13, 9), (8, 8), (3, 3), (1, 1), (2, 5)):
+        img = rng.randint(0, 256, size=(hi, wi, 3)).astype(np.uint8)
+        bodyi = bytearray()
+        for x0, y0, dx, dy in adam7:
+            pw = -(-(wi - x0) // dx) if wi > x0 else 0
+            ph = -(-(hi - y0) // dy) if hi > y0 else 0
+            if pw <= 0 or ph <= 0:
+                continue
+            for yi2 in range(ph):
+                bodyi.append(0)
+                bodyi += img[y0 + dy * yi2, x0::dx][:pw].tobytes()
+        got_i = codecs.decode_png(raw_png(bytes(bodyi), wi, hi, 8, 2, 1))
+        assert got_i is not None and np.array_equal(got_i, img), (hi, wi)
+
 
 def test_jpeg_codec_roundtrip_and_reference_stream():
     """Real baseline JPEG codec.  Three independent groundings:
