@@ -186,13 +186,33 @@ def decode_png(payload: bytes) -> np.ndarray | None:
                 idat += data
             elif ctag == b"IEND":
                 break
-        if (w is None or not w or not h or depth not in (8, 16)
+        if (w is None or not w or not h or depth not in (1, 2, 4, 8, 16)
                 or interlace not in (0, 1)
                 or ctype not in _PNG_CHANNELS or not idat):
             return None
         ch = _PNG_CHANNELS[ctype]
-        bpp = ch * (depth // 8)              # filter distance in BYTES
         raw = zlib.decompress(bytes(idat))
+        if depth < 8:
+            # sub-byte samples: legal only for gray/palette; filters act
+            # at byte granularity (bpp = 1).  Non-interlaced only (the
+            # rare interlaced sub-byte PNG takes the stub path).
+            if ctype not in (0, 3) or interlace != 0:
+                return None
+            stride = -(-w * depth // 8)
+            packed = _png_unfilter(raw, h, stride, 1)
+            if packed is None:
+                return None
+            bits = np.unpackbits(packed, axis=1)[:, :w * depth]
+            weights = 1 << np.arange(depth - 1, -1, -1)
+            vals = (bits.reshape(h, w, depth) * weights).sum(axis=2)
+            if ctype == 0:       # gray: scale to the full 0-255 range
+                scale = 255 // ((1 << depth) - 1)
+                return np.repeat((vals * scale).astype(np.uint8)[..., None],
+                                 3, axis=2)
+            if plte is None or int(vals.max()) >= len(plte):
+                return None
+            return plte[vals]
+        bpp = ch * (depth // 8)              # filter distance in BYTES
         if interlace == 0:
             out = _png_unfilter(raw, h, w * bpp, bpp)
             if out is None:

@@ -600,6 +600,23 @@ def test_png_roundtrip_filters_and_color_types():
         got_i = codecs.decode_png(raw_png(bytes(bodyi), wi, hi, 8, 2, 1))
         assert got_i is not None and np.array_equal(got_i, img), (hi, wi)
 
+    # sub-byte depths (1/2/4-bit gray, MSB-first packing within each row)
+    for depth in (1, 2, 4):
+        hs, ws = 9, 13
+        maxv = (1 << depth) - 1
+        vals = rng.randint(0, maxv + 1, size=(hs, ws))
+        body_s = bytearray()
+        for y in range(hs):
+            body_s.append(0)
+            bits = np.zeros(ws * depth, dtype=np.uint8)
+            for x in range(ws):
+                for bi in range(depth):
+                    bits[x * depth + bi] = (vals[y, x] >> (depth - 1 - bi)) & 1
+            body_s += np.packbits(bits).tobytes()
+        got_s = codecs.decode_png(raw_png(bytes(body_s), ws, hs, depth, 0, 0))
+        expect = (vals * (255 // maxv)).astype(np.uint8)
+        assert got_s is not None and np.array_equal(got_s[..., 0], expect)
+
 
 def test_jpeg_codec_roundtrip_and_reference_stream():
     """Real baseline JPEG codec.  Three independent groundings:
