@@ -89,6 +89,12 @@ def downsample_bmp(payload: bytes, max_px: int) -> tuple[bytes, int, int] | None
 # PNG (stdlib zlib inflate + numpy row unfiltering — RFC 2083)
 # ---------------------------------------------------------------------------
 
+# Decode-side resource cap: a corrupt or hostile header must never make a
+# decoder allocate gigabytes or loop over billions of blocks (one bad blob
+# must never be job-fatal OR task-hostage — the T7 latency-guard analog
+# for media).  64M pixels ≈ 192 MB RGB, far above any sane web asset.
+MAX_DECODE_PIXELS = 64_000_000
+
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 # color type → samples per pixel
 _PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
@@ -188,7 +194,8 @@ def decode_png(payload: bytes) -> np.ndarray | None:
                 break
         if (w is None or not w or not h or depth not in (1, 2, 4, 8, 16)
                 or interlace not in (0, 1)
-                or ctype not in _PNG_CHANNELS or not idat):
+                or ctype not in _PNG_CHANNELS or not idat
+                or w * h > MAX_DECODE_PIXELS):
             return None
         ch = _PNG_CHANNELS[ctype]
         raw = zlib.decompress(bytes(idat))
@@ -234,7 +241,10 @@ def decode_png(payload: bytes) -> np.ndarray | None:
                 for yi in range(ph):
                     row = out[y0 + dy * yi].reshape(w, bpp)
                     row[cols] = sub[yi]
-    except (zlib.error, ValueError):
+    except Exception:
+        # decode boundaries are crash-proof: any malformed structure the
+        # explicit checks miss (fuzz-found: huge allocations, slice-shape
+        # mismatches) degrades to None, never a dead executor task
         return None
     if depth == 16:                          # fold to the high byte
         px = out.reshape(h, w, ch, 2)[..., 0]
@@ -426,7 +436,9 @@ def decode_jpeg(payload: bytes) -> np.ndarray | None:
         return None
     try:
         return _decode_jpeg_inner(b)
-    except (EOFError, ValueError, IndexError, KeyError, ZeroDivisionError):
+    except Exception:
+        # crash-proof decode boundary (fuzz-found: corrupt Huffman tables
+        # yield absurd bit counts → OverflowError) — degrade to None
         return None
 
 
@@ -462,7 +474,8 @@ def _decode_jpeg_inner(b: bytes) -> np.ndarray | None:
             h = int.from_bytes(data[1:3], "big")
             w = int.from_bytes(data[3:5], "big")
             ncomp = data[5]
-            if data[0] != 8 or ncomp not in (1, 3) or not h or not w:
+            if (data[0] != 8 or ncomp not in (1, 3) or not h or not w
+                    or w * h > MAX_DECODE_PIXELS):
                 return None
             comps = []
             for ci in range(ncomp):
@@ -554,6 +567,8 @@ def _decode_jpeg_inner(b: bytes) -> np.ndarray | None:
                     for bx in range(hs):
                         zz = np.zeros(64, dtype=np.int32)
                         t = reader.decode_huff(huff_dc[td])
+                        if t > 15:   # legal DC categories are 0..11
+                            raise ValueError("invalid DC size category")
                         diff = _extend(reader.read_bits(t), t)
                         preds[ci] += diff
                         zz[0] = preds[ci]
@@ -784,8 +799,11 @@ def encode_jpeg(rgb: np.ndarray) -> bytes:
 # GIF (LZW decode, GIF87a/89a, palettes, interlace, animation)
 # ---------------------------------------------------------------------------
 
-def _lzw_decode(data: bytes, min_code_size: int) -> list[int] | None:
-    """GIF-variant LZW: LSB-first bit packing, variable width, clear/EOI."""
+def _lzw_decode(data: bytes, min_code_size: int,
+                limit: int = MAX_DECODE_PIXELS) -> list[int] | None:
+    """GIF-variant LZW: LSB-first bit packing, variable width, clear/EOI.
+    Output is capped at ``limit`` symbols (LZW expands quadratically on
+    adversarial input — the cap keeps a hostile blob from ballooning)."""
     clear = 1 << min_code_size
     eoi = clear + 1
     width = min_code_size + 1
@@ -819,6 +837,8 @@ def _lzw_decode(data: bytes, min_code_size: int) -> list[int] | None:
         else:
             return None  # corrupt
         out.extend(entry)
+        if len(out) > limit:
+            return out[:limit]
         if prev is not None:
             dictionary.append(prev + [entry[0]])
             if len(dictionary) == (1 << width) and width < 12:
@@ -851,7 +871,7 @@ def decode_gif(payload: bytes) -> tuple[list[np.ndarray], list[int]] | None:
             gct = np.frombuffer(b[pos:pos + size],
                                 dtype=np.uint8).reshape(-1, 3)
             pos += size
-        if not w or not h:
+        if not w or not h or w * h > MAX_DECODE_PIXELS:
             return None
         canvas = np.zeros((h, w, 3), dtype=np.uint8)
         if gct is not None and len(gct) > (b[11] if b[11] < len(gct) else 0):
@@ -893,7 +913,8 @@ def decode_gif(payload: bytes) -> tuple[list[np.ndarray], list[int]] | None:
                 pal = np.frombuffer(b[pos:pos + size],
                                     dtype=np.uint8).reshape(-1, 3)
                 pos += size
-            if pal is None or not iw or not ih:
+            if (pal is None or not iw or not ih
+                    or iw * ih > MAX_DECODE_PIXELS):
                 return None
             min_code = b[pos]
             pos += 1
@@ -905,7 +926,7 @@ def decode_gif(payload: bytes) -> tuple[list[np.ndarray], list[int]] | None:
                     break
                 lzw += b[pos:pos + sz]
                 pos += sz
-            idx = _lzw_decode(bytes(lzw), min_code)
+            idx = _lzw_decode(bytes(lzw), min_code, limit=iw * ih)
             if idx is None or len(idx) < iw * ih:
                 return None
             arr = np.asarray(idx[:iw * ih], dtype=np.int32).reshape(ih, iw)
@@ -932,7 +953,9 @@ def decode_gif(payload: bytes) -> tuple[list[np.ndarray], list[int]] | None:
         if not frames:
             return None
         return frames, delays
-    except (IndexError, ValueError):
+    except Exception:
+        # crash-proof decode boundary — malformed sub-block chains,
+        # palette overruns, or slice-shape mismatches degrade to None
         return None
 
 
@@ -1036,24 +1059,29 @@ def decode_avi_mjpeg(payload: bytes) -> tuple[list[bytes], float] | None:
     us_per_frame = 0
     frames: list[bytes] = []
 
-    def walk(start: int, end: int) -> None:
-        nonlocal us_per_frame
-        pos = start
-        while pos + 8 <= end:
-            tag = b[pos:pos + 4]
-            size = int.from_bytes(b[pos + 4:pos + 8], "little")
-            body = pos + 8
-            if body + size > end:
-                return
-            if tag == b"LIST":
-                walk(body + 4, body + size)     # skip the list type fourcc
-            elif tag == b"avih" and size >= 4:
-                us_per_frame = int.from_bytes(b[body:body + 4], "little")
-            elif tag[2:4] in (b"dc", b"db") and size > 0:
-                frames.append(b[body:body + size])
-            pos = body + size + (size & 1)      # chunks pad to even
-
-    walk(12, min(len(b), 8 + int.from_bytes(b[4:8], "little")))
+    # iterative walk (a hostile deeply-nested LIST chain must not blow
+    # the recursion limit inside an executor)
+    try:
+        stack = [(12, min(len(b), 8 + int.from_bytes(b[4:8], "little")))]
+        while stack:
+            pos, end = stack.pop()
+            while pos + 8 <= end:
+                tag = b[pos:pos + 4]
+                size = int.from_bytes(b[pos + 4:pos + 8], "little")
+                body = pos + 8
+                if body + size > end:
+                    break
+                if tag == b"LIST":
+                    stack.append((body + size + (size & 1), end))
+                    pos, end = body + 4, body + size  # descend
+                    continue
+                if tag == b"avih" and size >= 4:
+                    us_per_frame = int.from_bytes(b[body:body + 4], "little")
+                elif tag[2:4] in (b"dc", b"db") and size > 0:
+                    frames.append(b[body:body + size])
+                pos = body + size + (size & 1)      # chunks pad to even
+    except Exception:
+        return None
     if not frames:
         return None
     fps = 1e6 / us_per_frame if us_per_frame else 25.0
@@ -1106,7 +1134,10 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int] | None:
         pcm = np.frombuffer(raw, dtype="<i2")
         if nch > 1:
             pcm = pcm.reshape(-1, nch).mean(axis=1).astype(np.int16)
-    except (wave.Error, EOFError, ValueError):
+    except Exception:
+        # crash-proof decode boundary: stdlib wave/chunk raise bare
+        # RuntimeError on some malformed headers (fuzz-found), beyond the
+        # documented wave.Error — degrade to None, never kill the task
         return None
     return pcm, rate
 

@@ -935,6 +935,75 @@ def test_media_features_decoded_flag(spark):
     assert by_kind["video"] == {True, False}
 
 
+def test_codecs_crash_proof_on_mutated_payloads():
+    """Decode boundaries must be crash-proof: seeded byte flips,
+    truncations, splices, and header corruption over every container may
+    yield None or a valid decode, NEVER an exception and never a hang —
+    one bad blob must not kill an executor task (fuzz-found regressions:
+    corrupt-Huffman OverflowError in JPEG, stdlib RuntimeError in WAV,
+    unbounded allocations from hostile dimensions, LZW blowup)."""
+    import random
+    import time
+
+    import numpy as np
+
+    from ocr_spark.operators import codecs
+
+    rng = np.random.RandomState(7)
+    random.seed(7)
+    px = rng.randint(0, 256, size=(24, 31, 3)).astype(np.uint8)
+    seeds = [
+        codecs.encode_bmp(px),
+        codecs.encode_png(px),
+        codecs.encode_jpeg(px),
+        codecs.encode_gif([codecs._posterize_332(px)]),
+        codecs.encode_wav((1000 * np.sin(np.arange(4000) / 9))
+                          .astype(np.int16), 8000),
+        codecs.encode_avi_mjpeg([codecs.encode_jpeg(px)], 5),
+    ]
+    decoders = (codecs.decode_bmp, codecs.decode_png, codecs.decode_jpeg,
+                codecs.decode_gif, codecs.decode_wav,
+                codecs.decode_avi_mjpeg, codecs.decode_image)
+    for blob in seeds:
+        for trial in range(60):
+            b = bytearray(blob)
+            kind = trial % 4
+            if kind == 0:
+                for _ in range(random.randint(1, 8)):
+                    b[random.randrange(len(b))] = random.randrange(256)
+            elif kind == 1:
+                b = b[:random.randrange(1, len(b))]
+            elif kind == 2:
+                at = random.randrange(len(b))
+                b[at:at] = bytes(random.randrange(256)
+                                 for _ in range(random.randint(1, 64)))
+            else:
+                for _ in range(random.randint(1, 4)):
+                    b[random.randrange(min(64, len(b)))] = random.randrange(256)
+            data = bytes(b)
+            for dec in decoders:
+                t0 = time.time()
+                dec(data)          # must not raise
+                assert time.time() - t0 < 5.0, dec.__name__
+
+    # hostile-dimension headers must be REJECTED, not allocated/looped:
+    # a PNG/GIF/JPEG claiming ~4G pixels returns None fast
+    import struct
+    import zlib
+
+    def chunk(tag, data):
+        return (struct.pack(">I", len(data)) + tag + data
+                + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF))
+    huge_png = (b"\x89PNG\r\n\x1a\n"
+                + chunk(b"IHDR", struct.pack(">IIBBBBB", 65535, 65535,
+                                             8, 2, 0, 0, 0))
+                + chunk(b"IDAT", zlib.compress(b"\x00" * 100))
+                + chunk(b"IEND", b""))
+    t0 = time.time()
+    assert codecs.decode_png(huge_png) is None
+    assert time.time() - t0 < 2.0
+
+
 def test_gif_lzw_reference_and_roundtrip(spark):
     """Real GIF codec.  The LZW kernel is grounded in a HAND-DERIVED code
     sequence (pixels [0,0,1,1,0,0] at min-code 2 → codes 4,0,0,1,1,6,5
