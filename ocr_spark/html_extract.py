@@ -208,6 +208,9 @@ _RE_CDATA_END = {t: re.compile(r"</\s*%s\s*>" % t, re.I) for t in _CDATA_TAGS}
 _RE_DECLNAME = re.compile(r"[a-zA-Z_:][-.a-zA-Z0-9_:]*\s*")
 _RE_MARKEDCLOSE = re.compile(r"]\s*]\s*>")
 _RE_MSMARKEDCLOSE = re.compile(r"]\s*>")
+# html.parser's _commentclose: comments close on "--\s*>", NOT only "-->"
+# (200k-fuzz finding: "<!---- >" is a complete, silently-consumed comment)
+_RE_COMMENTCLOSE = re.compile(r"--\s*>")
 _ATTR_CONTINUE = frozenset("abcdefghijklmnopqrstuvwxyz=/"
                            "ABCDEFGHIJKLMNOPQRSTUVWXYZ")
 
@@ -313,13 +316,13 @@ def _fast_scan(text: str, col: _BlockCollector) -> None:
                 _END_CACHE[sl] = outcome
         elif nxt == "!" or nxt == "?":
             if text.startswith("<!--", lt):
-                end = find("-->", lt + 4)
-                if end < 0:
+                cm = _RE_COMMENTCLOSE.search(text, lt + 4)
+                if cm is None:
                     # unterminated comment: parse_comment returns -1 →
                     # goahead resync (data to next ">" and KEEP parsing)
                     pos = recover(lt)
                     continue
-                pos = end + 3
+                pos = cm.end()
             elif text.startswith("<![", lt):  # marked section <![...]]>
                 # mirror of _markupbase.parse_marked_section: known section
                 # keywords close on "]\s*]\s*>" (MS-Office forms on

@@ -162,7 +162,9 @@ def test_fast_scanner_fuzz_matches_htmlparser():
                          # MS-Office forms (unknown keywords raise in both
                          # engines → degraded path, covered separately)
                          "<![CDATA[x] ]>", "<![if a]>", "<![cdata",
-                         "<![include q]]>", "<![", "<a b=", "<a /"]),
+                         "<![include q]]>", "<![", "<a b=", "<a /",
+                         # comments close on --\s*> (200k-fuzz regression)
+                         "<!---- >", "-- >", "<!-- x -- >", "<!--a--\t>"]),
         st.text(max_size=12,
                 alphabet=st.characters(blacklist_characters="\x00")))
 
