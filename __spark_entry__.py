@@ -613,7 +613,13 @@ def q_embedding_ann_ivf(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     idx_path = _ivf_index_path(sf_dir)
     _prune_stale_siblings(idx_path)
-    if not os.path.isdir(idx_path):
+    # completeness = the LAST artifact ivf_save writes ('assigned' tree),
+    # not mere existence: a partial dir left by any non-atomic writer
+    # (e.g. a pre-atomic-publication revision killed mid-save under the
+    # same digest) must trigger a rebuild, and must be cleared so the
+    # scratch rename can land.
+    if not os.path.isdir(f"{idx_path}/assigned"):
+        shutil.rmtree(idx_path, ignore_errors=True)
         centroids, assigned = similarity.ivf_build(emb, n_cells=8)
         scratch = f"{idx_path}.build.{os.getpid()}"
         shutil.rmtree(scratch, ignore_errors=True)
@@ -800,7 +806,10 @@ def _prune_stale_siblings(path: str) -> None:
 
     prefix = path.rsplit("_", 1)[0]
     for stale in glob.glob(prefix + "_*"):
-        if stale != path:
+        # skip the live path AND any in-flight `<path>.build.<pid>`
+        # scratch of a concurrent builder — deleting a scratch mid-save
+        # would let its os.rename publish a partial index
+        if stale != path and not stale.startswith(path + "."):
             shutil.rmtree(stale, ignore_errors=True)
 
 

@@ -157,9 +157,9 @@ def decode_png(payload: bytes) -> np.ndarray | None:
     Sub/Up vectorized with numpy's wrap-around uint8 accumulate, the
     left-dependent Average/Paeth per-pixel) → Adam7 de-interlace when
     flagged → color-type normalization (gray/palette expanded, alpha
-    dropped, 16-bit samples folded to their high byte).  Supported: bit
-    depths 8 and 16, all five color types, interlaced or not.  Depths
-    1/2/4 return None (stub path downstream).
+    dropped, 16-bit samples folded to their high byte, sub-byte gray/
+    palette samples unpacked).  Supported: bit depths 1/2/4/8/16, all
+    five color types, interlaced or not.
     """
     b = payload
     if not b.startswith(_PNG_SIG):
@@ -198,7 +198,15 @@ def decode_png(payload: bytes) -> np.ndarray | None:
                 or w * h > MAX_DECODE_PIXELS):
             return None
         ch = _PNG_CHANNELS[ctype]
-        raw = zlib.decompress(bytes(idat))
+        # bound the inflate by the size the HEADER entitles the image to:
+        # a decompression bomb behind a small declared geometry must not
+        # allocate gigabytes before the h*(1+stride) check ever runs.
+        # Pixel bytes total h*stride in both layouts; Adam7 adds one
+        # filter byte per PASS-row (≤ 2h rows across the 7 passes).
+        row_bytes = (-(-w * depth // 8) if depth < 8
+                     else w * ch * (depth // 8))
+        expected = h * row_bytes + 2 * h + 8
+        raw = zlib.decompressobj().decompress(bytes(idat), expected)
         if depth < 8:
             # sub-byte samples: legal only for gray/palette; filters act
             # at byte granularity (bpp = 1).  Non-interlaced only (the
@@ -313,8 +321,9 @@ def _posterize_332(rgb: np.ndarray) -> np.ndarray:
 
 def downsample_image(payload: bytes, max_px: int
                      ) -> tuple[bytes, int, int] | None:
-    """Real area downsample of a BMP or PNG to fit ``max_px``, re-encoded
-    in the SAME container; (bytes, w, h) or None for other formats."""
+    """Real area downsample of a BMP/PNG/JPEG/GIF to fit ``max_px``,
+    re-encoded in the SAME container (GIF via 3-3-2 posterize);
+    (bytes, w, h) or None for other formats."""
     decoded = decode_image(payload)
     if decoded is None:
         return None
@@ -541,10 +550,15 @@ def _decode_jpeg_inner(b: bytes) -> np.ndarray | None:
     vmax = max(c[2] for c in comps)
     mcux = -(-w // (8 * hmax))
     mcuy = -(-h // (8 * vmax))
+    # the MCU-padded working area can exceed the declared w*h — cap it
+    # too, and keep planes float32 so a near-cap hostile header commits
+    # ~¼ of what three float64 planes would before the first entropy read
+    if mcux * 8 * hmax * mcuy * 8 * vmax > 2 * MAX_DECODE_PIXELS:
+        return None
     planes = []
     for cid, hs, vs, tq in comps:
         planes.append(np.zeros((mcuy * vs * 8, mcux * hs * 8),
-                               dtype=np.float64))
+                               dtype=np.float32))
 
     reader = _BitReader(bytes(ecs))
     preds = [0] * len(comps)
@@ -804,6 +818,10 @@ def _lzw_decode(data: bytes, min_code_size: int,
     """GIF-variant LZW: LSB-first bit packing, variable width, clear/EOI.
     Output is capped at ``limit`` symbols (LZW expands quadratically on
     adversarial input — the cap keeps a hostile blob from ballooning)."""
+    if not 2 <= min_code_size <= 11:
+        # GIF caps the root size at 11; an unvalidated byte here would
+        # make the dictionary init try range(2**min_code) — task hostage
+        return None
     clear = 1 << min_code_size
     eoi = clear + 1
     width = min_code_size + 1
@@ -946,6 +964,10 @@ def decode_gif(payload: bytes) -> tuple[list[np.ndarray], list[int]] | None:
                         .reshape(ih, iw) == transparent)
                 painted = np.where(mask[..., None], sub, painted)
             canvas[it:it + ih, il:il + iw] = painted
+            # aggregate cap: each frame is a full canvas copy, so a large
+            # screen + thousands of tiny sub-images must not balloon
+            if (len(frames) + 1) * w * h > MAX_DECODE_PIXELS:
+                return None
             frames.append(canvas.copy())
             delays.append(delay_ms)
             delay_ms = 0
@@ -1024,8 +1046,10 @@ def encode_gif(frames: list[np.ndarray], delay_ms: int = 100) -> bytes:
     out += struct.pack("<HHBBB", w, h, 0x80 | (depth - 1), 0, 0)
     out += palette.tobytes()
     lut = {c: i for c, i in colors.items()}
+    delay_cs = min(max(delay_ms // 10, 0), 0xFFFF)   # u16 centiseconds
     for f in frames:
-        out += bytes([0x21, 0xF9, 4, 0, delay_ms // 10, 0, 0, 0])
+        out += bytes([0x21, 0xF9, 4, 0,
+                      delay_cs & 0xFF, (delay_cs >> 8) & 0xFF, 0, 0])
         out += bytes([0x2C]) + struct.pack("<HHHHB", 0, 0, w, h, 0)
         idx = [lut[tuple(int(v) for v in px)]
                for px in f.reshape(-1, 3).tolist()]

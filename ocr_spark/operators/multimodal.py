@@ -4,12 +4,14 @@ The Spark-side plumbing (schemas, batch shapes, partition strategy, UDF
 signatures) is real and tested, and the codec work is REAL for the
 formats that need no external library (:mod:`ocr_spark.operators.codecs`):
 24-bit BMP, PNG (stdlib zlib inflate + numpy row unfiltering, all five
-color types), and baseline JPEG (pure-numpy Huffman + dequant + IDCT,
-4:4:4/4:2:2/4:2:0, restart markers) images are pixel-decoded/
-downsampled/re-encoded, and PCM-16 WAV audio is decoded/sliced via
-stdlib ``wave``.  What remains stubbed behind :data:`HAVE_MEDIA_LIBS` is
-video (H.264…) plus exotic image variants (progressive JPEG,
-interlaced/16-bit PNG): :func:`_decode_image_stub` raises
+color types, every bit depth, Adam7 interlace), baseline JPEG
+(pure-numpy Huffman + dequant + IDCT, 4:4:4/4:2:2/4:2:0, restart
+markers), and GIF (from-scratch LZW, palettes, animation compositing)
+images are pixel-decoded/downsampled/re-encoded; PCM-16 WAV audio is
+decoded/sliced via stdlib ``wave``; Motion-JPEG AVI video is demuxed and
+frame-decoded.  What remains stubbed behind :data:`HAVE_MEDIA_LIBS` is
+modern video (H.264/VP9…) plus progressive JPEG:
+:func:`_decode_image_stub` raises
 ``NotImplementedError`` unless ``deterministic_fake=True``, which produces
 a seeded fake feature vector so the distributed plumbing is exercised even
 for undecodable payloads.
@@ -68,11 +70,16 @@ FEATURES_SCHEMA = T.StructType([
 ])
 
 MAX_PAYLOAD_BYTES = 8 * 1024 * 1024  # P7 analog: cap pathological blobs
+# frame-sampling explode cap: the emitted-row count derives from
+# payload-declared durations/rates, which a hostile blob controls — a
+# tiny AVI claiming µs-per-frame=0xFFFFFFFF must not explode into
+# millions of output rows per input row
+MAX_SAMPLED_FRAMES = 2048
 
 
 def _decode_image_stub(payload: bytes, deterministic_fake: bool) -> np.ndarray:
     """Fallback for payloads the pure-python codecs cannot decode
-    (H.264/progressive-JPEG/interlaced-PNG…).
+    (H.264/VP9, progressive JPEG, arbitrary containers…).
 
     Real implementation would be: decode (PIL/libav) → resize/frame-sample
     → embed.  STUB: without media libs, either raise (production guard) or
@@ -135,6 +142,17 @@ def media_feature_vector(payload: bytes,
     the cap is checked BEFORE dispatch so a truncated header can't
     masquerade as an undecodable format)."""
     if len(payload) <= MAX_PAYLOAD_BYTES:
+        # GIF first: decode_image would consume EVERY gif (first frame),
+        # making an animated-GIF-as-video branch after it unreachable
+        gif = codecs.decode_gif(payload)
+        if gif is not None:
+            gframes, delays = gif
+            if len(gframes) > 1:             # animated GIF as video
+                f = _image_features(gframes[0])
+                rate = 1000.0 / delays[0] if delays and delays[0] else 10.0
+                f[-2], f[-1] = float(len(gframes)), float(rate)
+                return True, f
+            return True, _image_features(gframes[0])
         img = codecs.decode_image(payload)   # BMP/PNG/JPEG, real pixels
         if img is not None:
             return True, _image_features(img[0])
@@ -149,13 +167,6 @@ def media_feature_vector(payload: bytes,
                 f = _image_features(first)
                 f[-2], f[-1] = float(len(frames)), float(fps)
                 return True, f
-        gif = codecs.decode_gif(payload)
-        if gif is not None and len(gif[0]) > 1:   # animated GIF as video
-            gframes, delays = gif
-            f = _image_features(gframes[0])
-            rate = 1000.0 / delays[0] if delays and delays[0] else 10.0
-            f[-2], f[-1] = float(len(gframes)), float(rate)
-            return True, f
     capped = payload[:MAX_PAYLOAD_BYTES]
     return False, [float(v) for v in _decode_image_stub(capped,
                                                         deterministic_fake)]
@@ -280,7 +291,8 @@ def sample_frames(df: DataFrame, every_ms: int = 1000,
                 if avi is not None:
                     frames, fps = avi
                     total_ms = int(len(frames) * 1000 / fps)
-                    n = max(1, total_ms // every_ms)
+                    n = min(max(1, total_ms // every_ms),
+                            MAX_SAMPLED_FRAMES)
                     for i in range(n):
                         src = min(len(frames) - 1,
                                   int(round(i * every_ms * fps / 1000)))
@@ -299,7 +311,7 @@ def sample_frames(df: DataFrame, every_ms: int = 1000,
                     for d in delays:
                         starts.append(t)
                         t += d or 100
-                    n = max(1, t // every_ms)
+                    n = min(max(1, t // every_ms), MAX_SAMPLED_FRAMES)
                     for i in range(n):
                         ts = i * every_ms
                         src = max(si for si, s in enumerate(starts)
@@ -328,7 +340,8 @@ def sample_frames(df: DataFrame, every_ms: int = 1000,
                 if not deterministic_fake:
                     raise NotImplementedError("av codecs not present")
                 duration = meta["duration_ms"] or 0
-                n = max(1, duration // every_ms) if duration else 1
+                n = (min(max(1, duration // every_ms), MAX_SAMPLED_FRAMES)
+                     if duration else 1)
                 step = max(1, len(payload) // n)
                 for i in range(n):
                     rows.append({"media_id": mid, "frame_idx": i,

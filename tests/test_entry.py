@@ -37,3 +37,40 @@ def test_sample_query_runs(spark):
     qs = entrymod.queries()
     df = qs["token_count"](spark, "/root/testdata/sf0.001")
     assert df.count() > 0
+
+
+def test_ivf_artifact_hygiene(spark):
+    """The digest-keyed IVF artifact dir must be concurrency- and
+    crash-safe (review-found classes): (1) sibling pruning may NEVER
+    remove an in-flight `<path>.build.<pid>` scratch of the live digest
+    — deleting one mid-save lets its rename publish a partial index;
+    (2) a partial dir under the CURRENT digest (e.g. a killed writer)
+    must trigger a rebuild, not be trusted as a complete index."""
+    import os
+    import shutil
+
+    idx_path = entrymod._ivf_index_path("/root/testdata/sf0.001")
+    prefix = idx_path.rsplit("_", 1)[0]
+    stale = prefix + "_deadbeef0000"
+    scratch = f"{idx_path}.build.99999"
+    for d in (stale, scratch):
+        os.makedirs(d, exist_ok=True)
+    try:
+        entrymod._prune_stale_siblings(idx_path)
+        assert not os.path.isdir(stale)          # stale digest pruned
+        assert os.path.isdir(scratch)            # live scratch untouched
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+        shutil.rmtree(stale, ignore_errors=True)
+
+    # partial dir: centroids written, 'assigned' (the completion marker,
+    # written last by ivf_save) missing -> the query must rebuild and
+    # still answer correctly
+    shutil.rmtree(idx_path, ignore_errors=True)
+    os.makedirs(f"{idx_path}/centroids", exist_ok=True)
+    try:
+        out = entrymod.q_embedding_ann_ivf(spark, "/root/testdata/sf0.001")
+        assert out.count() > 0
+        assert os.path.isdir(f"{idx_path}/assigned")   # rebuilt, complete
+    finally:
+        shutil.rmtree(idx_path, ignore_errors=True)

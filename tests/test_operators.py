@@ -1156,3 +1156,89 @@ def test_language_id_model_hook(spark):
                   textstats.language_id_model(df)):
         plan = frame._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan  # narrow projection, shuffle-free
+
+
+def test_media_hostile_resource_caps(spark):
+    """Resource-exhaustion hardening for attacker-controlled media fields
+    (review-found classes): LZW root-size byte, PNG decompression bombs,
+    GIF/AVI duration-driven frame explosion, GCE delay overflow, and the
+    animated-GIF feature branch that the image fast path used to shadow.
+    Every hostile payload must resolve (None / capped rows) in bounded
+    time — never an exception, a giant allocation, or a row explosion."""
+    import struct
+    import time
+    import zlib
+
+    import numpy as np
+
+    from ocr_spark.localrel import local_df
+    from ocr_spark.operators import codecs, multimodal
+
+    # 1. LZW minimum-code-size is attacker bytes: out-of-spec values must
+    # be rejected before the 2**min_code dictionary init, not looped on
+    for bad in (0, 1, 12, 32, 255):
+        t0 = time.time()
+        assert codecs._lzw_decode(b"\x00" * 16, bad) is None
+        assert time.time() - t0 < 0.5
+    px = (np.indices((6, 8)).sum(axis=0) % 2 * 255).astype(np.uint8)
+    px = np.stack([px] * 3, axis=-1)
+    gif = bytearray(codecs.encode_gif([px]))
+    sep = gif.index(b"\x2C" + struct.pack("<HHHHB", 0, 0, 8, 6, 0))
+    gif[sep + 10] = 0xFF                      # corrupt the LZW root size
+    t0 = time.time()
+    assert codecs.decode_gif(bytes(gif)) is None
+    assert time.time() - t0 < 0.5
+
+    # 2. PNG decompression bomb: tiny declared geometry, IDAT inflating
+    # to ~50 MB — the bounded inflate must stop at the header's
+    # entitlement (a few hundred bytes), so this returns fast and small
+    def chunk(tag, data):
+        return (struct.pack(">I", len(data)) + tag + data
+                + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF))
+    bomb = (b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", 10, 10, 8, 2, 0, 0, 0))
+            + chunk(b"IDAT", zlib.compress(b"\x00" * 50_000_000, 9))
+            + chunk(b"IEND", b""))
+    t0 = time.time()
+    out = codecs.decode_png(bomb)
+    assert time.time() - t0 < 2.0
+    assert out is None or out.shape == (10, 10, 3)   # never gigabytes
+
+    # 3. GCE delay is u16 centiseconds: long delays round-trip (the old
+    # single-byte write raised ValueError at >= 2560 ms), huge ones clamp
+    frames, delays = codecs.decode_gif(codecs.encode_gif([px, px],
+                                                         delay_ms=3000))
+    assert delays == [3000, 3000]
+    assert codecs.decode_gif(codecs.encode_gif([px], delay_ms=10**9))
+
+    # 4. animated GIF features: frame count + rate in the tail slots
+    # (the branch was dead while the still-image fast path ate every GIF)
+    anim = codecs.encode_gif([px, px, px], delay_ms=200)
+    decoded, feats = multimodal.media_feature_vector(anim, True)
+    assert decoded and feats[-2] == 3.0 and feats[-1] == 5.0
+    still_decoded, still = multimodal.media_feature_vector(
+        codecs.encode_gif([px]), True)
+    assert still_decoded and still[:2] == [8.0, 6.0]
+
+    # 5. duration-driven row explosion: an AVI whose avih field claims
+    # ~49 days/frame and a max-delay animated GIF must both emit at most
+    # MAX_SAMPLED_FRAMES rows per input row
+    avi = bytearray(codecs.encode_avi_mjpeg([codecs.encode_jpeg(px)] * 2,
+                                            fps=5))
+    at = avi.index(b"avih")
+    avi[at + 8:at + 12] = struct.pack("<I", 0xFFFFFFFF)
+    hostile = [(9001, "video", bytes(avi),
+                {"mime": "video/avi", "width": None, "height": None,
+                 "duration_ms": None}),
+               (9002, "video", codecs.encode_gif([px] * 4, 10**9),
+                {"mime": "image/gif", "width": None, "height": None,
+                 "duration_ms": None})]
+    media = local_df(spark, hostile, multimodal.MEDIA_SCHEMA)
+    t0 = time.time()
+    counts = {r["media_id"]: r["n"] for r in
+              (multimodal.sample_frames(media, every_ms=100)
+               .groupBy("media_id").agg(F.count("*").alias("n"))
+               .collect())}
+    assert time.time() - t0 < 120.0
+    assert all(1 <= n <= multimodal.MAX_SAMPLED_FRAMES
+               for n in counts.values()), counts
