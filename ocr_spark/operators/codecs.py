@@ -439,7 +439,8 @@ def _extend(v: int, size: int) -> int:
 
 
 def decode_jpeg(payload: bytes) -> np.ndarray | None:
-    """Baseline JPEG → (h, w, 3) uint8 RGB; None for non/unsupported JPEG."""
+    """Baseline (SOF0) or progressive (SOF2) JPEG → (h, w, 3) uint8 RGB;
+    None for non/unsupported JPEG."""
     b = payload
     if len(b) < 4 or b[0:2] != b"\xff\xd8":
         return None
@@ -495,9 +496,11 @@ def _decode_jpeg_inner(b: bytes) -> np.ndarray | None:
                     return None
                 comps.append((cid, hs, vs, tq))
             frame = (h, w, comps)
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+        elif marker == 0xC2:     # SOF2 progressive: dedicated multi-scan path
+            return _decode_jpeg_progressive(b)
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            return None          # non-baseline frame types
+            return None          # other non-baseline frame types
         elif marker == 0xC4:     # DHT
             i = 0
             while i + 17 <= len(data):
@@ -807,6 +810,582 @@ def encode_jpeg(rgb: np.ndarray) -> bytes:
             + dht(0, 0, *_DC_L) + dht(1, 0, *_AC_L)
             + dht(0, 1, *_DC_C) + dht(1, 1, *_AC_C)
             + sof + sos + ecs + b"\xff\xd9")
+
+
+# ---------------------------------------------------------------------------
+# JPEG progressive mode (SOF2): multi-scan spectral-selection / successive-
+# approximation decode per ITU-T T.81 G.1-G.2, plus an encoder twin.  The
+# decoder accumulates quantized coefficients across scans and runs one
+# vectorized dequant+IDCT at the end; the encoder emits the SAME quantized
+# coefficients as the baseline encoder through a standard 10-scan script,
+# so `decode(encode_progressive(px)) == decode(encode_baseline(px))`
+# pixel-exactly — the differential ground truth with no external library.
+# ---------------------------------------------------------------------------
+
+def _scan_ecs(b: bytes, i: int) -> tuple[bytes, list[int], int]:
+    """Unstuff one entropy-coded segment starting at ``i``: FF00 → FF,
+    RSTn positions recorded, stop at any other marker.  Returns
+    (unstuffed bytes, restart boundaries, position of the next marker)."""
+    ecs = bytearray()
+    resets: list[int] = []
+    n = len(b)
+    while i < n:
+        c = b[i]
+        if c == 0xFF:
+            nxt = b[i + 1] if i + 1 < n else 0xD9
+            if nxt == 0x00:
+                ecs.append(0xFF)
+                i += 2
+                continue
+            if 0xD0 <= nxt <= 0xD7:
+                resets.append(len(ecs))
+                i += 2
+                continue
+            break
+        ecs.append(c)
+        i += 1
+    return bytes(ecs), resets, i
+
+
+def _decode_jpeg_progressive(b: bytes) -> np.ndarray | None:
+    """SOF2 progressive JPEG → (h, w, 3) uint8 RGB, or None.
+
+    Walks every marker segment; each SOS scan (DC first/refine, AC first/
+    refine with EOB runs) updates the per-component zigzag coefficient
+    store with the Huffman tables in effect AT THAT SCAN (T.81 allows DHT
+    between scans).  Restart intervals reset DC predictors and the EOB
+    run and realign to the recorded RSTn boundary."""
+    pos = 2
+    qt: dict[int, np.ndarray] = {}
+    huff_dc: dict[int, _HuffTable] = {}
+    huff_ac: dict[int, _HuffTable] = {}
+    frame = None
+    restart_interval = 0
+    nscans = 0
+    coefs: list[np.ndarray] = []      # per comp: (bh_pad, bw_pad, 64) zigzag
+    geom: list[tuple[int, int, int, int]] = []   # (bw, bh, bw_pad, bh_pad)
+    n = len(b)
+    while pos + 4 <= n:
+        if b[pos] != 0xFF:
+            return None
+        marker = b[pos + 1]
+        if marker == 0xD8:
+            pos += 2
+            continue
+        if marker == 0xD9:
+            break
+        seg_len = int.from_bytes(b[pos + 2:pos + 4], "big")
+        data = b[pos + 4:pos + 2 + seg_len]
+        if marker == 0xDB:
+            i = 0
+            while i < len(data):
+                pq, tq = data[i] >> 4, data[i] & 0xF
+                if pq != 0:
+                    return None
+                tbl = np.frombuffer(data[i + 1:i + 65], dtype=np.uint8)
+                if tbl.size != 64:
+                    return None
+                qt[tq] = tbl.astype(np.int32)
+                i += 65
+        elif marker == 0xC2:
+            if frame is not None:
+                return None
+            h = int.from_bytes(data[1:3], "big")
+            w = int.from_bytes(data[3:5], "big")
+            ncomp = data[5]
+            if (data[0] != 8 or ncomp not in (1, 3) or not h or not w
+                    or w * h > MAX_DECODE_PIXELS):
+                return None
+            comps = []
+            for ci in range(ncomp):
+                cid = data[6 + ci * 3]
+                hs, vs = data[7 + ci * 3] >> 4, data[7 + ci * 3] & 0xF
+                tq = data[8 + ci * 3]
+                if not (1 <= hs <= 2 and 1 <= vs <= 2):
+                    return None
+                comps.append((cid, hs, vs, tq))
+            hmax = max(c[1] for c in comps)
+            vmax = max(c[2] for c in comps)
+            mcux = -(-w // (8 * hmax))
+            mcuy = -(-h // (8 * vmax))
+            if mcux * 8 * hmax * mcuy * 8 * vmax > 2 * MAX_DECODE_PIXELS:
+                return None
+            frame = (h, w, comps, hmax, vmax, mcux, mcuy)
+            for cid, hs, vs, tq in comps:
+                cw = -(-w * hs // hmax)
+                ch = -(-h * vs // vmax)
+                bw, bh = -(-cw // 8), -(-ch // 8)
+                bw_pad, bh_pad = mcux * hs, mcuy * vs
+                geom.append((bw, bh, bw_pad, bh_pad))
+                # int16 suffices: 8-bit quantized coefficients span ±2047
+                coefs.append(np.zeros((bh_pad, bw_pad, 64), dtype=np.int16))
+        elif marker in (0xC0, 0xC1, 0xC3, 0xC5, 0xC6, 0xC7,
+                        0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            return None
+        elif marker == 0xC4:
+            i = 0
+            while i + 17 <= len(data):
+                tc, th = data[i] >> 4, data[i] & 0xF
+                bits = list(data[i + 1:i + 17])
+                nval = sum(bits)
+                vals = data[i + 17:i + 17 + nval]
+                (huff_dc if tc == 0 else huff_ac)[th] = _HuffTable(bits, vals)
+                i += 17 + nval
+        elif marker == 0xDD:
+            restart_interval = int.from_bytes(data[0:2], "big")
+        elif marker == 0xDA:
+            if frame is None:
+                return None
+            ns = data[0]
+            scan = []
+            for si in range(ns):
+                cs = data[1 + si * 2]
+                td, ta = data[2 + si * 2] >> 4, data[2 + si * 2] & 0xF
+                scan.append((cs, td, ta))
+            ss, se = data[1 + ns * 2], data[2 + ns * 2]
+            ah, al = data[3 + ns * 2] >> 4, data[3 + ns * 2] & 0xF
+            ecs, resets, after = _scan_ecs(b, pos + 2 + seg_len)
+            _decode_prog_scan(frame, geom, coefs, scan, ss, se, ah, al,
+                              huff_dc, huff_ac, restart_interval,
+                              ecs, resets)
+            nscans += 1
+            pos = after
+            continue
+        pos += 2 + seg_len
+    if frame is None or nscans == 0:
+        return None
+    h, w, comps, hmax, vmax, mcux, mcuy = frame
+
+    # one vectorized dequant + IDCT over every block of every component
+    full = []
+    for (cid, hs, vs, tq), cf, (bw, bh, bw_pad, bh_pad) in zip(
+            comps, coefs, geom):
+        if tq not in qt:
+            return None
+        nat = np.zeros((bh_pad, bw_pad, 64), dtype=np.float64)
+        nat[..., ZIGZAG] = cf.astype(np.float64) * qt[tq].astype(np.float64)
+        blocks = nat.reshape(bh_pad, bw_pad, 8, 8)
+        # IDCT2 all blocks at once: C.T @ B @ C over the last two axes
+        out = np.einsum("ij,ywjk,kl->ywil", _DCT8.T, blocks, _DCT8) + 128.0
+        plane = out.transpose(0, 2, 1, 3).reshape(bh_pad * 8, bw_pad * 8)
+        up = np.repeat(np.repeat(plane, vmax // vs, axis=0),
+                       hmax // hs, axis=1)
+        full.append(up[:h, :w].astype(np.float32))
+    if len(full) == 1:
+        y = np.clip(full[0], 0, 255).astype(np.uint8)
+        return np.repeat(y[..., None], 3, axis=2)
+    y, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    bl = y + 1.772 * cb
+    rgb = np.stack([r, g, bl], axis=-1)
+    return np.clip(np.rint(rgb), 0, 255).astype(np.uint8)
+
+
+def _decode_prog_scan(frame, geom, coefs, scan, ss, se, ah, al,
+                      huff_dc, huff_ac, restart_interval,
+                      ecs: bytes, resets: list[int]) -> None:
+    """Decode ONE progressive scan into the coefficient store (T.81 G.2).
+
+    Four scan kinds: DC first (Ah=0, diff-coded, shifted left Al), DC
+    refine (one bit per block), AC first (run/size with EOB runs), AC
+    refine (correction bits on nonzero history + newly-nonzero ±1<<Al).
+    DC scans may interleave components (MCU order); AC scans are always
+    single-component in the component's own block raster."""
+    h, w, comps, hmax, vmax, mcux, mcuy = frame
+    reader = _BitReader(ecs)
+    reset_iter = iter(resets)
+    comp_idx = {c[0]: i for i, c in enumerate(comps)}
+    members = [comp_idx[cs] for cs, _, _ in scan]
+    state = {"eobrun": 0, "preds": [0] * len(scan)}
+
+    def restart() -> None:
+        nxt = next(reset_iter, None)
+        if nxt is None:
+            raise ValueError("missing restart marker")
+        reader.pos, reader.bit = nxt, 0
+        state["eobrun"] = 0
+        state["preds"] = [0] * len(scan)
+
+    if ss == 0:                       # DC scan (Se must be 0)
+        if se != 0:
+            raise ValueError("bad DC spectral range")
+        unit = 0
+        if len(scan) > 1:             # interleaved over MCUs
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    if (restart_interval and unit
+                            and unit % restart_interval == 0):
+                        restart()
+                    for si, ci in enumerate(members):
+                        _, hs, vs, _ = comps[ci]
+                        td = scan[si][1]
+                        cf = coefs[ci]
+                        for by in range(vs):
+                            for bx in range(hs):
+                                _dc_one(reader, cf[my * vs + by,
+                                                   mx * hs + bx],
+                                        huff_dc.get(td), ah, al,
+                                        state, si)
+                    unit += 1
+        else:
+            ci = members[0]
+            td = scan[0][1]
+            bw, bh, _, _ = geom[ci]
+            cf = coefs[ci]
+            for byy in range(bh):
+                for bxx in range(bw):
+                    if (restart_interval and unit
+                            and unit % restart_interval == 0):
+                        restart()
+                    _dc_one(reader, cf[byy, bxx], huff_dc.get(td),
+                            ah, al, state, 0)
+                    unit += 1
+        return
+
+    if len(scan) != 1:
+        raise ValueError("AC scans must be single-component")
+    ci = members[0]
+    ta = scan[0][2]
+    table = huff_ac.get(ta)
+    if table is None:
+        raise ValueError("missing AC table")
+    bw, bh, _, _ = geom[ci]
+    cf = coefs[ci]
+    unit = 0
+    for byy in range(bh):
+        for bxx in range(bw):
+            if restart_interval and unit and unit % restart_interval == 0:
+                restart()
+            if ah == 0:
+                _ac_first(reader, cf[byy, bxx], table, ss, se, al, state)
+            else:
+                _ac_refine(reader, cf[byy, bxx], table, ss, se, al, state)
+            unit += 1
+
+
+def _dc_one(reader, block, table, ah: int, al: int, state, si: int) -> None:
+    """One block's DC contribution: first pass diff-decodes and shifts,
+    refinement appends one magnitude bit."""
+    if ah == 0:
+        if table is None:
+            raise ValueError("missing DC table")
+        t = reader.decode_huff(table)
+        if t > 15:
+            raise ValueError("invalid DC size category")
+        diff = _extend(reader.read_bits(t), t)
+        state["preds"][si] += diff
+        block[0] = state["preds"][si] << al
+    else:
+        if reader.read_bit():
+            block[0] = int(block[0]) | (1 << al)
+
+
+def _ac_first(reader, block, table, ss, se, al, state) -> None:
+    """AC first pass for one block (T.81 G.2.2): run/size coding of the
+    point-transformed band, EOBn codes spanning 1..32767 blocks."""
+    if state["eobrun"] > 0:
+        state["eobrun"] -= 1
+        return
+    k = ss
+    while k <= se:
+        rs = reader.decode_huff(table)
+        r, s = rs >> 4, rs & 0xF
+        if s == 0:
+            if r == 15:               # ZRL: sixteen zeros
+                k += 16
+                continue
+            state["eobrun"] = (1 << r) - 1
+            if r:
+                state["eobrun"] += reader.read_bits(r)
+            break
+        k += r
+        if k > se:
+            raise ValueError("AC run past band end")
+        block[k] = _extend(reader.read_bits(s), s) << al
+        k += 1
+
+
+def _ac_refine(reader, block, table, ss, se, al, state) -> None:
+    """AC refinement for one block (T.81 G.2.3 / libjpeg shape): newly-
+    nonzero coefficients arrive as ±1<<Al; every nonzero-history
+    coefficient passed over consumes one correction bit."""
+    p1, m1 = 1 << al, -1 << al
+
+    def correct(k: int) -> None:
+        v = int(block[k])
+        if reader.read_bit() and not (v & p1):
+            block[k] = v + (p1 if v >= 0 else m1)
+
+    k = ss
+    if state["eobrun"] == 0:
+        while k <= se:
+            rs = reader.decode_huff(table)
+            r, s = rs >> 4, rs & 0xF
+            newval = 0
+            if s == 0:
+                if r != 15:           # EOBn
+                    state["eobrun"] = (1 << r)
+                    if r:
+                        state["eobrun"] += reader.read_bits(r)
+                    break
+                # ZRL: skip 16 zero-history positions with corrections
+            else:
+                if s != 1:
+                    raise ValueError("refinement size must be 1")
+                newval = p1 if reader.read_bit() else m1
+            while k <= se:
+                if block[k] != 0:
+                    correct(k)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if newval and k <= se:
+                block[k] = newval
+            k += 1
+    if state["eobrun"] > 0:           # EOB-run block: corrections only
+        while k <= se:
+            if block[k] != 0:
+                correct(k)
+            k += 1
+        state["eobrun"] -= 1
+
+
+def _flat_huff(symbols) -> tuple[list[int], bytes]:
+    """A canonical Huffman table hosting the given symbols as fixed 9-bit
+    codes (≤255 symbols per DHT length byte; codes 0..n-1 < 511, so the
+    all-ones code never occurs).  Deliberately size-naive: the
+    progressive encoder is a correctness twin for the decoder, not a
+    compressor."""
+    vals = bytes(symbols)
+    bits = [0] * 16
+    bits[8] = len(vals)        # BITS index 8 == code length 9
+    return bits, vals
+
+
+# every symbol a progressive AC scan can emit: (run<<4)|size for sizes
+# 0..10 — size 0 covers EOBn (run 0..14) and ZRL (0xF0)
+_AC_PROG_SYMS = [(r << 4) | s for r in range(16) for s in range(11)]
+
+
+def encode_jpeg_progressive(rgb: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 RGB → progressive JPEG (SOF2, 4:4:4, Annex K
+    quant tables, 10-scan script covering DC first/refine and AC
+    spectral bands with two successive-approximation levels).
+
+    Quantized coefficients are computed EXACTLY as :func:`encode_jpeg`
+    does (same per-block `_fdct2` + rint/quant), so decoding this stream
+    must yield pixels identical to decoding the baseline stream — the
+    differential contract the tests pin."""
+    h, w = rgb.shape[:2]
+    px = np.asarray(rgb, dtype=np.float64)
+    y = 0.299 * px[..., 0] + 0.587 * px[..., 1] + 0.114 * px[..., 2]
+    cb = (128.0 - 0.168736 * px[..., 0] - 0.331264 * px[..., 1]
+          + 0.5 * px[..., 2])
+    cr = (128.0 + 0.5 * px[..., 0] - 0.418688 * px[..., 1]
+          - 0.081312 * px[..., 2])
+    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+    planes = []
+    for plane in (y, cb, cr):
+        p = np.empty((ph, pw))
+        p[:h, :w] = plane
+        p[h:, :w] = plane[-1:, :]
+        p[:, w:] = p[:, w - 1:w]
+        planes.append(p - 128.0)
+
+    qts = (_QL, _QC)
+    nby, nbx = ph // 8, pw // 8
+    zz = [np.zeros((nby, nbx, 64), dtype=np.int32) for _ in range(3)]
+    for ci in range(3):
+        q8 = qts[0 if ci == 0 else 1].reshape(8, 8)
+        for by in range(nby):
+            for bx in range(nbx):
+                block = planes[ci][by * 8:by * 8 + 8, bx * 8:bx * 8 + 8]
+                qb = np.rint(_fdct2(block) / q8).astype(np.int32)
+                zz[ci][by, bx] = qb.reshape(64)[ZIGZAG]
+
+    dc_bits, dc_vals = _flat_huff(range(12))
+    ac_bits, ac_vals = _flat_huff(_AC_PROG_SYMS)
+    dc_map = _huff_encode_map(dc_bits, dc_vals)
+    ac_map = _huff_encode_map(ac_bits, ac_vals)
+
+    def dc_first(writer, members, al):
+        preds = [0] * len(members)
+        for by in range(nby):
+            for bx in range(nbx):
+                for si, ci in enumerate(members):
+                    v = int(zz[ci][by, bx, 0]) >> al   # DC: arithmetic shift
+                    diff = v - preds[si]
+                    preds[si] = v
+                    size, bits = _mag_cat(diff)
+                    code, ln = dc_map[size]
+                    writer.write(code, ln)
+                    if size:
+                        writer.write(bits, size)
+
+    def dc_refine(writer, members, al):
+        for by in range(nby):
+            for bx in range(nbx):
+                for ci in members:
+                    writer.write((int(zz[ci][by, bx, 0]) >> al) & 1, 1)
+
+    def ac_first(writer, ci, ss, se, al):
+        eobrun = 0
+
+        def flush() -> int:
+            if not eobrun:
+                return 0
+            r = eobrun.bit_length() - 1
+            code, ln = ac_map[r << 4]
+            writer.write(code, ln)
+            if r:
+                writer.write(eobrun - (1 << r), r)
+            return 0
+
+        for by in range(nby):
+            for bx in range(nbx):
+                band = zz[ci][by, bx, ss:se + 1]
+                # AC point transform truncates toward zero (T.81 G.1.2.2)
+                t = np.sign(band) * (np.abs(band) >> al)
+                nz = np.nonzero(t)[0]
+                if nz.size == 0:
+                    eobrun += 1
+                    if eobrun == 32767:
+                        eobrun = flush()
+                    continue
+                eobrun = flush()
+                run = 0
+                last = int(nz[-1])
+                for k in range(last + 1):
+                    v = int(t[k])
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        code, ln = ac_map[0xF0]
+                        writer.write(code, ln)
+                        run -= 16
+                    size, bits = _mag_cat(v)
+                    code, ln = ac_map[(run << 4) | size]
+                    writer.write(code, ln)
+                    writer.write(bits, size)
+                    run = 0
+                if last < se - ss:
+                    eobrun = 1
+        flush()
+
+    def ac_refine(writer, ci, ss, se, al):
+        # T.81 G.1.2.3 (libjpeg shape): newly-nonzero (|v|>>al == 1) are
+        # coded; nonzero-history positions buffer one correction bit each,
+        # emitted after the next symbol; all-zero tails fold into EOB runs
+        # whose buffered bits follow the EOBn code in block order.
+        eobrun = 0
+        carried: list[int] = []       # correction bits owned by the run
+
+        def flush():
+            nonlocal eobrun
+            if eobrun:
+                r = eobrun.bit_length() - 1
+                code, ln = ac_map[r << 4]
+                writer.write(code, ln)
+                if r:
+                    writer.write(eobrun - (1 << r), r)
+                eobrun = 0
+                for bit in carried:
+                    writer.write(bit, 1)
+                carried.clear()
+
+        for by in range(nby):
+            for bx in range(nbx):
+                band = [int(v) for v in zz[ci][by, bx, ss:se + 1]]
+                t = [abs(v) >> al for v in band]
+                eob = -1
+                for k, tv in enumerate(t):
+                    if tv == 1:
+                        eob = k
+                r = 0
+                pend: list[int] = []  # bits buffered inside this block
+                for k, tv in enumerate(t):
+                    if tv == 0:
+                        r += 1
+                        continue
+                    while r > 15 and k <= eob:
+                        flush()
+                        code, ln = ac_map[0xF0]
+                        writer.write(code, ln)
+                        r -= 16
+                        for bit in pend:
+                            writer.write(bit, 1)
+                        pend = []
+                    if tv > 1:
+                        pend.append(tv & 1)
+                        continue
+                    flush()
+                    code, ln = ac_map[(r << 4) | 1]
+                    writer.write(code, ln)
+                    writer.write(0 if band[k] < 0 else 1, 1)
+                    for bit in pend:
+                        writer.write(bit, 1)
+                    pend = []
+                    r = 0
+                if r > 0 or pend:
+                    eobrun += 1
+                    carried.extend(pend)
+                    if eobrun == 32767:
+                        flush()
+        flush()
+
+    def seg(marker: int, data: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(data) + 2) + data
+
+    def dqt(tq: int, tbl: np.ndarray) -> bytes:
+        return seg(0xDB, bytes([tq]) + bytes(
+            int(tbl[ZIGZAG[i]]) for i in range(64)))
+
+    def dht(tc: int, th: int, bits: list[int], vals: bytes) -> bytes:
+        return seg(0xC4, bytes([(tc << 4) | th]) + bytes(bits) + vals)
+
+    sof = seg(0xC2, bytes([8]) + struct.pack(">HH", h, w) + bytes([3])
+              + bytes([1, 0x11, 0]) + bytes([2, 0x11, 1]) + bytes([3, 0x11, 1]))
+    out = bytearray(b"\xff\xd8" + dqt(0, _QL) + dqt(1, _QC)
+                    + dht(0, 0, dc_bits, dc_vals)
+                    + dht(1, 0, ac_bits, ac_vals) + sof)
+    # (members, Ss, Se, Ah, Al): the classic script — DC first at Al=1,
+    # luma AC split into two bands at Al=2, chroma AC at Al=1, then one
+    # AC refinement step per component and the DC refinement bit.
+    script = [
+        ((0, 1, 2), 0, 0, 0, 1),
+        ((0,), 1, 5, 0, 2),
+        ((1,), 1, 63, 0, 1),
+        ((2,), 1, 63, 0, 1),
+        ((0,), 6, 63, 0, 2),
+        ((0,), 1, 63, 2, 1),
+        ((0, 1, 2), 0, 0, 1, 0),
+        ((1,), 1, 63, 1, 0),
+        ((2,), 1, 63, 1, 0),
+        ((0,), 1, 63, 1, 0),
+    ]
+    for members, ss, se, ah, al in script:
+        head = bytes([len(members)])
+        for ci in members:
+            head += bytes([ci + 1, 0x00])   # Td=0, Ta=0 (flat tables)
+        head += bytes([ss, se, (ah << 4) | al])
+        out += seg(0xDA, head)
+        writer = _BitWriter()
+        if ss == 0:
+            if ah == 0:
+                dc_first(writer, members, al)
+            else:
+                dc_refine(writer, members, al)
+        elif ah == 0:
+            ac_first(writer, members[0], ss, se, al)
+        else:
+            ac_refine(writer, members[0], ss, se, al)
+        out += writer.flush()
+    out += b"\xff\xd9"
+    return bytes(out)
 
 
 # ---------------------------------------------------------------------------

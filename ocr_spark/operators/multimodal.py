@@ -9,8 +9,9 @@ color types, every bit depth, Adam7 interlace), baseline JPEG
 markers), and GIF (from-scratch LZW, palettes, animation compositing)
 images are pixel-decoded/downsampled/re-encoded; PCM-16 WAV audio is
 decoded/sliced via stdlib ``wave``; Motion-JPEG AVI video is demuxed and
-frame-decoded.  What remains stubbed behind :data:`HAVE_MEDIA_LIBS` is
-modern video (H.264/VP9…) plus progressive JPEG:
+frame-decoded; progressive (SOF2) JPEG decodes through the same
+multi-scan coefficient path.  What remains stubbed behind
+:data:`HAVE_MEDIA_LIBS` is modern video (H.264/VP9…):
 :func:`_decode_image_stub` raises
 ``NotImplementedError`` unless ``deterministic_fake=True``, which produces
 a seeded fake feature vector so the distributed plumbing is exercised even
@@ -79,7 +80,7 @@ MAX_SAMPLED_FRAMES = 2048
 
 def _decode_image_stub(payload: bytes, deterministic_fake: bool) -> np.ndarray:
     """Fallback for payloads the pure-python codecs cannot decode
-    (H.264/VP9, progressive JPEG, arbitrary containers…).
+    (H.264/VP9, arbitrary containers…).
 
     Real implementation would be: decode (PIL/libav) → resize/frame-sample
     → embed.  STUB: without media libs, either raise (production guard) or
@@ -382,7 +383,7 @@ def synthetic_media(spark, rows: int = 64) -> DataFrame:
                            (yy * 255 // max(1, h - 1)),
                            rng.randint(0, 256, size=(h, w))],
                           axis=-1).astype(np.uint8)
-            container = (i // 3) % 3
+            container = (i // 3) % 4
             if container == 0:
                 return (i, kind, codecs.encode_bmp(px),
                         {"mime": "image/bmp", "width": w, "height": h,
@@ -391,7 +392,9 @@ def synthetic_media(spark, rows: int = 64) -> DataFrame:
                 return (i, kind, codecs.encode_png(px),
                         {"mime": "image/png", "width": w, "height": h,
                          "duration_ms": None})
-            return (i, kind, codecs.encode_jpeg(px),
+            enc = (codecs.encode_jpeg if container == 2
+                   else codecs.encode_jpeg_progressive)
+            return (i, kind, enc(px),
                     {"mime": "image/jpeg", "width": w, "height": h,
                      "duration_ms": None})
         if kind == "audio":

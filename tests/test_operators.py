@@ -711,7 +711,8 @@ def test_jpeg_codec_roundtrip_and_reference_stream():
     assert got420 is not None and got420.shape == (16, 16, 3)
     assert (got420 == 134).all()
 
-    # progressive (SOF2) and garbage are rejected, not mis-decoded
+    # a scan-less progressive frame and garbage are rejected, not
+    # mis-decoded (full progressive decode is test_jpeg_progressive)
     sof_prog = seg(0xC2, bytes([8]) + struct.pack(">HH", 8, 8) + bytes([1])
                    + bytes([1, 0x11, 0]))
     assert codecs.decode_jpeg(b"\xff\xd8" + dqt + sof_prog) is None
@@ -956,6 +957,7 @@ def test_codecs_crash_proof_on_mutated_payloads():
         codecs.encode_bmp(px),
         codecs.encode_png(px),
         codecs.encode_jpeg(px),
+        codecs.encode_jpeg_progressive(px),
         codecs.encode_gif([codecs._posterize_332(px)]),
         codecs.encode_wav((1000 * np.sin(np.arange(4000) / 9))
                           .astype(np.int16), 8000),
@@ -1242,3 +1244,93 @@ def test_media_hostile_resource_caps(spark):
     assert time.time() - t0 < 120.0
     assert all(1 <= n <= multimodal.MAX_SAMPLED_FRAMES
                for n in counts.values()), counts
+
+
+def test_jpeg_progressive():
+    """Progressive (SOF2) JPEG.  Grounding is dual: (1) HAND-CRAFTED
+    minimal streams — bits packed in the test, never touching the encoder
+    — decode to hand-computed pixels (DC first + successive-approximation
+    refine on one component; an interleaved 4:2:0 DC scan); (2) the
+    progressive encoder emits the SAME quantized coefficients as the
+    baseline encoder through a 10-scan script (DC first/refine, spectral
+    bands, two approximation levels, EOB runs, ZRL-with-corrections), so
+    decode(progressive) must equal decode(baseline) PIXEL-EXACTLY on
+    inputs chosen to force every scan kind (flat → 256-block EOB runs,
+    noise → ZRL + dense corrections, half-flat → both)."""
+    import struct
+    import zlib  # noqa: F401  (matches sibling tests' import shape)
+
+    import numpy as np
+
+    from ocr_spark.operators import codecs
+
+    def seg(marker, data):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(data) + 2) + data
+
+    def pack_msb(bitstr):
+        bitstr += "1" * (-len(bitstr) % 8)
+        raw = bytes(int(bitstr[i:i + 8], 2) for i in range(0, len(bitstr), 8))
+        out = bytearray()
+        for byte in raw:
+            out.append(byte)
+            if byte == 0xFF:
+                out.append(0x00)       # stuffing, as a real encoder would
+        return bytes(out)
+
+    # hand case 1: 8x8 gray, qt all 16 (DC-only pixel = 2*v + 128).
+    # Scan A (Ss=0,Se=0,Ah=0,Al=1): huff '0'->cat2, bits '10' = diff +2,
+    # reconstruction 2<<1 = 4.  Scan B (Ah=1,Al=0): one bit 1 -> v=5.
+    dqt = seg(0xDB, bytes([0]) + bytes([16] * 64))
+    dht1 = seg(0xC4, bytes([0x00]) + bytes([1] + [0] * 15) + bytes([2]))
+    sof1 = seg(0xC2, bytes([8]) + struct.pack(">HH", 8, 8)
+               + bytes([1, 1, 0x11, 0]))
+    blob = (b"\xff\xd8" + dqt + dht1 + sof1
+            + seg(0xDA, bytes([1, 1, 0x00, 0, 0, 0x01])) + pack_msb("010")
+            + seg(0xDA, bytes([1, 1, 0x00, 0, 0, 0x10])) + pack_msb("1")
+            + b"\xff\xd9")
+    out = codecs.decode_jpeg(blob)
+    assert out is not None and out.shape == (8, 8, 3) and (out == 138).all()
+
+    # hand case 2: 16x16 4:2:0, one interleaved DC-first scan (Al=0).
+    # Table: '0'->cat2, '10'->cat0, '11'->cat1.  MCU = Y x4, Cb, Cr;
+    # Y diffs +3,-2,0,+1 -> v 3,1,1,2 -> quadrants 134,130,130,132;
+    # chroma diffs 0 -> neutral 128 -> exact grayscale quadrants.
+    dht2 = seg(0xC4, bytes([0x00]) + bytes([1, 2] + [0] * 14)
+               + bytes([2, 0, 1]))
+    sof2 = seg(0xC2, bytes([8]) + struct.pack(">HH", 16, 16) + bytes([3])
+               + bytes([1, 0x22, 0]) + bytes([2, 0x11, 0])
+               + bytes([3, 0x11, 0]))
+    blob2 = (b"\xff\xd8" + dqt + dht2 + sof2
+             + seg(0xDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 0, 0x00]))
+             + pack_msb("011" + "001" + "10" + "111" + "10" + "10")
+             + b"\xff\xd9")
+    out2 = codecs.decode_jpeg(blob2)
+    exp = np.zeros((16, 16), int)
+    exp[:8, :8], exp[:8, 8:], exp[8:, :8], exp[8:, 8:] = 134, 130, 130, 132
+    assert out2 is not None
+    for c in range(3):
+        assert np.array_equal(out2[..., c], exp)
+
+    # differential vs baseline: identical pixels on every path-forcing case
+    rng = np.random.RandomState(7)
+    half = np.zeros((80, 120, 3), np.uint8)
+    half[:, :60] = rng.randint(0, 256, size=(80, 60, 3))
+    gx, gy = np.mgrid[0:23, 0:31]
+    grad = np.stack([gy * 8, gx * 11, (gx + gy) * 5],
+                    axis=-1).astype(np.uint8)
+    cases = [
+        rng.randint(0, 256, size=(96, 96, 3)).astype(np.uint8),   # noise
+        np.full((128, 128, 3), 77, np.uint8),                     # flat
+        half,                                                     # mixed
+        grad,                                                     # non-mult-8
+        ((np.indices((64, 64)).sum(0) % 2) * 255
+         ).astype(np.uint8)[..., None].repeat(3, 2),              # checker
+    ]
+    for px in cases:
+        base = codecs.decode_jpeg(codecs.encode_jpeg(px))
+        prog = codecs.decode_jpeg(codecs.encode_jpeg_progressive(px))
+        assert prog is not None and np.array_equal(base, prog), px.shape
+
+    # a progressive stream surfaces through the generic image API too
+    got = codecs.decode_image(codecs.encode_jpeg_progressive(grad))
+    assert got is not None and got[1] == "jpeg"
