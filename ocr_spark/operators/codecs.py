@@ -438,6 +438,34 @@ def _extend(v: int, size: int) -> int:
     return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
 
 
+def _jpeg_planes_to_rgb(full: list[np.ndarray]) -> np.ndarray:
+    """Shared decode epilogue: full-resolution float32 component planes
+    (already upsampled and cropped) → uint8 RGB (or replicated gray)."""
+    if len(full) == 1:
+        y = np.clip(full[0], 0, 255).astype(np.uint8)
+        return np.repeat(y[..., None], 3, axis=2)
+    y, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    bl = y + 1.772 * cb
+    rgb = np.stack([r, g, bl], axis=-1)
+    return np.clip(np.rint(rgb), 0, 255).astype(np.uint8)
+
+
+def _jpeg_seg(marker: int, data: bytes) -> bytes:
+    return bytes([0xFF, marker]) + struct.pack(">H", len(data) + 2) + data
+
+
+def _jpeg_dqt(tq: int, tbl: np.ndarray) -> bytes:
+    """Quant table (natural order in memory) → DQT segment (zigzag)."""
+    return _jpeg_seg(0xDB, bytes([tq]) + bytes(
+        int(tbl[ZIGZAG[i]]) for i in range(64)))
+
+
+def _jpeg_dht(tc: int, th: int, bits: list[int], vals: bytes) -> bytes:
+    return _jpeg_seg(0xC4, bytes([(tc << 4) | th]) + bytes(bits) + vals)
+
+
 def decode_jpeg(payload: bytes) -> np.ndarray | None:
     """Baseline (SOF0) or progressive (SOF2) JPEG → (h, w, 3) uint8 RGB;
     None for non/unsupported JPEG."""
@@ -529,25 +557,7 @@ def _decode_jpeg_inner(b: bytes) -> np.ndarray | None:
         return None
 
     # entropy-coded segment: unstuff FF00, collect restart boundaries
-    ecs = bytearray()
-    resets = []
-    i = pos
-    n = len(b)
-    while i < n:
-        c = b[i]
-        if c == 0xFF:
-            nxt = b[i + 1] if i + 1 < n else 0xD9
-            if nxt == 0x00:
-                ecs.append(0xFF)
-                i += 2
-                continue
-            if 0xD0 <= nxt <= 0xD7:          # RSTn
-                resets.append(len(ecs))
-                i += 2
-                continue
-            break                            # EOI or next marker
-        ecs.append(c)
-        i += 1
+    ecs, resets, _ = _scan_ecs(b, pos)
 
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
@@ -619,15 +629,7 @@ def _decode_jpeg_inner(b: bytes) -> np.ndarray | None:
         up = np.repeat(np.repeat(plane, vmax // vs, axis=0),
                        hmax // hs, axis=1)
         full.append(up[:h, :w])
-    if len(full) == 1:
-        y = np.clip(full[0], 0, 255).astype(np.uint8)
-        return np.repeat(y[..., None], 3, axis=2)
-    y, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
-    r = y + 1.402 * cr
-    g = y - 0.344136 * cb - 0.714136 * cr
-    bl = y + 1.772 * cb
-    rgb = np.stack([r, g, bl], axis=-1)
-    return np.clip(np.rint(rgb), 0, 255).astype(np.uint8)
+    return _jpeg_planes_to_rgb(full)
 
 
 # --- JPEG encoder (baseline, 4:4:4, Annex K tables) — primarily the
@@ -793,22 +795,13 @@ def encode_jpeg(rgb: np.ndarray) -> bytes:
                     writer.write(code, ln)
     ecs = writer.flush()
 
-    def seg(marker: int, data: bytes) -> bytes:
-        return bytes([0xFF, marker]) + struct.pack(">H", len(data) + 2) + data
-
-    def dqt(tq: int, tbl: np.ndarray) -> bytes:
-        return seg(0xDB, bytes([tq]) + bytes(
-            int(tbl[ZIGZAG[i]]) for i in range(64)))
-
-    def dht(tc: int, th: int, bits: list[int], vals: bytes) -> bytes:
-        return seg(0xC4, bytes([(tc << 4) | th]) + bytes(bits) + vals)
-
-    sof = seg(0xC0, bytes([8]) + struct.pack(">HH", h, w) + bytes([3])
-              + bytes([1, 0x11, 0]) + bytes([2, 0x11, 1]) + bytes([3, 0x11, 1]))
-    sos = seg(0xDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
-    return (b"\xff\xd8" + dqt(0, _QL) + dqt(1, _QC)
-            + dht(0, 0, *_DC_L) + dht(1, 0, *_AC_L)
-            + dht(0, 1, *_DC_C) + dht(1, 1, *_AC_C)
+    sof = _jpeg_seg(0xC0, bytes([8]) + struct.pack(">HH", h, w) + bytes([3])
+                    + bytes([1, 0x11, 0]) + bytes([2, 0x11, 1])
+                    + bytes([3, 0x11, 1]))
+    sos = _jpeg_seg(0xDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
+    return (b"\xff\xd8" + _jpeg_dqt(0, _QL) + _jpeg_dqt(1, _QC)
+            + _jpeg_dht(0, 0, *_DC_L) + _jpeg_dht(1, 0, *_AC_L)
+            + _jpeg_dht(0, 1, *_DC_C) + _jpeg_dht(1, 1, *_AC_C)
             + sof + sos + ecs + b"\xff\xd9")
 
 
@@ -936,6 +929,11 @@ def _decode_jpeg_progressive(b: bytes) -> np.ndarray | None:
         elif marker == 0xDA:
             if frame is None:
                 return None
+            if nscans >= 32:
+                # every scan re-walks its components' full block grid, so
+                # scan count is a CPU amplifier a hostile file controls;
+                # real progressive encoders emit ~10-15 scans
+                return None
             ns = data[0]
             scan = []
             for si in range(ns):
@@ -956,30 +954,35 @@ def _decode_jpeg_progressive(b: bytes) -> np.ndarray | None:
         return None
     h, w, comps, hmax, vmax, mcux, mcuy = frame
 
-    # one vectorized dequant + IDCT over every block of every component
+    # vectorized dequant + IDCT, CHUNKED by block rows: full-frame float64
+    # temporaries would cost ~24 bytes/pixel on a near-cap hostile header
+    # (10x the baseline path's hardened float32 budget) — each chunk's
+    # float64 scratch is bounded, results land in one float32 plane, and
+    # the int16 store is released as soon as its plane is built
     full = []
-    for (cid, hs, vs, tq), cf, (bw, bh, bw_pad, bh_pad) in zip(
-            comps, coefs, geom):
+    for comp_i, ((cid, hs, vs, tq), (bw, bh, bw_pad, bh_pad)) in enumerate(
+            zip(comps, geom)):
+        cf = coefs[comp_i]
         if tq not in qt:
             return None
-        nat = np.zeros((bh_pad, bw_pad, 64), dtype=np.float64)
-        nat[..., ZIGZAG] = cf.astype(np.float64) * qt[tq].astype(np.float64)
-        blocks = nat.reshape(bh_pad, bw_pad, 8, 8)
-        # IDCT2 all blocks at once: C.T @ B @ C over the last two axes
-        out = np.einsum("ij,ywjk,kl->ywil", _DCT8.T, blocks, _DCT8) + 128.0
-        plane = out.transpose(0, 2, 1, 3).reshape(bh_pad * 8, bw_pad * 8)
+        qtab = qt[tq].astype(np.float64)
+        plane = np.empty((bh_pad * 8, bw_pad * 8), dtype=np.float32)
+        chunk = max(1, (1 << 14) // max(1, bw_pad))   # ~25 MB scratch cap
+        for y0 in range(0, bh_pad, chunk):
+            part = cf[y0:y0 + chunk]
+            nat = np.zeros(part.shape, dtype=np.float64)
+            nat[..., ZIGZAG] = part.astype(np.float64) * qtab
+            blocks = nat.reshape(part.shape[0], bw_pad, 8, 8)
+            # IDCT2 all blocks at once: C.T @ B @ C over the last two axes
+            out = np.einsum("ij,ywjk,kl->ywil", _DCT8.T, blocks, _DCT8)
+            plane[y0 * 8:(y0 + part.shape[0]) * 8] = (
+                out.transpose(0, 2, 1, 3)
+                .reshape(part.shape[0] * 8, bw_pad * 8) + 128.0)
+        coefs[comp_i] = None          # release the int16 store
         up = np.repeat(np.repeat(plane, vmax // vs, axis=0),
                        hmax // hs, axis=1)
-        full.append(up[:h, :w].astype(np.float32))
-    if len(full) == 1:
-        y = np.clip(full[0], 0, 255).astype(np.uint8)
-        return np.repeat(y[..., None], 3, axis=2)
-    y, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
-    r = y + 1.402 * cr
-    g = y - 0.344136 * cb - 0.714136 * cr
-    bl = y + 1.772 * cb
-    rgb = np.stack([r, g, bl], axis=-1)
-    return np.clip(np.rint(rgb), 0, 255).astype(np.uint8)
+        full.append(up[:h, :w])
+    return _jpeg_planes_to_rgb(full)
 
 
 def _decode_prog_scan(frame, geom, coefs, scan, ss, se, ah, al,
@@ -1010,6 +1013,12 @@ def _decode_prog_scan(frame, geom, coefs, scan, ss, se, ah, al,
     if ss == 0:                       # DC scan (Se must be 0)
         if se != 0:
             raise ValueError("bad DC spectral range")
+        if ah != 0 and not restart_interval:
+            # refinement is one raw bit per block — bulk-read them all
+            # (the per-block Python loop here was a 4000x-per-byte CPU
+            # amplifier on near-cap frames)
+            _dc_refine_bulk(reader, frame, geom, coefs, members, al)
+            return
         unit = 0
         if len(scan) > 1:             # interleaved over MCUs
             for my in range(mcuy):
@@ -1052,6 +1061,12 @@ def _decode_prog_scan(frame, geom, coefs, scan, ss, se, ah, al,
         raise ValueError("missing AC table")
     bw, bh, _, _ = geom[ci]
     cf = coefs[ci]
+    if ah != 0:
+        # an EOB-run-covered block consumes correction bits ONLY at
+        # nonzero-history positions; this scan never turns a zero into a
+        # nonzero inside an EOB run, so a scan-start snapshot lets the
+        # run skip all-zero blocks in O(1) instead of sweeping the band
+        band_nz = np.any(cf[:bh, :bw, ss:se + 1] != 0, axis=2)
     unit = 0
     for byy in range(bh):
         for bxx in range(bw):
@@ -1059,9 +1074,55 @@ def _decode_prog_scan(frame, geom, coefs, scan, ss, se, ah, al,
                 restart()
             if ah == 0:
                 _ac_first(reader, cf[byy, bxx], table, ss, se, al, state)
+            elif state["eobrun"] > 0 and not band_nz[byy, bxx]:
+                state["eobrun"] -= 1
             else:
                 _ac_refine(reader, cf[byy, bxx], table, ss, se, al, state)
             unit += 1
+
+
+def _read_bits_bulk(reader: _BitReader, n: int) -> np.ndarray:
+    """Read ``n`` raw bits from the reader as a uint8 0/1 array (MSB-first,
+    matching read_bit) and advance its position."""
+    need = (reader.bit + n + 7) // 8
+    if reader.pos + need > len(reader.data):
+        raise EOFError
+    raw = np.frombuffer(reader.data, dtype=np.uint8,
+                        count=need, offset=reader.pos)
+    bits = np.unpackbits(raw)[reader.bit:reader.bit + n]
+    adv = reader.bit + n
+    reader.pos += adv // 8
+    reader.bit = adv % 8
+    return bits
+
+
+def _dc_refine_bulk(reader, frame, geom, coefs, members, al: int) -> None:
+    """Vectorized DC refinement (no restart interval): one bulk bit read,
+    then an indexed OR of ``bit << al`` into every block's DC slot —
+    identical semantics to `_dc_one`'s refine branch, block order
+    preserved (MCU raster × scan-component × in-MCU raster)."""
+    h, w, comps, hmax, vmax, mcux, mcuy = frame
+    if len(members) > 1:
+        bpm = sum(comps[ci][1] * comps[ci][2] for ci in members)
+        bits = _read_bits_bulk(reader, mcux * mcuy * bpm)
+        off = 0
+        for ci in members:
+            _, hs, vs, _ = comps[ci]
+            cf = coefs[ci]
+            my, mx, by, bx = np.meshgrid(
+                np.arange(mcuy), np.arange(mcux),
+                np.arange(vs), np.arange(hs), indexing="ij")
+            idx = ((my * mcux + mx) * bpm + off + by * hs + bx).ravel()
+            rows = (my * vs + by).ravel()
+            cols = (mx * hs + bx).ravel()
+            cf[rows, cols, 0] |= bits[idx].astype(cf.dtype) << al
+            off += hs * vs
+    else:
+        ci = members[0]
+        bw, bh, _, _ = geom[ci]
+        bits = _read_bits_bulk(reader, bh * bw)
+        cf = coefs[ci]
+        cf[:bh, :bw, 0] |= bits.reshape(bh, bw).astype(cf.dtype) << al
 
 
 def _dc_one(reader, block, table, ah: int, al: int, state, si: int) -> None:
@@ -1337,21 +1398,12 @@ def encode_jpeg_progressive(rgb: np.ndarray) -> bytes:
                         flush()
         flush()
 
-    def seg(marker: int, data: bytes) -> bytes:
-        return bytes([0xFF, marker]) + struct.pack(">H", len(data) + 2) + data
-
-    def dqt(tq: int, tbl: np.ndarray) -> bytes:
-        return seg(0xDB, bytes([tq]) + bytes(
-            int(tbl[ZIGZAG[i]]) for i in range(64)))
-
-    def dht(tc: int, th: int, bits: list[int], vals: bytes) -> bytes:
-        return seg(0xC4, bytes([(tc << 4) | th]) + bytes(bits) + vals)
-
-    sof = seg(0xC2, bytes([8]) + struct.pack(">HH", h, w) + bytes([3])
-              + bytes([1, 0x11, 0]) + bytes([2, 0x11, 1]) + bytes([3, 0x11, 1]))
-    out = bytearray(b"\xff\xd8" + dqt(0, _QL) + dqt(1, _QC)
-                    + dht(0, 0, dc_bits, dc_vals)
-                    + dht(1, 0, ac_bits, ac_vals) + sof)
+    sof = _jpeg_seg(0xC2, bytes([8]) + struct.pack(">HH", h, w) + bytes([3])
+                    + bytes([1, 0x11, 0]) + bytes([2, 0x11, 1])
+                    + bytes([3, 0x11, 1]))
+    out = bytearray(b"\xff\xd8" + _jpeg_dqt(0, _QL) + _jpeg_dqt(1, _QC)
+                    + _jpeg_dht(0, 0, dc_bits, dc_vals)
+                    + _jpeg_dht(1, 0, ac_bits, ac_vals) + sof)
     # (members, Ss, Se, Ah, Al): the classic script — DC first at Al=1,
     # luma AC split into two bands at Al=2, chroma AC at Al=1, then one
     # AC refinement step per component and the DC refinement bit.
@@ -1372,7 +1424,7 @@ def encode_jpeg_progressive(rgb: np.ndarray) -> bytes:
         for ci in members:
             head += bytes([ci + 1, 0x00])   # Td=0, Ta=0 (flat tables)
         head += bytes([ss, se, (ah << 4) | al])
-        out += seg(0xDA, head)
+        out += _jpeg_seg(0xDA, head)
         writer = _BitWriter()
         if ss == 0:
             if ah == 0:

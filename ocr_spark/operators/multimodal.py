@@ -366,9 +366,10 @@ def media_metadata_stats(df: DataFrame) -> DataFrame:
 def synthetic_media(spark, rows: int = 64) -> DataFrame:
     """Deterministic media table for tests/benches.
 
-    Image rows rotate through REAL 24-bit BMPs, REAL PNGs (zlib inflate +
-    row unfiltering), and REAL baseline JPEGs (Huffman + IDCT) over
-    seeded gradient+noise pixels, and audio rows carry REAL PCM-16 WAVs
+    Image rows rotate through four REAL containers — 24-bit BMP, PNG
+    (zlib inflate + row unfiltering), baseline JPEG (Huffman + IDCT), and
+    progressive JPEG (multi-scan SOF2) — over seeded gradient+noise
+    pixels, and audio rows carry REAL PCM-16 WAVs
     (seeded sine+noise), so the decode paths above run genuine codec work
     end-to-end; video rows stay opaque seeded bytes (no pure-python video
     container), exercising the stub branch.

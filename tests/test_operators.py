@@ -1222,6 +1222,20 @@ def test_media_hostile_resource_caps(spark):
         codecs.encode_gif([px]), True)
     assert still_decoded and still[:2] == [8.0, 6.0]
 
+    # 4b. progressive scan-count amplifier: every SOS re-walks the full
+    # block grid, so a file repeating scans must be rejected, not looped
+    def jseg(m, d):
+        return bytes([0xFF, m]) + struct.pack(">H", len(d) + 2) + d
+    pdqt = jseg(0xDB, bytes([0]) + bytes([16] * 64))
+    pdht = jseg(0xC4, bytes([0x00]) + bytes([1] + [0] * 15) + bytes([0]))
+    psof = jseg(0xC2, bytes([8]) + struct.pack(">HH", 256, 256)
+                + bytes([1, 1, 0x11, 0]))
+    pscan = jseg(0xDA, bytes([1, 1, 0x00, 0, 0, 0x01])) + b"\x00" * 128
+    many_scans = b"\xff\xd8" + pdqt + pdht + psof + pscan * 40 + b"\xff\xd9"
+    t0 = time.time()
+    assert codecs.decode_jpeg(many_scans) is None
+    assert time.time() - t0 < 2.0
+
     # 5. duration-driven row explosion: an AVI whose avih field claims
     # ~49 days/frame and a max-delay animated GIF must both emit at most
     # MAX_SAMPLED_FRAMES rows per input row
