@@ -478,13 +478,27 @@ def near_duplicates_embedding(df: DataFrame, id_col: str = "vec_id",
     cands = band_candidates(keyed)
     va = ids.select(F.col("id").alias("id_a"), F.col("v").alias("v_a"))
     vb = ids.select(F.col("id").alias("id_b"), F.col("v").alias("v_b"))
-    vdot = F.expr("aggregate(zip_with(v_a, v_b, (x, y) -> CAST(x AS DOUBLE) * y), "
-                  "0D, (acc, x) -> acc + x)")
-    vnorm = ("sqrt(aggregate(transform({0}, x -> CAST(x AS DOUBLE) * x), "
-             "0D, (acc, x) -> acc + x))")
-    vcos = vdot / (F.expr(vnorm.format("v_a")) * F.expr(vnorm.format("v_b")))
+
+    # exact verify over Arrow batches: one einsum per batch instead of a
+    # per-row Catalyst higher-order-function fold (the fold interprets a
+    # lambda per element — at candidate-list scale that is the dominant
+    # cost of the whole operator).  Zero vectors verify to cosine 0.0
+    # (never a near-dup) rather than NaN.
+    @pandas_udf(T.DoubleType())
+    def _pair_cosine(va_s: pd.Series, vb_s: pd.Series) -> pd.Series:
+        if not len(va_s):
+            return pd.Series([], dtype="float64")
+        a = np.array(list(va_s), dtype="float64")
+        b = np.array(list(vb_s), dtype="float64")
+        dots = np.einsum("ij,ij->i", a, b)
+        denom = (np.sqrt(np.einsum("ij,ij->i", a, a))
+                 * np.sqrt(np.einsum("ij,ij->i", b, b)))
+        out = np.where(denom > 0, dots / np.maximum(denom, 1e-300), 0.0)
+        return pd.Series(out)
+
     return (cands.join(va, "id_a").join(vb, "id_b")
-            .select("id_a", "id_b", F.round(vcos, 6).alias("cosine"))
+            .select("id_a", "id_b",
+                    F.round(_pair_cosine("v_a", "v_b"), 6).alias("cosine"))
             .filter(F.col("cosine") >= threshold)
             .distinct())
 
