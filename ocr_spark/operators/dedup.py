@@ -447,7 +447,10 @@ def near_duplicates_embedding(df: DataFrame, id_col: str = "vec_id",
     dot = F.expr("aggregate(zip_with(a.v, b.v, (x, y) -> CAST(x AS DOUBLE) * y), "
                  "0D, (acc, x) -> acc + x)")
     norm = "sqrt(aggregate(transform({0}.v, x -> CAST(x AS DOUBLE) * x), 0D, (acc, x) -> acc + x))"
-    cosine = dot / (F.expr(norm.format("a")) * F.expr(norm.format("b")))
+    # a zero vector makes this 0/0 — job-fatal DIVIDE_BY_ZERO under ANSI
+    # mode (Spark 4 default); score it 0.0, matching the scale path
+    _den = F.expr(norm.format("a")) * F.expr(norm.format("b"))
+    cosine = F.when(_den != 0, dot / _den).otherwise(F.lit(0.0))
 
     if brute_force:
         pairs = (ids.alias("a").crossJoin(ids.alias("b"))

@@ -31,7 +31,11 @@ def _cosine_expr() -> F.Column:
                  "0D, (acc, x) -> acc + x)")
     norm = ("sqrt(aggregate(transform({0}.v, x -> CAST(x AS DOUBLE) * x), "
             "0D, (acc, x) -> acc + x))")
-    return dot / (F.expr(norm.format("q")) * F.expr(norm.format("c")))
+    # a zero vector makes this 0/0 — job-fatal DIVIDE_BY_ZERO under ANSI
+    # mode (Spark 4 default), NaN-ranked ABOVE every real cosine without
+    # it.  Zero vectors score 0.0: similar-to-nothing.
+    den = F.expr(norm.format("q")) * F.expr(norm.format("c"))
+    return F.when(den != 0, dot / den).otherwise(F.lit(0.0))
 
 
 def cosine_topk_bruteforce(corpus: DataFrame, queries: DataFrame, k: int = 5,
@@ -81,7 +85,7 @@ def cosine_topk_matmul(corpus: DataFrame, queries: DataFrame, k: int = 5,
                            F.col(vec_col).alias("v")).collect()
     qids = np.array([r["qid"] for r in qrows], dtype=np.int64)
     qmat = np.array([r["v"] for r in qrows], dtype=np.float64)
-    qmat /= np.linalg.norm(qmat, axis=1, keepdims=True)
+    qmat /= np.maximum(np.linalg.norm(qmat, axis=1, keepdims=True), 1e-30)
 
     def local_topk(batches):
         for pdf in batches:

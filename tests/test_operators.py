@@ -1348,3 +1348,43 @@ def test_jpeg_progressive():
     # a progressive stream surfaces through the generic image API too
     got = codecs.decode_image(codecs.encode_jpeg_progressive(grad))
     assert got is not None and got[1] == "jpeg"
+
+
+def test_cosine_zero_vector_never_ranks(spark):
+    """Zero vectors score cosine 0.0, never NaN: Spark orders NaN above
+    every real number, so an unguarded 0/0 would rank a garbage vector at
+    top-1 for EVERY query (brute/IVF paths) and auto-pass the >= threshold
+    near-dup filter (pair paths).  A 100TB corpus WILL contain zero
+    embeddings (failed encoder calls, padded rows)."""
+    import numpy as np
+
+    from ocr_spark.localrel import local_df
+    from ocr_spark.operators import dedup, similarity
+
+    rng = np.random.RandomState(5)
+    rows = [(i, [float(x) for x in rng.normal(size=8)]) for i in range(20)]
+    rows.append((99, [0.0] * 8))                 # the zero vector
+    corpus = local_df(spark, rows, "vec_id bigint, embedding array<double>")
+    queries = corpus.filter(F.col("vec_id") < 2)
+
+    for fn in (similarity.cosine_topk_bruteforce,
+               similarity.cosine_topk_matmul):
+        got = fn(corpus, queries, k=3).collect()
+        assert got, fn.__name__
+        assert all(r["vec_id"] != 99 and not np.isnan(r["cosine"])
+                   for r in got), fn.__name__
+
+    # IVF path: zero vector lands in some cell; it must not win a probe
+    cents, assigned = similarity.ivf_build(corpus, n_cells=2, sample=32)
+    got = similarity.cosine_topk_ivf(assigned, cents, queries,
+                                     k=3, n_probe=2).collect()
+    assert got and all(r["vec_id"] != 99 and not np.isnan(r["cosine"])
+                       for r in got)
+
+    # pair paths: two zero vectors are NOT near-duplicates
+    rows.append((100, [0.0] * 8))
+    corpus2 = local_df(spark, rows, "vec_id bigint, embedding array<double>")
+    for brute in (True, False):
+        pairs = dedup.near_duplicates_embedding(
+            corpus2, threshold=0.9, brute_force=brute).collect()
+        assert all({r["id_a"], r["id_b"]} != {99, 100} for r in pairs), brute
