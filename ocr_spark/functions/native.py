@@ -44,8 +44,13 @@ def nie_prefix_digit(doc: Column) -> Column:
 def dni_expected_letter(doc: Column) -> Column:
     """Expected mod-23 letter for a DNI/NIE-shaped string (C1)."""
     doc = F.upper(F.trim(doc))
-    dni_num = F.substring(doc, 1, 8).cast("bigint")
-    nie_num = F.concat(nie_prefix_digit(doc), F.substring(doc, 2, 7)).cast("bigint")
+    # try_cast, not cast: under ANSI (Spark 4 default) a malformed string
+    # is a JOB-FATAL CAST_INVALID_INPUT, and codegen's common-subexpression
+    # elimination can hoist the cast out of its CASE/rlike guard — on a
+    # web corpus one garbage row must yield NULL, never kill the stage
+    dni_num = F.substring(doc, 1, 8).try_cast("bigint")
+    nie_num = (F.concat(nie_prefix_digit(doc), F.substring(doc, 2, 7))
+               .try_cast("bigint"))
     num = F.when(doc.rlike(RE_DNI_EXACT), dni_num).when(doc.rlike(RE_NIE_EXACT), nie_num)
     return F.substring(F.lit(DNI_CHECK_LETTERS), (num % 23 + 1).cast("int"), 1)
 
@@ -65,7 +70,9 @@ def cif_control_digit(cif: Column) -> Column:
     cif = F.upper(F.trim(cif))
 
     def digit(i: int) -> Column:  # 1-based position within the 7-digit body
-        return F.substring(cif, 1 + i, 1).cast("int")
+        # try_cast: ANSI would throw job-fatally on a non-digit body char
+        # (and subexpression elimination hoists this past any shape guard)
+        return F.substring(cif, 1 + i, 1).try_cast("int")
 
     def fold(col: Column) -> Column:
         doubled = col * 2
@@ -123,8 +130,10 @@ def iso_from_dmy(value: Column) -> Column:
     Returns NULL outside range — deliberately NOT ``to_date`` (the contract
     accepts 31/02, SURVEY §2.5 Z1).
     """
-    dd = F.regexp_extract(value, RE_DATE_DMY, 1).cast("int")
-    mm = F.regexp_extract(value, RE_DATE_DMY, 2).cast("int")
+    # try_cast: regexp_extract yields '' for non-matching values, which
+    # ANSI cast turns into a job-fatal CAST_INVALID_INPUT
+    dd = F.regexp_extract(value, RE_DATE_DMY, 1).try_cast("int")
+    mm = F.regexp_extract(value, RE_DATE_DMY, 2).try_cast("int")
     yyyy = F.regexp_extract(value, RE_DATE_DMY, 3)
     ok = dd.between(1, 31) & mm.between(1, 12)
     iso = F.concat_ws("-", yyyy, F.lpad(mm.cast("string"), 2, "0"),

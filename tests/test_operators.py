@@ -1388,3 +1388,25 @@ def test_cosine_zero_vector_never_ranks(spark):
         pairs = dedup.near_duplicates_embedding(
             corpus2, threshold=0.9, brute_force=brute).collect()
         assert all({r["id_a"], r["id_b"]} != {99, 100} for r in pairs), brute
+
+
+def test_native_validators_ansi_safe_on_garbage(spark):
+    """Under ANSI mode (the Spark 4 default) a string→int CAST of a
+    malformed value is a JOB-FATAL CAST_INVALID_INPUT — and codegen's
+    common-subexpression elimination can hoist such casts past their
+    CASE/rlike shape guards.  Every native validator must degrade to
+    NULL/False on arbitrary web-corpus garbage, never kill the stage."""
+    from ocr_spark.functions import native
+
+    hostiles = ["", "garbage!", "A1B2C3D4E", "32/13/2020", "\x00\x01",
+                "999999999999999999999999999", "B" * 50, "１２３４５６７８Z"]
+    df = spark.createDataFrame([(v,) for v in hostiles], ["v"])
+    rows = df.select(
+        native.iso_from_dmy(F.col("v")).alias("iso"),
+        native.cif_is_valid(F.col("v")).alias("cif_ok"),
+        native.cif_control_digit(F.col("v")).alias("cif_digit"),
+        native.dni_is_valid(F.col("v")).alias("dni_ok"),
+        native.dni_expected_letter(F.col("v")).alias("dni_letter"),
+    ).collect()                                   # must not raise
+    assert all(r["cif_ok"] is False and r["dni_ok"] is False for r in rows)
+    assert all(r["iso"] is None for r in rows)
