@@ -148,7 +148,11 @@ def q_stratified_sample(spark, sf_dir):
 def q_winnow_fingerprints(spark, sf_dir):
     return (textstats.winnowing_fingerprints(_docs(spark, sf_dir))
             .select("id", F.size("fingerprints").alias("n_fp"),
-                    F.element_at("fingerprints", 1).alias("first_fp"))
+                    # try_element_at: a doc shorter than the winnow window
+                    # has ZERO fingerprints, and ANSI element_at on an
+                    # empty array is a job-fatal INVALID_ARRAY_INDEX
+                    F.try_element_at("fingerprints", F.lit(1))
+                    .alias("first_fp"))
             .orderBy("id"))
 
 

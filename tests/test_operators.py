@@ -1410,3 +1410,17 @@ def test_native_validators_ansi_safe_on_garbage(spark):
     ).collect()                                   # must not raise
     assert all(r["cif_ok"] is False and r["dni_ok"] is False for r in rows)
     assert all(r["iso"] is None for r in rows)
+
+    # winnow first-fingerprint projection: a doc too short to fingerprint
+    # has an EMPTY array — ANSI element_at would kill the job, so the
+    # query uses try_element_at and yields NULL
+    import __spark_entry__ as entrymod
+    docs = spark.createDataFrame(
+        [(1, "a long enough document with plenty of tokens to fingerprint "
+             "for the winnow window", "en"), (2, "", "en"), (3, "ab", "en")],
+        ["doc_id", "text", "lang"])
+    fp = (textstats.winnowing_fingerprints(docs)
+          .select("id", F.try_element_at("fingerprints", F.lit(1))
+                  .alias("first_fp")).collect())
+    got = {r["id"]: r["first_fp"] for r in fp}
+    assert got[1] is not None and got[2] is None
