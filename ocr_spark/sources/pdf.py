@@ -63,14 +63,21 @@ def _unescape(lit: bytes) -> bytes:
     return bytes(out)
 
 
-def _decode_stream(raw: bytes) -> bytes:
+# deflate expands up to ~1032:1, so a 5 MB (pipeline-capped) hostile PDF
+# could inflate toward 5 GB — bound each stream and the per-document total
+MAX_STREAM_BYTES = 64 * 1024 * 1024
+MAX_DOC_BYTES = 256 * 1024 * 1024
+
+
+def _decode_stream(raw: bytes, limit: int = MAX_STREAM_BYTES) -> bytes:
     # decompressobj tolerates the framing newline before `endstream` as
     # unused trailing data; never rstrip first — a deflate stream may
-    # legitimately END with 0x0a/0x0d bytes
+    # legitimately END with 0x0a/0x0d bytes.  The inflate is bounded:
+    # a decompression bomb yields a truncated stream, never gigabytes.
     try:
-        return zlib.decompressobj().decompress(raw)
+        return zlib.decompressobj().decompress(raw, limit)
     except zlib.error:
-        return raw
+        return raw[:limit]
 
 
 def _stream_text(content: bytes) -> list[bytes]:
@@ -107,12 +114,20 @@ def _stream_text(content: bytes) -> list[bytes]:
 
 
 def extract_pdf_text(data: bytes) -> str:
-    """All recoverable text of a PDF, text lines joined with newlines."""
+    """All recoverable text of a PDF, text lines joined with newlines.
+
+    Inflation is budgeted per stream AND per document, so a PDF packed
+    with many small deflate bombs cannot exceed ``MAX_DOC_BYTES`` of
+    working bytes — text past the budget is dropped, never job-fatal."""
     lines: list[bytes] = []
+    budget = MAX_DOC_BYTES
     for sm in _RE_STREAM.finditer(data):
-        content = _decode_stream(sm.group(1))
+        content = _decode_stream(sm.group(1), min(MAX_STREAM_BYTES, budget))
+        budget -= len(content)
         if b"BT" in content:
             lines.extend(_stream_text(content))
+        if budget <= 0:
+            break
     return b"\n".join(lines).decode("utf-8", errors="replace")
 
 

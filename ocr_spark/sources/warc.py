@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import gzip
 import io
+import zlib
 from datetime import datetime, timezone
 from typing import Iterable, Iterator, Optional
 
@@ -33,12 +34,33 @@ _CRLF2 = b"\r\n\r\n"
 PAGE_RECORD_TYPES = {"response", "resource"}
 
 
-def _maybe_gunzip(data: bytes) -> bytes:
-    if data[:2] == b"\x1f\x8b":
-        # GzipFile consumes all concatenated members (CC is member-per-record)
-        with gzip.GzipFile(fileobj=io.BytesIO(data)) as fh:
-            return fh.read()
-    return data
+def _maybe_gunzip(data: bytes, max_ratio: int = 64) -> bytes:
+    """Inflate a (member-per-record, CC-style) gzip WARC, BOUNDED.
+
+    Legit web archives inflate ~3-5:1; a hostile gzip bomb inflates up to
+    ~1000:1, so an unbounded ``GzipFile.read()`` would turn a 10 MB blob
+    into gigabytes on one executor.  Members are inflated incrementally
+    via ``decompressobj`` up to ``max_ratio``× the compressed size —
+    records past the cap are dropped (truncated archives already stop
+    cleanly downstream), never job-fatal."""
+    if data[:2] != b"\x1f\x8b":
+        return data
+    cap = max_ratio * max(len(data), 1 << 20)
+    out = bytearray()
+    rest: bytes = data
+    while rest[:2] == b"\x1f\x8b" and len(out) < cap:
+        d = zlib.decompressobj(31)          # gzip framing, one member
+        buf = rest
+        try:
+            while buf and not d.eof and len(out) < cap:
+                out += d.decompress(buf, min(1 << 20, cap - len(out)))
+                buf = d.unconsumed_tail
+        except zlib.error:
+            break
+        if not d.eof:
+            break                           # cap hit mid-member / truncated
+        rest = d.unused_data
+    return bytes(out)
 
 
 def _parse_headers(block: bytes) -> dict[str, str]:

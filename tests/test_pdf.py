@@ -87,3 +87,22 @@ def test_pdf_pages_through_pipeline(spark, tmp_path):
             for r in spark.read.parquet(f"{out}/data").collect()}
     for url, _, _, body, _ in rows:
         assert data[url] == body, url
+
+
+def test_pdf_deflate_bomb_bounded():
+    """A FlateDecode bomb inside a PDF must not inflate unbounded: each
+    stream caps at MAX_STREAM_BYTES and the whole document at
+    MAX_DOC_BYTES — hostile input degrades to truncated text, never a
+    multi-GB allocation."""
+    import time
+    import zlib
+
+    from ocr_spark.sources import pdf as p
+
+    bomb = zlib.compress(b"BT (x) Tj ET " + b"\x00" * 500_000_000, 9)
+    doc = (b"%PDF-1.4\nstream\n" + bomb + b"\nendstream\n"
+           b"stream\n" + bomb + b"\nendstream\ntrailer")
+    t0 = time.time()
+    out = p.extract_pdf_text(doc)
+    assert time.time() - t0 < 30.0
+    assert isinstance(out, str)      # degraded, not job-fatal

@@ -76,3 +76,21 @@ def test_warc_through_pipeline(spark, warc_dir, tmp_path):
     for i in range(N_PAGES):
         page = pagegen.page_for(i)
         assert page["text"] in data[page["url"]]
+
+
+def test_warc_gzip_bomb_bounded():
+    """A gzip bomb pointed at the WARC reader must inflate to at most
+    max_ratio x the compressed size, not gigabytes (deflate expands up
+    to ~1032:1).  Legit member-per-record archives still read fully."""
+    import gzip as _gzip
+    import time
+
+    from ocr_spark.sources import warc as w
+
+    bomb = _gzip.compress(b"\x00" * 200_000_000, 9)   # ~194 KB compressed
+    t0 = time.time()
+    out = w._maybe_gunzip(bomb)
+    assert time.time() - t0 < 10.0
+    assert len(out) <= 64 * max(len(bomb), 1 << 20)   # bounded, not 200 MB
+    # a bombed archive yields no valid records, cleanly
+    assert list(w.iter_warc_records(bomb)) == []
