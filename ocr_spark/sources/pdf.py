@@ -22,8 +22,33 @@ from __future__ import annotations
 
 import re
 import zlib
+from typing import Iterator
 
-_RE_STREAM = re.compile(rb"stream\r?\n(.*?)endstream", re.S)
+def _iter_streams(data: bytes) -> "Iterator[bytes]":
+    """Linear walk over ``stream\\r?\\n .. endstream`` bodies.
+
+    NOT a regex: ``stream\\r?\\n(.*?)endstream`` re-scans to the end of
+    the document from every unclosed ``stream`` marker, which is O(n·k)
+    — a hostile 700 KB of bare markers hangs the task for minutes.  Two
+    ``find`` calls per stream keep the whole walk linear."""
+    pos = 0
+    while True:
+        s = data.find(b"stream", pos)
+        if s < 0:
+            return
+        body = s + 6
+        if data[body:body + 2] == b"\r\n":
+            body += 2
+        elif data[body:body + 1] == b"\n":
+            body += 1
+        else:                      # "stream" not followed by newline
+            pos = s + 6
+            continue
+        e = data.find(b"endstream", body)
+        if e < 0:
+            return
+        yield data[body:e]
+        pos = e + 9
 # One left-to-right token scan over the whole content stream.  String
 # literals are an alternative of the SAME pattern, so a literal containing
 # "BT"/"ET"/"Td" is consumed before those could match as operators (a naive
@@ -121,8 +146,8 @@ def extract_pdf_text(data: bytes) -> str:
     working bytes — text past the budget is dropped, never job-fatal."""
     lines: list[bytes] = []
     budget = MAX_DOC_BYTES
-    for sm in _RE_STREAM.finditer(data):
-        content = _decode_stream(sm.group(1), min(MAX_STREAM_BYTES, budget))
+    for raw in _iter_streams(data):
+        content = _decode_stream(raw, min(MAX_STREAM_BYTES, budget))
         budget -= len(content)
         if b"BT" in content:
             lines.extend(_stream_text(content))

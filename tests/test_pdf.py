@@ -106,3 +106,17 @@ def test_pdf_deflate_bomb_bounded():
     out = p.extract_pdf_text(doc)
     assert time.time() - t0 < 30.0
     assert isinstance(out, str)      # degraded, not job-fatal
+
+
+def test_pdf_marker_flood_linear():
+    """A document that is nothing but unclosed 'stream' markers must
+    parse in linear time: the old regex walk re-scanned to EOF from
+    every marker (O(n*k) — minutes at 700 KB)."""
+    import time
+
+    from ocr_spark.sources import pdf as p
+
+    t0 = time.time()
+    assert p.extract_pdf_text(b"%PDF-1.4\n" + b"stream\n" * 100_000) == ""
+    assert p.extract_pdf_text(b"stream" * 50_000) == ""
+    assert time.time() - t0 < 5.0
