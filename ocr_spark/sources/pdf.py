@@ -55,7 +55,12 @@ def _iter_streams(data: bytes) -> "Iterator[bytes]":
 # BT(.*?)ET split dies on text like "TARJETA").
 _RE_TOKEN = re.compile(
     rb"\((?P<lit>(?:\\.|[^\\()])*)\)\s*(?P<after>Tj|TJ|')?"  # (..) [op]
-    rb"|\[(?P<arr>(?:\\.|[^\]])*)\]\s*TJ"                    # [ .. ] TJ
+    # array bodies parse nested literals EXPLICITLY (so "[" or "(" inside
+    # a (..) literal still works) and exclude bare "[()" from the filler
+    # class: the previous [^\]]* filler made every unclosed "[" re-scan
+    # to EOF — a hostile "["-flood in a content stream was O(n^2), hours
+    # at inflated-stream size
+    rb"|\[(?P<arr>(?:\\.|\((?:\\.|[^\\()])*\)|[^\][()])*)\]\s*TJ"
     rb"|(?P<tok>\bBT\b|\bET\b|T\*|\bTd\b|\bTD\b)", re.S)
 _RE_ARR_LIT = re.compile(rb"\((?P<lit>(?:\\.|[^\\()])*)\)")
 

@@ -119,4 +119,11 @@ def test_pdf_marker_flood_linear():
     t0 = time.time()
     assert p.extract_pdf_text(b"%PDF-1.4\n" + b"stream\n" * 100_000) == ""
     assert p.extract_pdf_text(b"stream" * 50_000) == ""
-    assert time.time() - t0 < 5.0
+    # token-scan floods inside a content stream: every unclosed "[" used
+    # to re-scan to EOF (quadratic) — must all be linear now
+    for flood in (b"[" * 300_000, b"[(" * 100_000, b"[(" + b"x" * 300_000,
+                  b"(" * 300_000):
+        p._stream_text(b"BT " + flood)
+    assert time.time() - t0 < 10.0
+    # nested-literal semantics survive the non-backtracking array body
+    assert p._stream_text(b"BT [(a[b) 5 (c)] TJ ET") == [b"a[bc"]
