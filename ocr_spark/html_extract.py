@@ -155,6 +155,59 @@ class _BlockCollector(HTMLParser):
         self._flush()
 
 
+_CHARSET_VALUE_CHARS = frozenset(b"ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+                                 b"abcdefghijklmnopqrstuvwxyz0123456789_-")
+
+
+def _find_meta_charset(window: bytes) -> Optional[bytes]:
+    """Linear replication of ``_RE_META_CHARSET.search(window)``.
+
+    The regex ``<meta[^>]+charset=["']?([A-Za-z0-9_\\-]+)`` is quadratic under
+    backtracking on hostile prefixes (a 4 KB ``<meta `` flood costs ~12 ms/doc
+    vs ~0.2 ms for a normal page).  This walk is O(window) and reproduces the
+    regex's exact match semantics (differential-fuzzed in
+    tests/test_html_extract.py):
+
+    * leftmost ``<meta`` start wins; its attribute run is every byte up to the
+      next ``>`` (runs may span further ``<``s — ``[^>]+`` does);
+    * within a run, greedy ``[^>]+`` backtracking selects the RIGHTMOST
+      ``charset=`` that is followed by an optional quote and a non-empty
+      ``[A-Za-z0-9_-]+`` value (and sits ≥1 byte after ``<meta``);
+    * if a run has no such occurrence, later ``<meta`` starts inside the same
+      run cannot match either (their search range is a subset), so the scan
+      resumes after the run's ``>``.
+    """
+    lower = window.lower()
+    n = len(lower)
+    pos = 0
+    while True:
+        i = lower.find(b"<meta", pos)
+        if i < 0:
+            return None
+        gt = lower.find(b">", i + 5)
+        end = gt if gt >= 0 else n
+        best = None
+        j = i + 6  # [^>]+ must consume >=1 byte after "<meta"
+        while True:
+            k = lower.find(b"charset=", j, end)
+            if k < 0:
+                break
+            v = k + 8
+            if v < n and window[v] in b"\"'":
+                v += 1
+            e = v
+            while e < n and window[e] in _CHARSET_VALUE_CHARS:
+                e += 1
+            if e > v:
+                best = window[v:e]
+            j = k + 1
+        if best is not None:
+            return best
+        if gt < 0:
+            return None
+        pos = gt + 1
+
+
 def decode_html(data: bytes) -> str:
     """Bytes → unicode (P1 analog): UTF-8, else declared charset, else latin-1.
 
@@ -164,10 +217,10 @@ def decode_html(data: bytes) -> str:
         return data.decode("utf-8")
     except UnicodeDecodeError:
         pass
-    m = _RE_META_CHARSET.search(data[:4096])
-    if m:
+    charset = _find_meta_charset(data[:4096])
+    if charset is not None:
         try:
-            return data.decode(m.group(1).decode("ascii"), errors="replace")
+            return data.decode(charset.decode("ascii"), errors="replace")
         except LookupError:
             pass
     return data.decode("latin-1", errors="replace")

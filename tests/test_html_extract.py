@@ -230,6 +230,53 @@ def test_sniff_and_decode():
     assert "a\xf1o" in decode_html(declared)
 
 
+def test_meta_charset_walk_matches_regex_and_is_linear():
+    """The linear charset sniff reproduces the old regex byte-for-byte and
+    stays fast on hostile <meta floods (the regex was quadratic: ~12 ms/doc)."""
+    import re as _re
+    import time as _time
+
+    from ocr_spark.html_extract import _find_meta_charset
+
+    rx = _re.compile(rb"""<meta[^>]+charset=["']?([A-Za-z0-9_\-]+)""", _re.I)
+
+    def ref(window):
+        m = rx.search(window)
+        return m.group(1) if m else None
+
+    cases = [
+        b'<meta charset="latin-1"><p>x</p>',
+        b"<meta charset=utf-8>",
+        b"<META CHARSET='UTF-8'>",
+        b"<meta foo> charset=x <meta charset=y>",
+        b"<meta charset=a charset=b>",      # greedy [^>]+ -> rightmost wins
+        b"<metacharset=x>",                  # [^>]+ needs >=1 byte: no match
+        b"<metadata charset=iso-8859-15>",  # <meta prefix of a longer name
+        b"<meta <meta charset=q>",          # runs span inner '<'
+        b"<meta charset=>",                  # empty value: no match
+        b'<meta charset="">fallback',
+        b"<meta charset",                    # unterminated run, no '='
+        b"<meta " * 680,
+        (b"<meta " + b"charset=% " * 40) + b"<meta charset=ok>",
+    ]
+    import random
+
+    rnd = random.Random(7)
+    toks = [b"<meta", b"charset=", b">", b"<", b'"', b"'", b" ", b"utf-8",
+            b"charse", b"<meta>", b"\xff", b"=", b"x"]
+    cases += [b"".join(rnd.choice(toks) for _ in range(rnd.randint(0, 12)))
+              for _ in range(2000)]
+    for w in cases:
+        assert _find_meta_charset(w) == ref(w), w
+
+    flood = (b"<meta " * 680)[:4090] + b"\xff" + b" tail" * 1000
+    t = _time.perf_counter()
+    for _ in range(50):
+        decode_html(flood)
+    per_doc = (_time.perf_counter() - t) / 50
+    assert per_doc < 0.002, f"charset sniff super-linear again: {per_doc*1e3:.2f} ms/doc"
+
+
 def test_malformed_html_degrades_not_crashes():
     text, conf = extract_tier1(b"<div><<<>>> <p unterminated")
     assert isinstance(text, str)
