@@ -26,6 +26,7 @@ from pyspark.sql.functions import pandas_udf
 
 from ocr_spark import html_extract
 from ocr_spark.parsers import dni, nif, permis
+from ocr_spark.textops import bound_parse_text
 from ocr_spark.schema import (DNI_RESPONSE_STRUCT, NIF_RESPONSE_STRUCT,
                               PERMIS_RESPONSE_STRUCT)
 
@@ -99,7 +100,7 @@ def dni_parse_udf(run_date: date, engine: str = TIER1_ENGINE,
     def _parse(text: pd.Series, confidence: pd.Series) -> pd.DataFrame:
         rows = []
         for t, conf in zip(text, confidence):
-            t = t or ""
+            t = bound_parse_text(t or "")
             conf = float(conf) if conf is not None else 0.0
             datos, raw_mrz = dni.parse(t, run_date)
             if route:
@@ -122,7 +123,7 @@ def permis_parse_udf(run_date: date, engine: str = TIER1_ENGINE,
     def _parse(text: pd.Series, confidence: pd.Series) -> pd.DataFrame:
         rows = []
         for t, conf in zip(text, confidence):
-            t = t or ""
+            t = bound_parse_text(t or "")
             conf = float(conf) if conf is not None else 0.0
             datos = permis.parse(t, run_date)
             if route:
@@ -150,7 +151,7 @@ def nif_parse_udf(run_date: date, engine: str = TIER1_ENGINE,
     def _parse(text: pd.Series, confidence: pd.Series) -> pd.DataFrame:
         rows = []
         for t, conf in zip(text, confidence):
-            t = t or ""
+            t = bound_parse_text(t or "")
             conf = float(conf) if conf is not None else 0.0
             datos = nif.parse(t, run_date)
             response = nif.validate(datos, engine, conf, run_date)
@@ -243,7 +244,13 @@ _FUSED_COLS = [f.name for f in FUSED_SCHEMA.fields]
 
 def parse_dispatch(doc_type: str, text: str, conf: float, run_date: date,
                    engine: str, route: bool) -> tuple[dict, bool, str]:
-    """(response, needs_tier2, reason) — per-type parse+validate (§2.4–2.7)."""
+    """(response, needs_tier2, reason) — per-type parse+validate (§2.4–2.7).
+
+    The field parsers see :func:`bound_parse_text`'s view of the text (cost
+    guard against quadratic-backtracking floods — see textops.py); the
+    extracted text the pipeline EMITS is never bounded.
+    """
+    text = bound_parse_text(text)
     if doc_type == "permiso_circulacion":
         datos = permis.parse(text, run_date)
         needs, reason = (permis.needs_tier2(datos, conf) if route
@@ -286,7 +293,7 @@ def fused_tier1_udf(run_date: date, mode: str = "standard", route: bool = True):
                     xt, conf = (text or ""), 100.0
                 else:
                     xt, conf = html_extract.extract_tier1(bytes(html), mode)
-                dt = route_doc_type(xt)
+                dt = route_doc_type(bound_parse_text(xt))
                 resp, needs, reason = parse_dispatch(
                     dt, xt, conf, run_date, TIER1_ENGINE, route)
                 # html/src_text pass through ONLY for the fallback slice —
@@ -348,7 +355,7 @@ def fused_single_pass_udf(run_date: date, mode: str = "standard",
                     else:
                         blocks = html_extract._segment(hb)
                         xt, conf = html_extract.tier1_from_blocks(blocks, mode)
-                dt = route_doc_type(xt)
+                dt = route_doc_type(bound_parse_text(xt))
                 resp, needs, reason = parse_dispatch(
                     dt, xt, conf, run_date, TIER1_ENGINE, tier2_enabled)
                 if not (needs and tier2_enabled):
@@ -366,7 +373,7 @@ def fused_single_pass_udf(run_date: date, mode: str = "standard",
                 else:
                     xt2, conf2, spans = html_extract.tier2_from_blocks(
                         blocks, mode, with_spans)
-                dt2 = route_doc_type(xt2)
+                dt2 = route_doc_type(bound_parse_text(xt2))
                 resp2, _, _ = parse_dispatch(
                     dt2, xt2, conf2, run_date, TIER2_ENGINE, route=False)
                 rows.append((url, ts, lang, None, text, dt2, 2, False,
@@ -403,7 +410,7 @@ def fused_tier2_udf(run_date: date, mode: str = "standard",
                 else:
                     xt, conf, spans = html_extract.extract_tier2(
                         bytes(html), mode, with_spans)
-                dt = route_doc_type(xt)
+                dt = route_doc_type(bound_parse_text(xt))
                 resp, _, _ = parse_dispatch(
                     dt, xt, conf, run_date, TIER2_ENGINE, route=False)
                 rows.append((url, ts, lang, None, text, dt, 2, False, reason,

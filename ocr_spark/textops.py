@@ -12,6 +12,38 @@ from __future__ import annotations
 import re
 from typing import Optional
 
+# --- parse-cost guard ------------------------------------------------------
+
+# The field parsers replicate the reference's regexes byte-for-byte
+# (SURVEY.md §5.2.1), and several of those — e.g. the street splitter at
+# reference dni_parser.py:314-318 — backtrack quadratically over long
+# homogeneous runs (a single 30k-space line costs ~11 s; a 1 MB hostile line
+# would stall an executor core for hours).  The reference only ever parses
+# OCR text of one ID card (≤ ~2 KiB, short lines), so instead of rewriting
+# 60+ contract-bearing regexes we bound what the *pipeline* feeds them:
+# the first PARSE_TEXT_BUDGET chars of extracted text, each line capped at
+# PARSE_LINE_CAP chars.  Worst-case parse cost is then
+# (budget/cap) * cap^2 * ~20 ns ≈ 0.2 s per hostile page instead of hours.
+# The bound applies ONLY to field parsing/routing decisions: the extracted
+# text emitted by the pipeline (the byte-identity contract) and the span
+# detector (linear regexes) always see the full text.  Pages whose fields
+# live beyond 32 KiB of extracted text, or past char 512 of one unbroken
+# line, lose those fields — disclosed, and unreachable for the ID-document
+# fixture corpus (all < 2 KiB).
+PARSE_TEXT_BUDGET = 32768
+PARSE_LINE_CAP = 512
+
+
+def bound_parse_text(text: str) -> str:
+    """Cap *text* for field parsing: budget + per-line cap (cost guard)."""
+    if len(text) <= PARSE_LINE_CAP:
+        return text
+    t = text[: PARSE_TEXT_BUDGET]
+    if max(map(len, t.split("\n"))) <= PARSE_LINE_CAP:
+        return t
+    return "\n".join(line[:PARSE_LINE_CAP] for line in t.split("\n"))
+
+
 # --- date regexes ----------------------------------------------------------
 
 _RE_DMY_SLASH = re.compile(r"^(\d{2})/(\d{2})/(\d{4})$")
