@@ -297,6 +297,29 @@ def _fast_scan(text: str, col: _BlockCollector) -> None:
     start_cache_get = _START_CACHE.get
     end_cache_get = _END_CACHE.get
 
+    # EOF-scan memos (per document).  Absence of these needles is monotone:
+    # every search here starts at a non-decreasing position, so a search
+    # that failed once can never succeed later — each needle pays its O(n)
+    # scan-to-EOF at most once.  Without this, a flood of "<!--x--" teasers
+    # costs one full close-search per teaser: O(n²), ~8 min for a 1 MB page.
+    no_gt = no_ccl = no_mcl = no_mscl = False
+
+    # Locate-start work budget.  The tolerant locate regex can consume far
+    # beyond where the parse then resumes (unclosed quotes, ">"-starved
+    # attribute soup), so a crafted page repeats an O(remaining) scan every
+    # few characters — quadratic, hours for a 5 MB page, and html.parser's
+    # own goahead/check_for_whole_start_tag has the identical cost so the
+    # fallback path cannot absorb it.  Deterministic guard: when cumulative
+    # locate consumption exceeds ~4 passes over the document (plus slack no
+    # real page approaches), emit the untouched remainder as data and stop.
+    # This is the one disclosed divergence from html.parser semantics, and
+    # it is reachable only by adversarial input: a benign page's locate
+    # spans sum to ≈ its tag bytes ≤ n, and the differential-fuzz documents
+    # (≤ ~0.5 KB) cannot reach the 1M floor even at their theoretical
+    # worst (len²/2 ≈ 90K) — parity with html.parser is untouched there.
+    scan_work = 0
+    scan_budget = 4 * n + 1_000_000
+
     def emit(chunk: str) -> None:
         if chunk:
             col.handle_data(unescape(chunk) if "&" in chunk else chunk)
@@ -307,7 +330,13 @@ def _fast_scan(text: str, col: _BlockCollector) -> None:
         convert_charrefs) up to and including the next ">", else up to the
         next "<", else one char — and CONTINUE parsing there; swallowing
         to EOF would hide any real tag in the remainder."""
-        k = find(">", lt + 1)
+        nonlocal no_gt
+        if no_gt:
+            k = -1
+        else:
+            k = find(">", lt + 1)
+            if k < 0:
+                no_gt = True
         if k < 0:
             k = find("<", lt + 1)
             if k < 0:
@@ -327,12 +356,20 @@ def _fast_scan(text: str, col: _BlockCollector) -> None:
         nxt = text[lt + 1: lt + 2]
         if nxt == "/":
             # mirror of html.parser.parse_endtag
-            gt_any = find(">", lt + 1)
+            if no_gt:
+                gt_any = -1
+            else:
+                gt_any = find(">", lt + 1)
+                if gt_any < 0:
+                    no_gt = True
             if gt_any < 0:  # unterminated at EOF → goahead resync
                 pos = recover(lt)
                 continue
-            sl = text[lt:gt_any + 1]
-            hit = end_cache_get(sl)
+            # only materialize the cache key when it could ever be cached —
+            # a far-away ">" would make this an O(distance) copy per tag
+            # (quadratic on ">"-starved floods) for a guaranteed cache miss
+            sl = text[lt:gt_any + 1] if gt_any - lt < _CACHE_KEY_MAX else None
+            hit = end_cache_get(sl) if sl is not None else None
             if hit is not None:
                 if hit[0] == "e":
                     col.handle_endtag(hit[1])
@@ -363,16 +400,17 @@ def _fast_scan(text: str, col: _BlockCollector) -> None:
                 outcome = None
             # cache only slice-determined outcomes (every path above that
             # set one ends exactly at gt_any + 1 — asserted by construction)
-            if (outcome is not None and pos == gt_any + 1
-                    and len(sl) <= _CACHE_KEY_MAX
+            if (outcome is not None and sl is not None
+                    and pos == gt_any + 1
                     and len(_END_CACHE) < _CACHE_MAX):
                 _END_CACHE[sl] = outcome
         elif nxt == "!" or nxt == "?":
             if text.startswith("<!--", lt):
-                cm = _RE_COMMENTCLOSE.search(text, lt + 4)
+                cm = None if no_ccl else _RE_COMMENTCLOSE.search(text, lt + 4)
                 if cm is None:
                     # unterminated comment: parse_comment returns -1 →
                     # goahead resync (data to next ">" and KEEP parsing)
+                    no_ccl = True
                     pos = recover(lt)
                     continue
                 pos = cm.end()
@@ -394,9 +432,13 @@ def _fast_scan(text: str, col: _BlockCollector) -> None:
                     continue
                 sect = dm.group().strip().lower()
                 if sect in ("temp", "cdata", "ignore", "include", "rcdata"):
-                    cm = _RE_MARKEDCLOSE.search(text, lt + 3)
+                    cm = None if no_mcl else _RE_MARKEDCLOSE.search(text, lt + 3)
+                    if not cm:
+                        no_mcl = True
                 elif sect in ("if", "else", "endif"):
-                    cm = _RE_MSMARKEDCLOSE.search(text, lt + 3)
+                    cm = None if no_mscl else _RE_MSMARKEDCLOSE.search(text, lt + 3)
+                    if not cm:
+                        no_mscl = True
                 else:
                     raise ValueError(
                         f"unknown status keyword in marked section: {sect!r}")
@@ -405,15 +447,27 @@ def _fast_scan(text: str, col: _BlockCollector) -> None:
                     continue
                 pos = cm.end()
             else:
-                gt = find(">", lt)
+                if no_gt:
+                    gt = -1
+                else:
+                    gt = find(">", lt)
+                    if gt < 0:
+                        no_gt = True
                 if gt < 0:
                     pos = recover(lt)
                     continue
                 pos = gt + 1
         elif nxt and ("a" <= nxt <= "z" or "A" <= nxt <= "Z"):
-            gt_naive = find(">", lt)
-            if gt_naive > 0:
-                sl = text[lt:gt_naive + 1]
+            if no_gt:
+                gt_naive = -1
+            else:
+                gt_naive = find(">", lt)
+                if gt_naive < 0:
+                    no_gt = True
+            # see the endtag branch: never materialize uncacheable far keys
+            sl = (text[lt:gt_naive + 1]
+                  if 0 < gt_naive and gt_naive - lt < _CACHE_KEY_MAX else None)
+            if sl is not None:
                 hit = start_cache_get(sl)
                 if hit is not None:
                     kind, tag = hit
@@ -438,6 +492,10 @@ def _fast_scan(text: str, col: _BlockCollector) -> None:
             # mirror of check_for_whole_start_tag + parse_starttag
             lm = _RE_LOCATE_START.match(text, lt)
             j = lm.end()
+            scan_work += j - lt
+            if scan_work > scan_budget:
+                emit(text[lt:])
+                return
             after = text[j: j + 1]
             if after == ">":
                 endpos = j + 1
@@ -476,8 +534,7 @@ def _fast_scan(text: str, col: _BlockCollector) -> None:
             # wherever it appears.  (Names, bare values and whitespace all
             # exclude ">" by charset.)  Gated empirically by the
             # quote-adversarial differential fuzz in tests.
-            cacheable = (gt_naive > 0 and endpos == gt_naive + 1
-                         and len(sl) <= _CACHE_KEY_MAX
+            cacheable = (sl is not None and endpos == gt_naive + 1
                          and len(_START_CACHE) < _CACHE_MAX)
             if end not in (">", "/>"):
                 # bogus input: the whole tag text becomes data — RAW, no

@@ -277,6 +277,35 @@ def test_meta_charset_walk_matches_regex_and_is_linear():
     assert per_doc < 0.002, f"charset sniff super-linear again: {per_doc*1e3:.2f} ms/doc"
 
 
+def test_hostile_html_floods_are_bounded():
+    """Adversarial tag soup cannot go quadratic: EOF-scan memos (comment /
+    marked-section closes, '>' searches), cache-key slice gating, and the
+    locate-start work budget keep every 1 MB flood under ~2 s (was minutes
+    to hours for several of these shapes)."""
+    import time as _time
+
+    MB = 1_000_000
+    hostiles = [
+        b"<!--x--" * 140_000,            # comment-close teasers
+        b"<![CDATA[" * 100_000,          # marked-section floods
+        b"<![if x" * 140_000,            # MS marked-section floods
+        b"</a " * 250_000,               # '>'-starved end tags
+        b"</a x" * 190_000 + b">",       # far '>' cache-key slices
+        b"<a " * 330_000,                # locate-start to EOF per tag
+        b'<a b="c>' * 120_000,           # quoted '>' re-scan soup
+        b"<?php " * 160_000,             # PI floods
+        b"<meta " * 160_000,             # charset-sniff floods
+    ]
+    for h in hostiles:
+        t0 = _time.perf_counter()
+        out1 = extract_tier1(h)
+        out2 = extract_tier2(h)
+        assert _time.perf_counter() - t0 < 4.0, h[:24]
+        # deterministic under repetition (budget is char-counted, not timed)
+        assert extract_tier1(h) == out1
+        assert extract_tier2(h) == out2
+
+
 def test_malformed_html_degrades_not_crashes():
     text, conf = extract_tier1(b"<div><<<>>> <p unterminated")
     assert isinstance(text, str)
