@@ -1133,7 +1133,7 @@ def oracle_sql() -> dict[str, str]:
                 SELECT doc_id, text,
                        regexp_replace(regexp_replace(regexp_replace(
                        regexp_replace(regexp_replace(text,
-                           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}',
+                           '[A-Za-z0-9._%+-]{{1,64}}@[A-Za-z0-9.-]{{1,255}}\\.[A-Za-z]{{2,63}}',
                            '[EMAIL]', 'g'),
                            '\\b[A-Z]{{2}}[0-9]{{2}}[A-Z0-9]{{10,30}}\\b',
                            '[IBAN]', 'g'),

@@ -302,8 +302,22 @@ def drop_repeated_lines(df: DataFrame, id_col: str = "doc_id",
 # cannot eat id/iban digits), Java-regex AND RE2 compatible so the DuckDB
 # twin applies the byte-identical rules.  Corpus-level analog of the
 # lineage-side Z6 redaction in ocr_spark/textops.py.
+#
+# The email quantifiers are bounded to the RFC 5321 limits (local part 64,
+# domain 255, DNS label 63) rather than open-ended `+`: with `[class]+@`,
+# every position inside a class-char run is a match start that the JVM
+# engine rescans to the run's end before failing, so a megabyte of
+# "aaaa..." with no '@' costs O(n^2) (measured: 16 s at 40 KB, 4x per
+# doubling — days at the 5 MB page cap).  Bounding caps the per-start work
+# at the quantifier limit, making the scrub linear (1 MB flood: 2.5 s).
+# Outputs differ from the unbounded rule only for local parts > 64 chars /
+# domains > 255 chars, which are not deliverable addresses.  The remaining
+# rules are safe as-is: IBAN/ID are fully bounded, and the phone rule's
+# greedy run is self-limiting — any digit-dense run it rescans is itself a
+# match that consumes the input.
 PII_RULES: tuple[tuple[str, str], ...] = (
-    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    (r"[A-Za-z0-9._%+-]{1,64}@[A-Za-z0-9.-]{1,255}\.[A-Za-z]{2,63}",
+     "[EMAIL]"),
     (r"\b[A-Z]{2}\d{2}[A-Z0-9]{10,30}\b", "[IBAN]"),
     (r"\b[0-9]{8}[A-Z]\b", "[ID]"),          # DNI
     (r"\b[XYZ][0-9]{7}[A-Z]\b", "[ID]"),     # NIE

@@ -1424,3 +1424,76 @@ def test_native_validators_ansi_safe_on_garbage(spark):
                   .alias("first_fp")).collect())
     got = {r["id"]: r["first_fp"] for r in fp}
     assert got[1] is not None and got[2] is None
+
+
+def test_jvm_regex_flood_resistance(spark):
+    """scrub_pii and the url host split must stay linear on adversarial
+    inputs.  The old unbounded email rule and the ``([^@]*)$`` host regex
+    were O(n^2) in the JVM — every position inside a class-char run was a
+    match start that rescanned to the run's end (measured 16 s / 9 s at
+    just 40 KB; days at the 5 MB page cap).  A 200 KB flood must now clear
+    comfortably, with unchanged outputs."""
+    import time
+
+    from ocr_spark.operators.textstats import scrub_pii
+    from ocr_spark.operators.urls import canonical_url, host_of
+
+    flood = "a" * 200_000                       # email-class chars, no '@'
+    at_url = "http://" + "a" * 200_000 + "@h.example/x"
+    df = spark.createDataFrame([(flood, at_url)], ["text", "url"])
+    t0 = time.time()
+    row = df.select(
+        F.length(scrub_pii(F.col("text"))).alias("n"),
+        host_of(F.col("url")).alias("h"),
+        canonical_url(F.col("url")).alias("c")).collect()[0]
+    assert time.time() - t0 < 30                # quadratic forms: minutes
+    assert row["n"] == 200_000                  # no '@': nothing scrubbed
+    assert row["h"] == "h.example"
+    assert row["c"].endswith("@h.example/x")    # userinfo preserved
+
+
+def test_host_split_last_at_semantics(spark):
+    """substring_index(auth, '@', -1) must replicate the old regex's
+    after-the-LAST-'@' semantics exactly: multiple '@', trailing '@', and
+    no '@' at all."""
+    from ocr_spark.operators.urls import host_of
+
+    cases = {
+        "http://u@v@H.Example/x": "h.example",   # after the LAST '@'
+        "http://H.Example/x": "h.example",       # no userinfo
+        "http://u@/x": "",                       # trailing '@': empty host
+        "plain text": "",                        # unparseable passthrough
+    }
+    df = spark.createDataFrame([(k,) for k in cases], ["url"])
+    got = {r["url"]: r["h"] for r in
+           df.select("url", host_of(F.col("url")).alias("h")).collect()}
+    assert got == cases
+
+
+def test_scrub_pii_email_rfc_bounds(spark):
+    """The email rule's quantifiers are bounded at the RFC 5321 limits
+    (local 64, domain 255, label 63).  Pin the boundary behavior — and
+    that the DuckDB twin (RE2) agrees byte-for-byte on it."""
+    import duckdb
+
+    from ocr_spark.operators.textstats import PII_RULES, scrub_pii
+
+    ok = "x" * 64 + "@d.ee ends"
+    over = "x" * 65 + "@d.ee ends"          # leftmost 64-char window matches
+    bigdom = "u@" + "b" * 300 + ".cc"       # >255-char domain: not an email
+    rows = [ok, over, bigdom, "see a@b.es now"]
+    df = spark.createDataFrame([(t,) for t in rows], ["text"])
+    got = {r["text"]: r["s"] for r in
+           df.select("text", scrub_pii(F.col("text")).alias("s")).collect()}
+    assert got[ok] == "[EMAIL] ends"
+    assert got[over] == "x[EMAIL] ends"
+    assert got[bigdom] == bigdom
+    assert got["see a@b.es now"] == "see [EMAIL] now"
+
+    email_pat = PII_RULES[0][0]
+    con = duckdb.connect()
+    for text in rows:
+        twin = con.execute(
+            "SELECT regexp_replace(?, ?, '[EMAIL]', 'g')",
+            [text, email_pat]).fetchone()[0]
+        assert twin == got[text], text[:40]
