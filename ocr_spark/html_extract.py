@@ -34,6 +34,11 @@ from ocr_spark.sources import pdf as pdf_extract
 
 # P2 analog: content sniffing — pick the right parser branch by magic bytes.
 _PDF_MAGIC = b"%PDF"
+# Reference SPEC for the charset sniff, not executed in the hot path:
+# _find_meta_charset is the linear walk that replicates this regex's exact
+# semantics (the regex backtracks quadratically on "<meta " floods), and the
+# differential fuzz in tests/test_html_extract.py imports this constant as
+# its ground truth.
 _RE_META_CHARSET = re.compile(rb"""<meta[^>]+charset=["']?([A-Za-z0-9_\-]+)""", re.I)
 
 # Tags whose subtree is never content (P4 analog: aggressive junk strip).

@@ -310,8 +310,10 @@ def drop_repeated_lines(df: DataFrame, id_col: str = "doc_id",
 # "aaaa..." with no '@' costs O(n^2) (measured: 16 s at 40 KB, 4x per
 # doubling — days at the 5 MB page cap).  Bounding caps the per-start work
 # at the quantifier limit, making the scrub linear (1 MB flood: 2.5 s).
-# Outputs differ from the unbounded rule only for local parts > 64 chars /
-# domains > 255 chars, which are not deliverable addresses.  The remaining
+# Outputs differ from the unbounded rule only for local parts > 64 chars,
+# domains > 255 chars, or a final DNS label > 63 chars (where the excess
+# label tail survives after the 63-char window is scrubbed) — none of which
+# are deliverable addresses.  The remaining
 # rules are safe as-is: IBAN/ID are fully bounded, and the phone rule's
 # greedy run is self-limiting — any digit-dense run it rescans is itself a
 # match that consumes the input.

@@ -1414,7 +1414,6 @@ def test_native_validators_ansi_safe_on_garbage(spark):
     # winnow first-fingerprint projection: a doc too short to fingerprint
     # has an EMPTY array — ANSI element_at would kill the job, so the
     # query uses try_element_at and yields NULL
-    import __spark_entry__ as entrymod
     docs = spark.createDataFrame(
         [(1, "a long enough document with plenty of tokens to fingerprint "
              "for the winnow window", "en"), (2, "", "en"), (3, "ab", "en")],
