@@ -685,6 +685,35 @@ def q_dedup_keep_first(spark, sf_dir):
             .select("doc_id").orderBy("doc_id"))
 
 
+def q_dedup_incremental(spark, sf_dir):
+    """Daily-crawl-increment dedup: history = fingerprints of docs with
+    doc_id < 250; the new batch is every doc ≥ 250 plus planted cross-batch
+    copies (every 10th historical doc under id+40M — already admitted, must
+    vanish) and within-batch copies (every 20th batch doc under id+41M —
+    the lower-id original wins).  Survivors are the genuinely-new docs."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    history = dedup.fingerprint_history(docs.filter(F.col("doc_id") < 250))
+    batch = (docs.filter(F.col("doc_id") >= 250)
+             .unionByName(
+                 docs.filter((F.col("doc_id") < 250)
+                             & (F.col("doc_id") % 10 == 0))
+                 .select((F.col("doc_id") + 40_000_000).alias("doc_id"),
+                         "text"))
+             .unionByName(
+                 docs.filter((F.col("doc_id") >= 250)
+                             & (F.col("doc_id") % 20 == 0))
+                 .select((F.col("doc_id") + 41_000_000).alias("doc_id"),
+                         "text")))
+    return (dedup.dedup_incremental(batch, history)
+            .select("doc_id").orderBy("doc_id"))
+
+
+def q_tfidf_top_terms(spark, sf_dir):
+    """Per-document top-3 TF-IDF terms with floor-scaled integer scores
+    (bit-stable ranking across engines)."""
+    return textstats.tfidf_top_terms(_docs(spark, sf_dir), k=3)
+
+
 def q_unit_conversions(spark, sf_dir):
     """Permís unit math (V10 CV→kW, C17 fiscal power, C16 ratio gate) as
     native expressions over synthesized values; floor-scaled ints so Spark
@@ -940,6 +969,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # extra oracle-checked kernels
         "dedup_keep_first": q_dedup_keep_first,
         "unit_conversions": q_unit_conversions,
+        "dedup_incremental": q_dedup_incremental,
+        "tfidf_top_terms": q_tfidf_top_terms,
     }
 
 
@@ -1074,6 +1105,53 @@ def oracle_sql() -> dict[str, str]:
             SELECT {_FP_SQL} AS fp, CAST(count(*) AS BIGINT) AS n_dups,
                    min(doc_id) AS keep_id
             FROM documents GROUP BY 1""",
+        "dedup_incremental": f"""
+            WITH hist AS (
+                SELECT DISTINCT {_FP_SQL} AS fingerprint
+                FROM documents WHERE doc_id < 250),
+            batch AS (
+                SELECT doc_id, text FROM documents WHERE doc_id >= 250
+                UNION ALL
+                SELECT doc_id + 40000000 AS doc_id, text FROM documents
+                WHERE doc_id < 250 AND doc_id % 10 = 0
+                UNION ALL
+                SELECT doc_id + 41000000 AS doc_id, text FROM documents
+                WHERE doc_id >= 250 AND doc_id % 20 = 0),
+            fp AS (SELECT doc_id, {_FP_SQL} AS fingerprint FROM batch),
+            firsts AS (
+                SELECT doc_id, fingerprint,
+                       row_number() OVER (PARTITION BY fingerprint
+                                          ORDER BY doc_id) AS rn
+                FROM fp)
+            SELECT doc_id FROM firsts
+            WHERE rn = 1
+              AND fingerprint NOT IN (SELECT fingerprint FROM hist)
+            ORDER BY doc_id""",
+        "tfidf_top_terms": r"""
+            WITH toks AS (
+                SELECT doc_id, unnest(string_split_regex(lower(trim(text)),
+                                                         '\s+')) AS token
+                FROM documents),
+            tf AS (
+                SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+                FROM toks WHERE token != '' GROUP BY doc_id, token),
+            dfreq AS (
+                SELECT token, CAST(count(*) AS BIGINT) AS df
+                FROM tf GROUP BY token),
+            n AS (SELECT CAST(count(*) AS DOUBLE) AS _n FROM documents),
+            scored AS (
+                SELECT tf.doc_id, tf.token, tf.tf, dfreq.df,
+                       CAST(floor(tf.tf * ln(_n / dfreq.df) * 1e6) AS BIGINT)
+                           AS score_x1e6
+                FROM tf JOIN dfreq USING (token), n),
+            ranked AS (
+                SELECT *, row_number() OVER (
+                    PARTITION BY doc_id
+                    ORDER BY score_x1e6 DESC, token ASC) AS "rank"
+                FROM scored)
+            SELECT doc_id, token, tf, df, score_x1e6,
+                   CAST("rank" AS BIGINT) AS "rank"
+            FROM ranked WHERE "rank" <= 3""",
         "corpus_clean": f"""
             WITH corpus AS (
                 SELECT doc_id, text FROM documents

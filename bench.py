@@ -49,6 +49,7 @@ SUITE = (
     "events_asof", "events_sessionize", "latest_event",
     "embedding_norms", "embedding_topk", "embedding_ann_ivf",
     "embedding_near_dups",
+    "dedup_incremental", "tfidf_top_terms",
 )
 
 

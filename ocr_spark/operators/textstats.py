@@ -31,7 +31,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf
 
@@ -359,6 +359,52 @@ def token_frequencies(df: DataFrame, id_col: str = "doc_id",
             .agg(F.count("*").alias("n_occurrences"),
                  F.countDistinct("_doc").alias("n_docs"))
             .filter(F.col("n_occurrences") >= min_count))
+
+
+def tfidf_top_terms(df: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text", k: int = 3) -> DataFrame:
+    """Per-document top-``k`` TF-IDF terms — the standard keyword /
+    topical-signature extractor for corpus curation and search indexing.
+
+    Lowercased whitespace tokens; ``tf`` = in-document term count, ``df`` =
+    number of documents containing the term, idf = ln(N/df).  Scores are
+    emitted floor-scaled (``score_x1e6``) and ranked on the SCALED integer
+    (ties broken by token string), so rankings are bit-stable across
+    engines and re-runs — no float-comparison drift in the hash-checked
+    output.
+
+    Plan shape at corpus scale: one explode feeding two map-side-combinable
+    groupBys (per-(doc, token) tf, then per-token df over the tf table — the
+    shuffled volume is the partial vocabulary, not the corpus), N as a
+    single-row broadcast (no eager ``count()`` action), one join on the
+    token (df side is one row per vocab term; Zipf-head skew sits on the
+    join key, which AQE's skew-join splits), and one per-document window
+    for the top-k.
+    """
+    toks = (df.select(F.col(id_col).alias("doc_id"),
+                      F.explode(F.split(F.lower(F.trim(F.col(text_col))),
+                                        r"\s+")).alias("token"))
+            .filter(F.col("token") != ""))
+    # both the join's left side and the df aggregation read the tf table —
+    # checkpoint it so the corpus is exploded ONCE, not once per consumer
+    tf = (toks.groupBy("doc_id", "token")
+          .agg(F.count("*").cast("bigint").alias("tf"))
+          .localCheckpoint(eager=False))
+    dfreq = tf.groupBy("token").agg(F.count("*").cast("bigint").alias("df"))
+    total = df.select(F.count("*").cast("double").alias("_n"))
+    scored = (tf.join(dfreq, "token")
+              .crossJoin(F.broadcast(total))
+              .withColumn(
+                  "score_x1e6",
+                  F.floor(F.col("tf") * F.log(F.col("_n") / F.col("df"))
+                          * F.lit(1e6)).cast("bigint"))
+              .drop("_n"))
+    w = (Window.partitionBy("doc_id")
+         .orderBy(F.col("score_x1e6").desc(), F.col("token").asc()))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("doc_id", "token", "tf", "df", "score_x1e6",
+                    F.col("rank").cast("bigint").alias("rank")))
 
 
 def deterministic_sample(df: DataFrame, fraction: float,

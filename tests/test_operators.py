@@ -875,6 +875,51 @@ def test_token_frequencies(spark, docs):
     assert freqs["quick"][1] == 3
 
 
+def test_dedup_incremental(spark):
+    hist_docs = spark.createDataFrame(
+        [(0, "alpha beta gamma"), (1, "delta epsilon zeta")],
+        ["doc_id", "text"])
+    history = dedup.fingerprint_history(hist_docs)
+    batch = spark.createDataFrame(
+        [(10, "alpha beta gamma"),   # cross-batch dup → dropped
+         (11, "eta theta iota"),     # new → kept
+         (12, "eta  theta iota"),    # within-batch dup (ws-normalized)
+         (13, "kappa lambda")],      # new → kept
+        ["doc_id", "text"])
+    kept = dedup.dedup_incremental(batch, history)
+    assert {r["doc_id"] for r in kept.collect()} == {11, 13}
+    # the survivors carry their fingerprint so history folds forward …
+    assert "fingerprint" in kept.columns
+    folded = history.unionByName(kept.select("fingerprint"))
+    # … and re-running the same batch against the folded history admits
+    # nothing (the increment workflow is idempotent)
+    assert dedup.dedup_incremental(batch, folded).count() == 0
+
+
+def test_tfidf_top_terms(spark):
+    import math
+    corpus = spark.createDataFrame(
+        [(1, "apple apple banana"),
+         (2, "banana cherry"),
+         (3, "cherry cherry cherry durian")],
+        ["doc_id", "text"])
+    rows = textstats.tfidf_top_terms(corpus, k=3).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], {})[r["rank"]] = r
+    # doc 1: apple tf=2 df=1 beats banana tf=1 df=2
+    assert by_doc[1][1]["token"] == "apple"
+    assert by_doc[1][1]["score_x1e6"] == math.floor(2 * math.log(3 / 1) * 1e6)
+    assert by_doc[1][2]["token"] == "banana"
+    assert len(by_doc[1]) == 2          # only 2 distinct terms in doc 1
+    # doc 2: banana and cherry tie exactly (tf=1, df=2) → token asc breaks it
+    assert by_doc[2][1]["token"] == "banana"
+    assert by_doc[2][2]["token"] == "cherry"
+    # doc 3: 3×ln(1.5) ≈ 1.216 outranks 1×ln(3) ≈ 1.099
+    assert by_doc[3][1]["token"] == "cherry"
+    assert by_doc[3][2]["token"] == "durian"
+
+
 def test_wav_truncated_payload_returns_none_not_crash():
     import numpy as np
 
