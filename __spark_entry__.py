@@ -1123,9 +1123,10 @@ def oracle_sql() -> dict[str, str]:
                        row_number() OVER (PARTITION BY fingerprint
                                           ORDER BY doc_id) AS rn
                 FROM fp)
-            SELECT doc_id FROM firsts
+            SELECT doc_id FROM firsts f
             WHERE rn = 1
-              AND fingerprint NOT IN (SELECT fingerprint FROM hist)
+              AND NOT EXISTS (SELECT 1 FROM hist h
+                              WHERE h.fingerprint = f.fingerprint)
             ORDER BY doc_id""",
         "tfidf_top_terms": r"""
             WITH toks AS (
@@ -1141,7 +1142,7 @@ def oracle_sql() -> dict[str, str]:
             n AS (SELECT CAST(count(*) AS DOUBLE) AS _n FROM documents),
             scored AS (
                 SELECT tf.doc_id, tf.token, tf.tf, dfreq.df,
-                       CAST(floor(tf.tf * ln(_n / dfreq.df) * 1e6) AS BIGINT)
+                       tf.tf * CAST(floor(ln(_n / dfreq.df) * 1e6) AS BIGINT)
                            AS score_x1e6
                 FROM tf JOIN dfreq USING (token), n),
             ranked AS (

@@ -632,7 +632,10 @@ def dedup_incremental(new_df: DataFrame, history_fps: DataFrame,
     w = Window.partitionBy(fp_col).orderBy(F.col(id_col))
     firsts = (batch.withColumn("_rn", F.row_number().over(w))
               .filter(F.col("_rn") == 1).drop("_rn"))
-    hist = history_fps.select(F.col(fp_col)).distinct()
+    # no distinct() on the history side: right-side duplicates cannot
+    # change a left_anti join's output, and a distinct would force a full
+    # shuffle+aggregate of the (huge) history before the join
+    hist = history_fps.select(F.col(fp_col))
     return firsts.join(hist, fp_col, "left_anti")
 
 

@@ -351,14 +351,22 @@ def token_frequencies(df: DataFrame, id_col: str = "doc_id",
     aggregate before the shuffle), so the shuffled volume is the partial
     vocabulary, not the corpus.
     """
-    toks = (df.select(F.col(id_col).alias("_doc"),
-                      F.explode(F.split(F.lower(F.trim(F.col(text_col))),
-                                        r"\s+")).alias("token"))
-            .filter(F.col("token") != ""))
+    toks = _ws_tokens(df, id_col, text_col).withColumnRenamed("doc_id", "_doc")
     return (toks.groupBy("token")
             .agg(F.count("*").alias("n_occurrences"),
                  F.countDistinct("_doc").alias("n_docs"))
             .filter(F.col("n_occurrences") >= min_count))
+
+
+def _ws_tokens(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Shared whitespace tokenization — (doc_id, token) rows, lowercased,
+    empties dropped.  :func:`token_frequencies` and :func:`tfidf_top_terms`
+    both build on this so their tokenization contract (and the DuckDB
+    ``string_split_regex`` twin) can never silently desynchronize."""
+    return (df.select(F.col(id_col).alias("doc_id"),
+                      F.explode(F.split(F.lower(F.trim(F.col(text_col))),
+                                        r"\s+")).alias("token"))
+            .filter(F.col("token") != ""))
 
 
 def tfidf_top_terms(df: DataFrame, id_col: str = "doc_id",
@@ -367,11 +375,16 @@ def tfidf_top_terms(df: DataFrame, id_col: str = "doc_id",
     topical-signature extractor for corpus curation and search indexing.
 
     Lowercased whitespace tokens; ``tf`` = in-document term count, ``df`` =
-    number of documents containing the term, idf = ln(N/df).  Scores are
-    emitted floor-scaled (``score_x1e6``) and ranked on the SCALED integer
-    (ties broken by token string), so rankings are bit-stable across
-    engines and re-runs — no float-comparison drift in the hash-checked
-    output.
+    number of documents containing the term, idf = ln(N/df).  The idf is
+    quantized FIRST (``idf_x1e6 = floor(ln(N/df)·1e6)``, one value per
+    distinct df) and the score is the exact integer product
+    ``score_x1e6 = tf · idf_x1e6``, ranked with a token-string tie-break —
+    so ranking and the hash-checked output never touch a float comparison.
+    Residual cross-engine float exposure is the ``floor`` boundary of
+    ``ln`` itself, confined to the handful of distinct df values (a
+    last-ulp ``ln`` divergence between engines only matters if
+    ``ln(N/df)·1e6`` lands within ~1e-10 of an integer), not to the
+    per-(doc, token) rows.
 
     Plan shape at corpus scale: one explode feeding two map-side-combinable
     groupBys (per-(doc, token) tf, then per-token df over the tf table — the
@@ -381,10 +394,7 @@ def tfidf_top_terms(df: DataFrame, id_col: str = "doc_id",
     join key, which AQE's skew-join splits), and one per-document window
     for the top-k.
     """
-    toks = (df.select(F.col(id_col).alias("doc_id"),
-                      F.explode(F.split(F.lower(F.trim(F.col(text_col))),
-                                        r"\s+")).alias("token"))
-            .filter(F.col("token") != ""))
+    toks = _ws_tokens(df, id_col, text_col)
     # both the join's left side and the df aggregation read the tf table —
     # checkpoint it so the corpus is exploded ONCE, not once per consumer
     tf = (toks.groupBy("doc_id", "token")
@@ -396,8 +406,9 @@ def tfidf_top_terms(df: DataFrame, id_col: str = "doc_id",
               .crossJoin(F.broadcast(total))
               .withColumn(
                   "score_x1e6",
-                  F.floor(F.col("tf") * F.log(F.col("_n") / F.col("df"))
-                          * F.lit(1e6)).cast("bigint"))
+                  F.col("tf")
+                  * F.floor(F.log(F.col("_n") / F.col("df")) * F.lit(1e6))
+                  .cast("bigint"))
               .drop("_n"))
     w = (Window.partitionBy("doc_id")
          .orderBy(F.col("score_x1e6").desc(), F.col("token").asc()))

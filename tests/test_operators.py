@@ -909,7 +909,7 @@ def test_tfidf_top_terms(spark):
         by_doc.setdefault(r["doc_id"], {})[r["rank"]] = r
     # doc 1: apple tf=2 df=1 beats banana tf=1 df=2
     assert by_doc[1][1]["token"] == "apple"
-    assert by_doc[1][1]["score_x1e6"] == math.floor(2 * math.log(3 / 1) * 1e6)
+    assert by_doc[1][1]["score_x1e6"] == 2 * math.floor(math.log(3 / 1) * 1e6)
     assert by_doc[1][2]["token"] == "banana"
     assert len(by_doc[1]) == 2          # only 2 distinct terms in doc 1
     # doc 2: banana and cherry tie exactly (tf=1, df=2) → token asc breaks it
