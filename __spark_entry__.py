@@ -708,6 +708,43 @@ def q_dedup_incremental(spark, sf_dir):
             .select("doc_id").orderBy("doc_id"))
 
 
+def q_near_dedup_incremental(spark, sf_dir):
+    """Near-dup dedup of a crawl increment against compact MinHash history
+    (signatures only — no history text): history = sigs of docs < 250; the
+    batch is every doc ≥ 250 plus a planted near-dup of history doc 0 (one
+    token swapped, id 50M — must vanish via the signature-estimated
+    cross-batch check) and a planted within-batch near-dup pair (ids
+    51M/51M+1 — resolves to the min id via the exact-Jaccard path).
+    Rows-only by nature (MinHash UDF has no SQL form); the planted
+    accounting columns are the evidence."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    history = dedup.minhash_signatures(docs.filter(F.col("doc_id") < 250))
+    base0 = docs.filter(F.col("doc_id") == 0).select("text").first()["text"]
+    synth = ("adaptive execution rebalances skewed shuffle partitions at "
+             "runtime while columnar readers prune row groups and executor "
+             "threads stream compressed pages through vectorized kernels")
+
+    def mut(s):
+        return " ".join("spark" if i == 3 else t
+                        for i, t in enumerate(s.split()))
+
+    from ocr_spark.localrel import local_df
+    planted = local_df(spark,
+                       [(50_000_000, mut(base0)),
+                        (51_000_000, synth), (51_000_001, mut(synth))],
+                       "doc_id bigint, text string")
+    batch = docs.filter(F.col("doc_id") >= 250).unionByName(planted)
+    kept = dedup.near_dedup_incremental(batch, history, threshold=0.5)
+    return kept.agg(
+        F.count("*").alias("n_kept"),
+        F.sum((F.col("doc_id") == 50_000_000).cast("int"))
+        .alias("cross_planted_kept"),
+        F.sum((F.col("doc_id") == 51_000_000).cast("int"))
+        .alias("within_keeper_kept"),
+        F.sum((F.col("doc_id") == 51_000_001).cast("int"))
+        .alias("within_dup_kept"))
+
+
 def q_tfidf_top_terms(spark, sf_dir):
     """Per-document top-3 TF-IDF terms with floor-scaled integer scores
     (bit-stable ranking across engines)."""
@@ -970,6 +1007,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_keep_first": q_dedup_keep_first,
         "unit_conversions": q_unit_conversions,
         "dedup_incremental": q_dedup_incremental,
+        "near_dedup_incremental": q_near_dedup_incremental,
         "tfidf_top_terms": q_tfidf_top_terms,
     }
 

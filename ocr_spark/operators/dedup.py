@@ -218,6 +218,25 @@ def band_candidates(keyed: DataFrame) -> DataFrame:
             .distinct())
 
 
+def _sig_band_buckets(sigs: DataFrame, bands: int, k: int) -> DataFrame:
+    """(id, band, key) LSH bucket rows derived JVM-side from signatures:
+    band key = xxhash64 of the signature slice, salted by the band index.
+    Shared by :func:`minhash_candidates` and
+    :func:`near_dedup_incremental` so batch and history keys always live
+    in the same universe.  ``bands`` must already be clamped to ≤ k."""
+    rows_per_band = max(k // bands, 1)
+    band_cols = [
+        F.struct(F.lit(i).alias("band"),
+                 F.xxhash64(F.slice("sig", i * rows_per_band + 1, rows_per_band),
+                            F.lit(i)).alias("key"))
+        for i in range(bands)
+    ]
+    return (sigs
+            .select("id", F.explode(F.array(*band_cols)).alias("bk"))
+            .select("id", F.col("bk.band").alias("band"),
+                    F.col("bk.key").alias("key")))
+
+
 def minhash_candidates(sigs: DataFrame, bands: int = 32,
                        k: int = 128, validate: bool = False) -> DataFrame:
     """LSH banding → candidate pairs (id_a < id_b), deduplicated.
@@ -242,16 +261,7 @@ def minhash_candidates(sigs: DataFrame, bands: int = 32,
     # identical empty-array keys — one all-docs bucket and a quadratic
     # self-join (same clamp as minhash_band_keys)
     bands = min(bands, k)
-    rows_per_band = max(k // bands, 1)
-    band_cols = [
-        F.struct(F.lit(i).alias("band"),
-                 F.xxhash64(F.slice("sig", i * rows_per_band + 1, rows_per_band),
-                            F.lit(i)).alias("key"))
-        for i in range(bands)
-    ]
-    buckets = (sigs
-               .select("id", F.explode(F.array(*band_cols)).alias("bk"))
-               .select("id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")))
+    buckets = _sig_band_buckets(sigs, bands, k)
     left = buckets.alias("l")
     right = buckets.alias("r")
     return (left.join(right, ["band", "key"])
@@ -644,3 +654,67 @@ def fingerprint_history(df: DataFrame, text_col: str = "text",
     """The compact history frame :func:`dedup_incremental` consumes: one
     distinct md5 fingerprint per admitted document."""
     return df.select(fingerprint(F.col(text_col)).alias(fp_col)).distinct()
+
+
+def near_dedup_incremental(new_df: DataFrame, history_sigs: DataFrame,
+                           id_col: str = "doc_id", text_col: str = "text",
+                           k: int = 128, bands: int = 32,
+                           threshold: float = 0.7,
+                           shingle_width: int = 3) -> DataFrame:
+    """Near-dup dedup of a new crawl increment against the admitted
+    corpus's compact MinHash history AND within itself — the semantic
+    analog of :func:`dedup_incremental`.
+
+    ``history_sigs`` is :func:`minhash_signatures` output over everything
+    already admitted — ~``k`` longs per historical doc (1 KB at k=128 vs
+    multi-KB text), which is what makes the daily increment run WITHOUT
+    re-reading history text.  Steps:
+
+    1. batch signatures (one Arrow pass) → band keys derived JVM-side
+       (:func:`_sig_band_buckets` — the same key universe as history's);
+    2. batch↔history candidates from the (band, key) equi-join — never a
+       cross join; shuffles are O(rows·bands) key rows;
+    3. cross-batch verification by SIGNATURE-estimated Jaccard (fraction
+       of equal signature positions, a JVM ``zip_with`` — std err
+       ≈ sqrt(J(1-J)/k) ≈ 0.04 at k=128), since history text is not
+       retained — this is the one asymmetry vs the within-batch pass;
+    4. batch rows estimated ≥ ``threshold`` against ANY history doc are
+       dropped (``left_anti``);
+    5. the survivors are near-deduped within the batch by the full
+       exact-Jaccard path (:func:`dedup_near_minhash` — text is in hand).
+
+    Fold the survivors' signatures into the next day's history with
+    ``history_sigs.unionByName(minhash_signatures(kept, ...))``.
+
+    ``history_sigs`` is read TWICE (band buckets + the verify join) — pass
+    a materialized table (the parquet the previous increment wrote), not a
+    freshly computed frame, or the signature UDF runs twice over history.
+    The batch side is localCheckpoint-ed here, so the increment's own
+    signatures are computed once regardless.
+    """
+    bands = min(bands, k)
+    bsigs = (minhash_signatures(new_df, id_col, text_col, k, shingle_width)
+             .localCheckpoint(eager=False))
+    bbuck = _sig_band_buckets(bsigs, bands, k)
+    hbuck = _sig_band_buckets(history_sigs.select("id", "sig"), bands, k)
+    cand = (bbuck.alias("b").join(hbuck.alias("h"), ["band", "key"])
+            .select(F.col("b.id").alias("batch_id"),
+                    F.col("h.id").alias("hist_id"))
+            .distinct())
+    est = (F.size(F.filter(F.zip_with("bsig", "hsig",
+                                      lambda x, y: x == y),
+                           lambda v: v))
+           / F.lit(float(k)))
+    dup_ids = (cand
+               .join(bsigs.select(F.col("id").alias("batch_id"),
+                                  F.col("sig").alias("bsig")), "batch_id")
+               .join(history_sigs.select(F.col("id").alias("hist_id"),
+                                         F.col("sig").alias("hsig")),
+                     "hist_id")
+               .filter(est >= F.lit(threshold))
+               .select("batch_id").distinct())
+    fresh = new_df.join(dup_ids.withColumnRenamed("batch_id", id_col),
+                        id_col, "left_anti")
+    return dedup_near_minhash(fresh, id_col, text_col, k=k, bands=bands,
+                              threshold=threshold,
+                              shingle_width=shingle_width)

@@ -896,6 +896,21 @@ def test_dedup_incremental(spark):
     assert dedup.dedup_incremental(batch, folded).count() == 0
 
 
+def test_near_dedup_incremental(spark):
+    alt = ("columnar engines shuffle partitioned data across many executor "
+           "nodes while adaptive query execution rebalances skewed joins "
+           "at runtime for stable throughput on very large clusters")
+    history = dedup.minhash_signatures(
+        spark.createDataFrame([(0, BASE)], ["doc_id", "text"]))
+    batch = spark.createDataFrame(
+        [(10, BASE.replace("green", "purple")),   # near-dup of history
+         (11, alt),                               # new → kept
+         (12, alt.replace("stable", "steady"))],  # near-dup within batch
+        ["doc_id", "text"])
+    kept = dedup.near_dedup_incremental(batch, history, threshold=0.5)
+    assert {r["doc_id"] for r in kept.collect()} == {11}
+
+
 def test_tfidf_top_terms(spark):
     import math
     corpus = spark.createDataFrame(
