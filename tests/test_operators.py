@@ -911,6 +911,26 @@ def test_near_dedup_incremental(spark):
     assert {r["doc_id"] for r in kept.collect()} == {11}
 
 
+def test_increment_operators_partitioning_invariance(spark, docs):
+    """The increment family and TF-IDF are pure functions of the data:
+    identical results at any parallelism (the property that makes them
+    safe to re-run on a different cluster size mid-campaign)."""
+    history = dedup.fingerprint_history(docs.filter(F.col("doc_id") <= 2))
+    batch = docs.filter(F.col("doc_id") >= 2)
+    a = {r["doc_id"] for r in
+         dedup.dedup_incremental(batch, history).collect()}
+    b = {r["doc_id"] for r in
+         dedup.dedup_incremental(batch.repartition(7),
+                                 history.repartition(3)).collect()}
+    assert a == b and a
+
+    t1 = sorted(map(tuple, textstats.tfidf_top_terms(docs, k=2).collect()))
+    t2 = sorted(map(tuple,
+                    textstats.tfidf_top_terms(docs.repartition(7),
+                                              k=2).collect()))
+    assert t1 == t2 and t1
+
+
 def test_tfidf_top_terms(spark):
     import math
     corpus = spark.createDataFrame(
