@@ -35,7 +35,7 @@ import hashlib
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import DataFrame, functions as F
 from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf
 
@@ -61,10 +61,20 @@ def exact_duplicates(df: DataFrame, id_col: str = "doc_id",
 
 def dedup_exact(df: DataFrame, id_col: str = "doc_id",
                 text_col: str = "text") -> DataFrame:
-    """Keep the lowest-id row per fingerprint (stable, deterministic)."""
-    w = Window.partitionBy(fingerprint(F.col(text_col))).orderBy(F.col(id_col))
-    return (df.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1).drop("_rn"))
+    """Keep the lowest-id row per fingerprint (stable, deterministic).
+
+    groupBy + ``min_by(struct)``: ``partial_min_by`` collapses a
+    pathologically hot fingerprint (billions of identical soft-404 /
+    empty pages — real at crawl scale) to ONE candidate row per input
+    partition before the shuffle.  A ``row_number``-window-plus-
+    ``rn == 1``-filter compiles to the same map-side pruning in Spark ≥
+    3.5 (partial ``WindowGroupLimit``), but only when the optimizer's
+    filter-shape inference fires — the aggregate states the top-1-per-
+    group intent directly instead of relying on that rule."""
+    cols = df.columns
+    return (df.groupBy(fingerprint(F.col(text_col)).alias("_fp"))
+            .agg(F.min_by(F.struct(*cols), F.col(id_col)).alias("_row"))
+            .select("_row.*"))
 
 
 # ---------------------------------------------------------------------------
@@ -632,16 +642,19 @@ def dedup_incremental(new_df: DataFrame, history_fps: DataFrame,
 
     Scale notes (10^12-doc history, 10^9-doc daily increment): the history
     side is fingerprints ONLY (~32 B/row vs multi-KB documents), and the
-    plan is one within-batch window shuffle on the fingerprint plus one
+    plan is one map-side-combinable min_by keeper shuffle plus one
     ``left_anti`` join on it.  Persist history as a table bucketed by
     fingerprint and the anti-join needs no shuffle on the big side at all —
     only the (much smaller) increment moves; AQE turns the join into a
     broadcast when the surviving increment is small enough.
     """
     batch = new_df.withColumn(fp_col, fingerprint(F.col(text_col)))
-    w = Window.partitionBy(fp_col).orderBy(F.col(id_col))
-    firsts = (batch.withColumn("_rn", F.row_number().over(w))
-              .filter(F.col("_rn") == 1).drop("_rn"))
+    cols = batch.columns
+    # min_by keeper, not a window — map-side combinable, hot-fingerprint
+    # safe (see dedup_exact)
+    firsts = (batch.groupBy(F.col(fp_col).alias("_fp"))
+              .agg(F.min_by(F.struct(*cols), F.col(id_col)).alias("_row"))
+              .select("_row.*"))
     # no distinct() on the history side: right-side duplicates cannot
     # change a left_anti join's output, and a distinct would force a full
     # shuffle+aggregate of the (huge) history before the join

@@ -235,21 +235,29 @@ def corpus_clean(df: DataFrame, id_col: str = "doc_id",
     allowlist + exact-dup keeper, with a reason code per dropped doc.
 
     Output: every input row + ``keep`` boolean + ``drop_reason`` (null when
-    kept; first failing gate otherwise: quality → lang → duplicate).  One
-    window shuffle (the dup keeper); the gates are Column expressions.
+    kept; first failing gate otherwise: quality → lang → duplicate).  The
+    dup keeper is a map-side-combinable min-id-per-fingerprint aggregate
+    joined back on the fingerprint (null-safe key) — NOT a window: a
+    pathologically hot fingerprint (billions of identical soft-404 pages)
+    partially aggregates before its shuffle and the join side is
+    AQE-skew-splittable, where a window would sort the whole duplicate
+    group in one unsplittable task.  The gates are Column expressions.
     This is the operator a data pipeline runs nightly — the per-feature
     queries exist for inspection, this one for production.
     """
-    from pyspark.sql import Window
-
     feats = quality_features(df, text_col)
     lang = language_id(F.col(text_col))
-    w = Window.partitionBy(fingerprint(F.col(text_col))).orderBy(F.col(id_col))
-    rn = F.row_number().over(w)
+    fp = fingerprint(F.col(text_col))
+    keepers = (df.groupBy(fp.alias("_keep_fp"))
+               .agg(F.min(F.col(id_col)).alias("_keep_id")))
+    joined = (feats.withColumn("_fp", fp)
+              .join(keepers,
+                    F.col("_fp").eqNullSafe(F.col("_keep_fp")), "inner"))
     reason = (F.when(~F.col("quality_ok"), F.lit("low_quality"))
               .when(~lang.isin(*langs), F.lit("lang_filtered"))
-              .when(rn != 1, F.lit("exact_duplicate")))
-    return (feats
+              .when(F.col(id_col) != F.col("_keep_id"),
+                    F.lit("exact_duplicate")))
+    return (joined
             .withColumn("drop_reason", reason)
             .withColumn("keep", F.col("drop_reason").isNull())
             .select(id_col, "keep", "drop_reason", "n_chars_calc",
