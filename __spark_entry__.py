@@ -751,6 +751,35 @@ def q_tfidf_top_terms(spark, sf_dir):
     return textstats.tfidf_top_terms(_docs(spark, sf_dir), k=3)
 
 
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: flag corpus docs sharing any word
+    13-gram with a deterministic eval slice (doc_id % 97 == 3) — the
+    standard pre-training eval-set-hygiene rule.  The eval docs
+    themselves (plus any near-dups of them in the corpus) must come
+    back contaminated; the eval gram set is broadcast, the corpus side
+    never shuffles."""
+    docs = _docs(spark, sf_dir)
+    bench = docs.filter(F.col("doc_id") % 97 == 3)
+    return (textstats.decontaminate(docs, bench, n=13)
+            .select("doc_id", "n_contaminated_ngrams", "contaminated"))
+
+
+def q_repetition_features(spark, sf_dir):
+    """Gopher-style within-document repetition ratios over the corpus
+    plus one planted keyword-stuffed page (doc_id 91_000_001) that must
+    fail the ``repetitive`` verdict."""
+    planted = spark.range(1).select(
+        F.lit(91_000_001).cast("bigint").alias("doc_id"),
+        F.concat(F.lit("Buy cheap widgets now. "),
+                 F.repeat(F.lit("best widgets best widgets best price\n"),
+                          12)).alias("text"))
+    corpus = (_docs(spark, sf_dir).select("doc_id", "text")
+              .unionByName(planted))
+    return (textstats.repetition_features(corpus)
+            .select("doc_id", "dup_2gram_x1000", "dup_3gram_x1000",
+                    "dup_line_x1000", "repetitive"))
+
+
 def q_unit_conversions(spark, sf_dir):
     """Permís unit math (V10 CV→kW, C17 fiscal power, C16 ratio gate) as
     native expressions over synthesized values; floor-scaled ints so Spark
@@ -1009,6 +1038,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental": q_dedup_incremental,
         "near_dedup_incremental": q_near_dedup_incremental,
         "tfidf_top_terms": q_tfidf_top_terms,
+        "decontaminate": q_decontaminate,
+        "repetition_features": q_repetition_features,
     }
 
 
@@ -1191,6 +1222,101 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, token, tf, df, score_x1e6,
                    CAST("rank" AS BIGINT) AS "rank"
             FROM ranked WHERE "rank" <= 3""",
+        "decontaminate": r"""
+            WITH bt AS (
+                SELECT list_filter(string_split_regex(lower(trim(text)),
+                                                      '\s+'),
+                                   x -> x != '') AS toks
+                FROM documents WHERE doc_id % 97 = 3),
+            bg AS (
+                SELECT DISTINCT md5(array_to_string(toks[i:i+12], ' ')) AS g
+                FROM (SELECT toks,
+                             unnest(range(1, greatest(len(toks) - 11, 1)))
+                                 AS i
+                      FROM bt)),
+            dt AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(lower(trim(text)),
+                                                      '\s+'),
+                                   x -> x != '') AS toks
+                FROM documents),
+            dg AS (
+                SELECT DISTINCT doc_id,
+                       md5(array_to_string(toks[i:i+12], ' ')) AS g
+                FROM (SELECT doc_id, toks,
+                             unnest(range(1, greatest(len(toks) - 11, 1)))
+                                 AS i
+                      FROM dt)),
+            hits AS (
+                SELECT doc_id, CAST(count(*) AS BIGINT) AS n
+                FROM dg JOIN bg USING (g) GROUP BY doc_id)
+            SELECT d.doc_id,
+                   CAST(coalesce(hits.n, 0) AS BIGINT)
+                       AS n_contaminated_ngrams,
+                   coalesce(hits.n, 0) > 0 AS contaminated
+            FROM documents d LEFT JOIN hits USING (doc_id)""",
+        "repetition_features": r"""
+            WITH corpus AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT CAST(91000001 AS BIGINT),
+                       'Buy cheap widgets now. ' ||
+                       repeat('best widgets best widgets best price'
+                              || chr(10), 12)),
+            t AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(lower(trim(text)),
+                                                      '\s+'),
+                                   x -> x != '') AS toks,
+                       list_filter(list_transform(
+                           string_split_regex(text, '\n'), l -> trim(l)),
+                           l -> l != '') AS lines
+                FROM corpus),
+            g2 AS (
+                SELECT doc_id, CAST(count(*) AS BIGINT) AS n,
+                       CAST(count(DISTINCT gram) AS BIGINT) AS d
+                FROM (SELECT doc_id,
+                             array_to_string(toks[i:i+1], ' ') AS gram
+                      FROM (SELECT doc_id, toks,
+                                   unnest(range(1, greatest(len(toks), 1)))
+                                       AS i
+                            FROM t))
+                GROUP BY doc_id),
+            g3 AS (
+                SELECT doc_id, CAST(count(*) AS BIGINT) AS n,
+                       CAST(count(DISTINCT gram) AS BIGINT) AS d
+                FROM (SELECT doc_id,
+                             array_to_string(toks[i:i+2], ' ') AS gram
+                      FROM (SELECT doc_id, toks,
+                                   unnest(range(1,
+                                          greatest(len(toks) - 1, 1))) AS i
+                            FROM t))
+                GROUP BY doc_id),
+            gl AS (
+                SELECT doc_id, CAST(count(*) AS BIGINT) AS n,
+                       CAST(count(DISTINCT line) AS BIGINT) AS d
+                FROM (SELECT doc_id, unnest(lines) AS line FROM t)
+                GROUP BY doc_id),
+            m AS (
+                SELECT t.doc_id,
+                       CASE WHEN g2.n > 0 THEN CAST(floor(
+                            (g2.n - g2.d) * 1000.0 / g2.n) AS BIGINT)
+                            ELSE 0 END AS dup_2gram_x1000,
+                       CASE WHEN g3.n > 0 THEN CAST(floor(
+                            (g3.n - g3.d) * 1000.0 / g3.n) AS BIGINT)
+                            ELSE 0 END AS dup_3gram_x1000,
+                       CASE WHEN gl.n > 0 THEN CAST(floor(
+                            (gl.n - gl.d) * 1000.0 / gl.n) AS BIGINT)
+                            ELSE 0 END AS dup_line_x1000
+                FROM t
+                LEFT JOIN g2 USING (doc_id)
+                LEFT JOIN g3 USING (doc_id)
+                LEFT JOIN gl USING (doc_id))
+            SELECT doc_id, dup_2gram_x1000, dup_3gram_x1000,
+                   dup_line_x1000,
+                   (dup_2gram_x1000 > 200 OR dup_line_x1000 > 300)
+                       AS repetitive
+            FROM m""",
         "corpus_clean": f"""
             WITH corpus AS (
                 SELECT doc_id, text FROM documents

@@ -465,6 +465,106 @@ def stratified_sample(df: DataFrame, fractions: dict[str, float],
     return df.filter(cond)
 
 
+def _ws_token_array(text: Column) -> Column:
+    """Lowercased whitespace token ARRAY — the same tokenization contract
+    as :func:`_ws_tokens` (lower + trim + split ``\\s+`` + drop empties)
+    in array form, for operators that need per-document n-grams without
+    an explode."""
+    return F.filter(F.split(F.lower(F.trim(text)), r"\s+"),
+                    lambda t: t != "")
+
+
+def _word_ngrams(toks: Column, n: int) -> Column:
+    """Word ``n``-grams (space-joined strings) of a token array — empty
+    array when the document has fewer than ``n`` tokens.  Pure Column
+    expression (sequence + transform + slice), no Python."""
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1)),
+                    lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def decontaminate(df: DataFrame, bench: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text", bench_text_col: str = "text",
+                  n: int = 13) -> DataFrame:
+    """Benchmark decontamination — flag training documents sharing any
+    word ``n``-gram with an evaluation set (the standard 13-gram overlap
+    rule used for pre-training eval-set hygiene).
+
+    Appends ``n_contaminated_ngrams`` (distinct contaminated grams in the
+    document, bigint) and ``contaminated`` (bool).  Tokenization is the
+    shared whitespace contract of :func:`_ws_tokens`; grams are compared
+    by md5 so the broadcast set and join keys stay fixed-width regardless
+    of gram text length.
+
+    Plan shape at corpus scale: the eval set is tiny by definition → its
+    distinct gram-md5 set is BROADCAST; the corpus side is one narrow
+    pass (token array → per-doc ``array_distinct`` n-grams → explode →
+    broadcast semi-join), so nothing corpus-sized ever shuffles — the
+    only exchange is the (doc_id, hit-count) pairs of matched docs, and
+    the final annotate join is AQE-broadcastable for the same reason.
+    Per-doc ``array_distinct`` happens BEFORE the explode, so distinct
+    counting needs no corpus-wide shuffle.
+    """
+    bench_grams = (bench
+                   .select(F.explode(
+                       _word_ngrams(_ws_token_array(F.col(bench_text_col)),
+                                    n)).alias("_gram"))
+                   .select(F.md5(F.col("_gram")).alias("_gram_md5"))
+                   .distinct())
+    doc_grams = (df.select(
+        F.col(id_col).alias("_did"),
+        F.explode(F.array_distinct(
+            _word_ngrams(_ws_token_array(F.col(text_col)), n))).alias("_gram"))
+        .select("_did", F.md5(F.col("_gram")).alias("_gram_md5")))
+    hits = (doc_grams.join(F.broadcast(bench_grams), "_gram_md5")
+            .groupBy("_did")
+            .agg(F.count("*").cast("bigint").alias("n_contaminated_ngrams")))
+    out = (df.join(hits, F.col(id_col) == F.col("_did"), "left")
+           .drop("_did"))
+    return (out
+            .withColumn("n_contaminated_ngrams",
+                        F.coalesce(F.col("n_contaminated_ngrams"),
+                                   F.lit(0).cast("bigint")))
+            .withColumn("contaminated",
+                        F.col("n_contaminated_ngrams") > 0))
+
+
+def repetition_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Within-document repetition signals (Gopher-style repetition rules,
+    Rae et al. 2021 §A1.1): fraction of duplicate word 2-grams and
+    3-grams, and fraction of duplicate non-empty lines.  Highly
+    repetitive pages (keyword stuffing, templated listings, degenerate
+    boilerplate) score high and fail the ``repetitive`` verdict.
+
+    All ratios are integer ×1000 (portable across engines); duplicates
+    are counted per document as ``size(g) - size(array_distinct(g))`` —
+    pure array Column expressions, no shuffle, no Python.  Verdict
+    thresholds: >20% duplicate 2-grams or >30% duplicate lines
+    (Gopher's dup-line-fraction 0.30 / top-2gram 0.20 neighborhood).
+    """
+    toks = _ws_token_array(F.col(text_col))
+    lines = F.filter(
+        F.transform(F.split(F.col(text_col), r"\n"), lambda l: F.trim(l)),
+        lambda l: l != "")
+
+    def dup_x1000(arr: Column) -> Column:
+        size = F.size(arr)
+        ndup = size - F.size(F.array_distinct(arr))
+        return F.when(size > 0,
+                      (ndup * 1000 / size).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint"))
+
+    d2 = dup_x1000(_word_ngrams(toks, 2))
+    d3 = dup_x1000(_word_ngrams(toks, 3))
+    dl = dup_x1000(lines)
+    return (df.withColumn("dup_2gram_x1000", d2)
+            .withColumn("dup_3gram_x1000", d3)
+            .withColumn("dup_line_x1000", dl)
+            .withColumn("repetitive", (d2 > 200) | (dl > 300)))
+
+
 def _sample_bucket(key_col: str, salt: str) -> Column:
     return F.conv(F.substring(F.md5(F.concat(F.col(key_col).cast("string"),
                                              F.lit(salt))), 1, 6),

@@ -1576,3 +1576,64 @@ def test_scrub_pii_email_rfc_bounds(spark):
             "SELECT regexp_replace(?, ?, '[EMAIL]', 'g')",
             [text, email_pat]).fetchone()[0]
         assert twin == got[text], text[:40]
+
+
+# --- decontamination / repetition (LLM-data hygiene) --------------------------
+
+def test_decontaminate_planted_overlap(spark):
+    """Docs sharing a word 13-gram with the eval set are flagged; shorter
+    or disjoint docs are not; per-doc gram counting is DISTINCT (a doc
+    repeating the contaminated gram twice counts it once); matching is
+    case-insensitive (shared tokenization contract)."""
+    gram13 = " ".join(BASE.split()[:13])
+    rows = [
+        (0, BASE),                            # contains the eval gram once
+        (1, "short text only"),               # < 13 tokens: never flagged
+        (2, "twenty tokens of totally unrelated prose " * 3),
+        (3, gram13 + " zz " + gram13),        # gram appears twice -> count 1
+        (4, gram13.upper()),                  # casefolded match
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    bench = spark.createDataFrame([(100, gram13)], ["doc_id", "text"])
+    got = {r["doc_id"]: (r["contaminated"], r["n_contaminated_ngrams"])
+           for r in textstats.decontaminate(docs, bench, n=13).collect()}
+    assert got[0] == (True, 1)
+    assert got[1] == (False, 0)
+    assert got[2] == (False, 0)
+    assert got[3] == (True, 1)
+    assert got[4] == (True, 1)
+
+
+def test_decontaminate_counts_multiple_grams(spark):
+    """A doc overlapping the eval set in several distinct grams reports
+    the distinct-gram count (a 14-token eval doc yields two 13-grams)."""
+    toks = [f"w{i}" for i in range(14)]
+    docs = spark.createDataFrame([(0, " ".join(toks)), (1, "none here")],
+                                 ["doc_id", "text"])
+    bench = spark.createDataFrame([(9, " ".join(toks))], ["doc_id", "text"])
+    got = {r["doc_id"]: r["n_contaminated_ngrams"]
+           for r in textstats.decontaminate(docs, bench, n=13).collect()}
+    assert got[0] == 2 and got[1] == 0
+
+
+def test_repetition_features_hand_computed(spark):
+    """Exact duplicate-fraction arithmetic: 'a b a b a b' has five
+    2-grams (two distinct -> 600/1000 dup), four 3-grams (two distinct
+    -> 500), and 'x\\nx\\nx' has three lines, one distinct -> 666."""
+    rows = [
+        (0, "a b a b a b"),
+        (1, "x\nx\nx"),
+        (2, BASE),           # natural prose: 'the' repeats but verdict clean
+        (3, ""),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in textstats.repetition_features(df).collect()}
+    assert got[0]["dup_2gram_x1000"] == 600
+    assert got[0]["dup_3gram_x1000"] == 500
+    assert got[0]["repetitive"] is True
+    assert got[1]["dup_line_x1000"] == 666
+    assert got[1]["repetitive"] is True
+    assert got[2]["repetitive"] is False
+    assert got[3]["dup_2gram_x1000"] == 0
+    assert got[3]["dup_line_x1000"] == 0
+    assert got[3]["repetitive"] is False
