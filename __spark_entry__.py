@@ -780,6 +780,15 @@ def q_repetition_features(spark, sf_dir):
                     "dup_line_x1000", "repetitive"))
 
 
+def q_token_shards(spark, sf_dir):
+    """Token-budget sharding: assign docs (in doc_id order) to
+    2000-token training shards via the distributed two-phase prefix
+    scan — the DuckDB twin is the global-window formulation that would
+    NOT scale (one unsplittable sort task) but defines the semantics."""
+    return (textstats.token_shards(_docs(spark, sf_dir), 2000)
+            .select("doc_id", "n_tokens", "shard_id"))
+
+
 def q_unit_conversions(spark, sf_dir):
     """Permís unit math (V10 CV→kW, C17 fiscal power, C16 ratio gate) as
     native expressions over synthesized values; floor-scaled ints so Spark
@@ -1040,6 +1049,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_top_terms": q_tfidf_top_terms,
         "decontaminate": q_decontaminate,
         "repetition_features": q_repetition_features,
+        "token_shards": q_token_shards,
     }
 
 
@@ -1222,6 +1232,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, token, tf, df, score_x1e6,
                    CAST("rank" AS BIGINT) AS "rank"
             FROM ranked WHERE "rank" <= 3""",
+        "token_shards": f"""
+            SELECT doc_id, CAST({_NTOK} AS BIGINT) AS n_tokens,
+                   CAST(coalesce(sum(CAST({_NTOK} AS BIGINT)) OVER (
+                        ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND 1 PRECEDING), 0) // 2000 AS BIGINT) AS shard_id
+            FROM documents""",
         "decontaminate": r"""
             WITH bt AS (
                 SELECT list_filter(string_split_regex(lower(trim(text)),

@@ -50,7 +50,7 @@ SUITE = (
     "embedding_norms", "embedding_topk", "embedding_ann_ivf",
     "embedding_near_dups",
     "dedup_incremental", "tfidf_top_terms",
-    "decontaminate", "repetition_features",
+    "decontaminate", "repetition_features", "token_shards",
 )
 
 

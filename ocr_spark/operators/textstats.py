@@ -565,6 +565,75 @@ def repetition_features(df: DataFrame, text_col: str = "text") -> DataFrame:
             .withColumn("repetitive", (d2 > 200) | (dl > 300)))
 
 
+def token_shards(df: DataFrame, budget_tokens: int,
+                 id_col: str = "doc_id", text_col: str = "text",
+                 partitions: int | None = None) -> DataFrame:
+    """Token-budget sharding: assign documents, in deterministic id
+    order, to training shards of ≈``budget_tokens`` whitespace tokens —
+    ``shard_id = floor(tokens_before_this_doc / budget)`` — the corpus →
+    fixed-token-budget-shard step of a training-data writer.
+
+    The naive formulation (``sum() over (order by id)`` with no
+    partition key) plans as ONE unsplittable global sort+window task —
+    a non-starter at corpus scale.  This runs the classic two-phase
+    prefix scan instead: range-partition on id + sort within
+    partitions, aggregate per-partition token totals (one tiny row per
+    partition) to the driver, ship the exclusive prefix offsets back in
+    the task closure, and complete the cumulative sum within each
+    partition in one vectorized Arrow pass (a running numpy cumsum with
+    a cross-batch carry — no second shuffle, and a per-partition window
+    would have forced one: the range layout doesn't satisfy a window's
+    hash-clustering requirement).  The result is the exact global
+    cumsum, and it is partitioning-invariant by construction: offset +
+    within-partition cumsum reconstructs the same global prefix no
+    matter where the range boundaries fall.
+
+    Returns the skinny assignment table ``(id, n_tokens, shard_id)`` —
+    join back on id if full rows are needed; only (id, token-count)
+    pairs ever shuffle or cross the Python boundary.
+    """
+    if budget_tokens <= 0:
+        raise ValueError(f"budget_tokens must be positive: {budget_tokens}")
+    n_part = partitions or df.sparkSession.sparkContext.defaultParallelism
+    # narrow projection FIRST: only (id, token-count) is ever shuffled or
+    # crosses Arrow — document text stays in the scan.  localCheckpoint
+    # pins partition placement + within-partition order so the totals
+    # pass and the cumsum pass see identical layout (and the corpus is
+    # tokenized once, not once per consumer).
+    rp = (df.select(F.col(id_col),
+                    token_count(F.col(text_col)).alias("_tok"))
+          .repartitionByRange(n_part, F.col(id_col))
+          .sortWithinPartitions(id_col)
+          .withColumn("_pid", F.spark_partition_id())
+          .localCheckpoint(eager=False))
+    totals = {r["_pid"]: r["t"] for r in
+              rp.groupBy("_pid").agg(F.sum("_tok").alias("t")).collect()}
+    offsets, acc = {}, 0
+    for pid in sorted(totals):
+        offsets[pid] = acc
+        acc += int(totals[pid])
+    id_type = rp.schema[id_col].dataType.simpleString()
+
+    def gen(batches):
+        import pandas as pd
+        carry = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            if carry is None:  # first batch of this partition
+                carry = offsets.get(int(pdf["_pid"].iloc[0]), 0)
+            tok = pdf["_tok"].to_numpy(dtype="int64")
+            before = carry + np.concatenate(
+                ([0], np.cumsum(tok)[:-1])).astype("int64")
+            carry += int(tok.sum())
+            yield pd.DataFrame({id_col: pdf[id_col],
+                                "n_tokens": tok,
+                                "shard_id": before // budget_tokens})
+
+    return rp.mapInPandas(
+        gen, f"{id_col} {id_type}, n_tokens long, shard_id long")
+
+
 def _sample_bucket(key_col: str, salt: str) -> Column:
     return F.conv(F.substring(F.md5(F.concat(F.col(key_col).cast("string"),
                                              F.lit(salt))), 1, 6),

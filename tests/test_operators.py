@@ -1637,3 +1637,38 @@ def test_repetition_features_hand_computed(spark):
     assert got[3]["dup_2gram_x1000"] == 0
     assert got[3]["dup_line_x1000"] == 0
     assert got[3]["repetitive"] is False
+
+
+def test_token_shards_hand_computed(spark):
+    """Four 5-token docs at budget 10: prefix [0,5,10,15] -> shards
+    [0,0,1,1]; an empty doc consumes no budget; a doc landing exactly
+    on the boundary starts the next shard."""
+    rows = [(0, "a b c d e"), (1, "f g h i j"), (2, ""),
+            (3, "k l m n o"), (4, "p q r s t")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: (r["n_tokens"], r["shard_id"])
+           for r in textstats.token_shards(df, 10).collect()}
+    assert got[0] == (5, 0)
+    assert got[1] == (5, 0)
+    assert got[2] == (0, 1)   # prefix 10 == budget -> next shard
+    assert got[3] == (5, 1)
+    assert got[4] == (5, 1)
+
+
+def test_token_shards_partitioning_invariant(spark):
+    """The two-phase prefix scan reconstructs the exact global cumsum
+    whatever the range boundaries are: identical assignment at 1, 3,
+    and 7 partitions."""
+    rows = [(i, "tok " * (i % 17 + 1)) for i in range(83)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    ref = sorted(textstats.token_shards(df, 25, partitions=1).collect())
+    for p in (3, 7):
+        got = sorted(textstats.token_shards(df, 25, partitions=p).collect())
+        assert got == ref, f"partitions={p}"
+    assert len({r["shard_id"] for r in ref}) > 5  # non-trivial sharding
+
+
+def test_token_shards_rejects_bad_budget(spark):
+    df = spark.createDataFrame([(1, "a")], ["doc_id", "text"])
+    with pytest.raises(ValueError):
+        textstats.token_shards(df, 0)
