@@ -1285,7 +1285,8 @@ def oracle_sql() -> dict[str, str]:
                                                       '\s+'),
                                    x -> x != '') AS toks,
                        list_filter(list_transform(
-                           string_split_regex(text, '\n'), l -> trim(l)),
+                           string_split_regex(text, '\r?\n'),
+                           l -> trim(l)),
                            l -> l != '') AS lines
                 FROM corpus),
             g2 AS (

@@ -546,7 +546,8 @@ def repetition_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     """
     toks = _ws_token_array(F.col(text_col))
     lines = F.filter(
-        F.transform(F.split(F.col(text_col), r"\n"), lambda l: F.trim(l)),
+        F.transform(F.split(F.col(text_col), r"\r?\n"),
+                    lambda l: F.trim(l)),
         lambda l: l != "")
 
     def dup_x1000(arr: Column) -> Column:
@@ -621,7 +622,10 @@ def token_shards(df: DataFrame, budget_tokens: int,
             if len(pdf) == 0:
                 continue
             if carry is None:  # first batch of this partition
-                carry = offsets.get(int(pdf["_pid"].iloc[0]), 0)
+                # direct indexing: every non-empty partition produced a
+                # totals row (same checkpointed layout) — a missing key
+                # is a broken invariant and must fail, not shard from 0
+                carry = offsets[int(pdf["_pid"].iloc[0])]
             tok = pdf["_tok"].to_numpy(dtype="int64")
             before = carry + np.concatenate(
                 ([0], np.cumsum(tok)[:-1])).astype("int64")

@@ -1625,6 +1625,7 @@ def test_repetition_features_hand_computed(spark):
         (1, "x\nx\nx"),
         (2, BASE),           # natural prose: 'the' repeats but verdict clean
         (3, ""),
+        (4, "y\r\ny\r\ny"),  # CRLF line endings count as line breaks
     ]
     df = spark.createDataFrame(rows, ["doc_id", "text"])
     got = {r["doc_id"]: r for r in textstats.repetition_features(df).collect()}
@@ -1637,6 +1638,7 @@ def test_repetition_features_hand_computed(spark):
     assert got[3]["dup_2gram_x1000"] == 0
     assert got[3]["dup_line_x1000"] == 0
     assert got[3]["repetitive"] is False
+    assert got[4]["dup_line_x1000"] == 666
 
 
 def test_token_shards_hand_computed(spark):
