@@ -780,6 +780,32 @@ def q_repetition_features(spark, sf_dir):
                     "dup_line_x1000", "repetitive"))
 
 
+def q_corpus_curate(spark, sf_dir):
+    """FLAGSHIP curation: the full composed admission pipeline (quality →
+    repetition → lang → decontamination vs the doc_id%97==3 eval slice →
+    exact dedup → PII scrub → 2000-token shard assignment) with per-doc
+    verdicts, post-scrub token counts, shard ids, and scrubbed-text md5
+    — the whole chain hash-checked against one composed DuckDB twin.
+    (MinHash near-dedup stage off here — not SQL-expressible; covered by
+    the curate pytest and the minhash query family.)
+
+    The corpus is the documents table plus planted rows so every reason
+    code fires: exact copies (doc_id+30M of every 40th doc, the
+    corpus_clean pattern), one junk page, one keyword-stuffed page."""
+    from ocr_spark import curate as curate_mod
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    dups = docs.filter(F.col("doc_id") % 40 == 0).select(
+        (F.col("doc_id") + 30_000_000).alias("doc_id"), "text")
+    planted = spark.createDataFrame(
+        [(92_000_001, "tiny junk"),
+         (92_000_002, "Buy cheap widgets now. "
+          + "best widgets best widgets best price\n" * 12)],
+        ["doc_id", "text"])
+    corpus = docs.unionByName(dups).unionByName(planted)
+    bench = docs.filter(F.col("doc_id") % 97 == 3)
+    return curate_mod.curate(corpus, bench=bench, budget_tokens=2000)
+
+
 def q_token_shards(spark, sf_dir):
     """Token-budget sharding: assign docs (in doc_id order) to
     2000-token training shards via the distributed two-phase prefix
@@ -1050,6 +1076,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "repetition_features": q_repetition_features,
         "token_shards": q_token_shards,
+        "corpus_curate": q_corpus_curate,
     }
 
 
@@ -1079,6 +1106,18 @@ CASE WHEN regexp_matches(text, '[一-鿿]') THEN 'zh'
 })
 
 _FP_SQL = "md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))"
+
+
+def _scrub_sql(col: str) -> str:
+    """Chained regexp_replace applying ``textstats.PII_RULES`` in order —
+    built FROM the rule table so the twin can never desynchronize from
+    the Spark scrub (RE2 and Java regex agree on these patterns; pinned
+    by the scrub_pii oracle and its boundary pytest)."""
+    from ocr_spark.operators.textstats import PII_RULES
+    expr = col
+    for pat, repl in PII_RULES:
+        expr = f"regexp_replace({expr}, '{pat}', '{repl}', 'g')"
+    return expr
 
 _DNI_TABLE = "TRWAGMYFPDXBNJZSQVHLCKE"
 
@@ -1232,6 +1271,108 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, token, tf, df, score_x1e6,
                    CAST("rank" AS BIGINT) AS "rank"
             FROM ranked WHERE "rank" <= 3""",
+        "corpus_curate": f"""
+            WITH corpus AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 30000000, text FROM documents
+                WHERE doc_id % 40 = 0
+                UNION ALL
+                SELECT CAST(92000001 AS BIGINT), 'tiny junk'
+                UNION ALL
+                SELECT CAST(92000002 AS BIGINT),
+                       'Buy cheap widgets now. ' ||
+                       repeat('best widgets best widgets best price'
+                              || chr(10), 12)),
+            feats AS (
+                SELECT doc_id, text,
+                       (length(text) >= 20 AND {_NTOK} >= 5
+                        AND (CASE WHEN {_NTOK} > 0 THEN CAST(floor(length(text) * 100.0 / ({_NTOK})) AS BIGINT) ELSE 0 END) BETWEEN 200 AND 1200
+                        AND (CASE WHEN length(text) > 0 THEN CAST(floor((length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))) * 1000.0 / length(text)) AS BIGINT) ELSE 0 END) < 300) AS quality_ok,
+                       {_LANG_SQL} AS lang_guess,
+                       min(doc_id) OVER (PARTITION BY {_FP_SQL})
+                           AS keep_id
+                FROM corpus),
+            tok AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(lower(trim(text)),
+                                                      '\\s+'),
+                                   x -> x != '') AS toks,
+                       list_filter(list_transform(
+                           string_split_regex(text, '\\r?\\n'),
+                           l -> trim(l)), l -> l != '') AS lines
+                FROM corpus),
+            g2 AS (
+                SELECT doc_id, count(*) AS n,
+                       count(DISTINCT gram) AS d
+                FROM (SELECT doc_id,
+                             array_to_string(toks[i:i+1], ' ') AS gram
+                      FROM (SELECT doc_id, toks,
+                                   unnest(range(1, greatest(len(toks), 1)))
+                                       AS i
+                            FROM tok))
+                GROUP BY doc_id),
+            gl AS (
+                SELECT doc_id, count(*) AS n,
+                       count(DISTINCT line) AS d
+                FROM (SELECT doc_id, unnest(lines) AS line FROM tok)
+                GROUP BY doc_id),
+            rep AS (
+                SELECT tok.doc_id,
+                       (coalesce(CASE WHEN g2.n > 0 THEN CAST(floor(
+                            (g2.n - g2.d) * 1000.0 / g2.n) AS BIGINT)
+                            ELSE 0 END, 0) > 200
+                        OR coalesce(CASE WHEN gl.n > 0 THEN CAST(floor(
+                            (gl.n - gl.d) * 1000.0 / gl.n) AS BIGINT)
+                            ELSE 0 END, 0) > 300) AS repetitive
+                FROM tok
+                LEFT JOIN g2 USING (doc_id)
+                LEFT JOIN gl USING (doc_id)),
+            bg AS (
+                SELECT DISTINCT md5(array_to_string(toks[i:i+12], ' '))
+                           AS g
+                FROM (SELECT toks,
+                             unnest(range(1, greatest(len(toks) - 11, 1)))
+                                 AS i
+                      FROM tok WHERE doc_id % 97 = 3 AND doc_id < 30000000)),
+            cont AS (
+                SELECT DISTINCT doc_id
+                FROM (SELECT doc_id,
+                             md5(array_to_string(toks[i:i+12], ' ')) AS g
+                      FROM (SELECT doc_id, toks,
+                                   unnest(range(1,
+                                          greatest(len(toks) - 11, 1)))
+                                       AS i
+                            FROM tok)) dg
+                JOIN bg USING (g)),
+            verdict AS (
+                SELECT feats.doc_id, feats.text,
+                       CASE WHEN NOT quality_ok THEN 'low_quality'
+                            WHEN repetitive THEN 'repetitive'
+                            WHEN lang_guess NOT IN ('en','es','de','fr')
+                                 THEN 'lang_filtered'
+                            WHEN cont.doc_id IS NOT NULL
+                                 THEN 'contaminated'
+                            WHEN feats.doc_id != keep_id
+                                 THEN 'exact_duplicate' END AS drop_reason
+                FROM feats
+                JOIN rep USING (doc_id)
+                LEFT JOIN cont USING (doc_id)),
+            kept AS (
+                SELECT doc_id, {_scrub_sql('text')} AS text
+                FROM verdict WHERE drop_reason IS NULL),
+            sh AS (
+                SELECT doc_id, CAST({_NTOK} AS BIGINT) AS n_tokens,
+                       CAST(coalesce(sum(CAST({_NTOK} AS BIGINT)) OVER (
+                            ORDER BY doc_id ROWS BETWEEN UNBOUNDED
+                            PRECEDING AND 1 PRECEDING), 0) // 2000
+                            AS BIGINT) AS shard_id,
+                       md5(text) AS scrubbed_md5
+                FROM kept)
+            SELECT v.doc_id, v.drop_reason IS NULL AS keep,
+                   v.drop_reason, sh.n_tokens, sh.shard_id,
+                   sh.scrubbed_md5
+            FROM verdict v LEFT JOIN sh USING (doc_id)""",
         "token_shards": f"""
             SELECT doc_id, CAST({_NTOK} AS BIGINT) AS n_tokens,
                    CAST(coalesce(sum(CAST({_NTOK} AS BIGINT)) OVER (

@@ -51,6 +51,7 @@ SUITE = (
     "embedding_near_dups",
     "dedup_incremental", "tfidf_top_terms",
     "decontaminate", "repetition_features", "token_shards",
+    "corpus_curate",
 )
 
 

@@ -1,0 +1,181 @@
+"""Corpus curation job: the composed training-data admission pipeline.
+
+Chains the operator suite end-to-end over a documents-shaped table
+(``doc_id``, ``text``, ...):
+
+    quality gate → repetition gate → language allowlist →
+    eval-set decontamination → exact dedup → [optional MinHash
+    near-dedup] → PII scrub → token-budget shard assignment
+
+Every document gets a first-failing-gate reason code (precedence:
+``low_quality`` → ``repetitive`` → ``lang_filtered`` → ``contaminated``
+→ ``exact_duplicate`` → ``near_duplicate``); kept documents additionally
+get scrubbed text, a post-scrub token count, and a training-shard id.
+As in :func:`ocr_spark.operators.textstats.corpus_clean`, gate verdicts
+are independent per document: a duplicate copy is reported
+``exact_duplicate`` even when its group's min-id keeper was itself
+dropped by an earlier gate — group membership is a property of the full
+input, not of the survivors.
+
+Scale notes — gate order is cost order:
+
+* The narrow gates (quality, repetition, lang: pure Column
+  expressions) and the broadcast decontamination run first and fuse
+  into the scan stage; nothing corpus-sized shuffles for them.
+* The exact-dup keeper is the skew-safe min-id-per-fingerprint
+  aggregate of ``corpus_clean`` (map-side combinable; never a window
+  over a pathologically hot fingerprint).
+* MinHash near-dedup — the expensive stage — sees only survivors of
+  every cheaper gate (opt-in: its verdict is not SQL-expressible, so
+  the oracle-checked driver query runs with it off and the pytest
+  exercises it on).
+* Shard assignment runs :func:`textstats.token_shards`' two-phase
+  prefix scan over a skinny (id, token-count) projection of the
+  SCRUBBED text; the one id-keyed join back to the verdict frame is
+  the same clustering the shard-ordered write wants anyway.
+* The PII scrub expression is evaluated in two narrow consumers
+  (token counting and output text/md5) rather than materialized —
+  trading a regex re-evaluation for not shuffling scrubbed text.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ocr_spark.operators import dedup, textstats
+
+DEFAULT_LANGS = ("en", "es", "de", "fr")
+
+
+def curate(df: DataFrame, bench: Optional[DataFrame] = None,
+           id_col: str = "doc_id", text_col: str = "text",
+           langs: tuple[str, ...] = DEFAULT_LANGS,
+           budget_tokens: int = 2000, ngram_n: int = 13,
+           near_dup: bool = False, with_text: bool = False) -> DataFrame:
+    """Per-document curation verdicts: (id, keep, drop_reason, n_tokens,
+    shard_id, scrubbed_md5[, scrubbed_text]).
+
+    ``n_tokens``/``shard_id``/``scrubbed_md5`` are null for dropped
+    docs; token counts and shards are computed over the SCRUBBED text
+    (what a training run would actually read).  ``bench`` (optional) is
+    the eval table for decontamination; ``near_dup`` enables the
+    MinHash near-dedup stage over survivors.
+    """
+    feats = textstats.quality_features(df, text_col)
+    feats = textstats.repetition_features(feats, text_col)
+    if bench is not None:
+        feats = textstats.decontaminate(feats, bench, id_col=id_col,
+                                        text_col=text_col, n=ngram_n)
+    else:
+        feats = feats.withColumn("contaminated", F.lit(False))
+    lang = textstats.language_id(F.col(text_col))
+    fp = textstats.fingerprint(F.col(text_col))
+    keepers = (df.groupBy(fp.alias("_keep_fp"))
+               .agg(F.min(F.col(id_col)).alias("_keep_id")))
+    joined = (feats.withColumn("_fp", fp)
+              .join(keepers,
+                    F.col("_fp").eqNullSafe(F.col("_keep_fp")), "inner"))
+    reason = (F.when(~F.col("quality_ok"), F.lit("low_quality"))
+              .when(F.col("repetitive"), F.lit("repetitive"))
+              .when(~lang.isin(*langs), F.lit("lang_filtered"))
+              .when(F.col("contaminated"), F.lit("contaminated"))
+              .when(F.col(id_col) != F.col("_keep_id"),
+                    F.lit("exact_duplicate")))
+    verdicts = (joined.withColumn("drop_reason", reason)
+                .select(id_col, text_col, "drop_reason"))
+
+    if near_dup:
+        survivors = (verdicts.filter(F.col("drop_reason").isNull())
+                     .select(id_col, text_col))
+        kept_ids = (dedup.dedup_near_minhash(survivors, id_col=id_col,
+                                             text_col=text_col)
+                    .select(id_col))
+        near_drops = (survivors.select(id_col)
+                      .join(kept_ids, id_col, "left_anti")
+                      .withColumn("_near_drop", F.lit(True)))
+        verdicts = (verdicts.join(near_drops, id_col, "left")
+                    .withColumn(
+                        "drop_reason",
+                        F.coalesce(F.col("drop_reason"),
+                                   F.when(F.col("_near_drop"),
+                                          F.lit("near_duplicate"))))
+                    .drop("_near_drop"))
+
+    scrubbed = textstats.scrub_pii(F.col(text_col))
+    kept = (verdicts.filter(F.col("drop_reason").isNull())
+            .select(F.col(id_col), scrubbed.alias("text")))
+    shards = textstats.token_shards(kept, budget_tokens, id_col=id_col,
+                                    text_col="text")
+    out = (verdicts
+           .withColumn("keep", F.col("drop_reason").isNull())
+           .withColumn("scrubbed_md5",
+                       F.when(F.col("keep"), F.md5(scrubbed)))
+           .join(shards.select(id_col, "n_tokens", "shard_id"),
+                 id_col, "left"))
+    cols = [id_col, "keep", "drop_reason", "n_tokens", "shard_id",
+            "scrubbed_md5"]
+    if with_text:
+        out = out.withColumn("scrubbed_text",
+                             F.when(F.col("keep"), scrubbed))
+        cols.append("scrubbed_text")
+    return out.select(*cols)
+
+
+def run_curation(spark: SparkSession, input_path: str, output_path: str,
+                 bench_path: Optional[str] = None,
+                 langs: tuple[str, ...] = DEFAULT_LANGS,
+                 budget_tokens: int = 2000, near_dup: bool = False,
+                 partitions: int = 32) -> dict:
+    """Execute the curation job: parquet in → three sinks out.
+
+    * ``{out}/data``    — kept docs (doc_id, text=scrubbed, n_tokens,
+      shard_id), clustered by shard id so a training reader streams
+      whole shards sequentially.
+    * ``{out}/report``  — per-doc verdict (doc_id, keep, drop_reason).
+    * ``{out}/summary`` — one row: counts per reason, kept count, total
+      tokens, shard count, XOR-aggregate digest of
+      ``xxhash64(doc_id, scrubbed_text)`` (order-free and overflow-free
+      → identical at any parallelism), wall ms.
+
+    Returns the summary as a dict.
+    """
+    t0 = time.monotonic()
+    docs = spark.read.parquet(input_path)
+    bench = spark.read.parquet(bench_path) if bench_path else None
+    verdicts = curate(docs, bench=bench, langs=langs,
+                      budget_tokens=budget_tokens, near_dup=near_dup,
+                      with_text=True)
+    # the verdict frame feeds three sinks and the summary — materialize
+    # once instead of re-running the gates per consumer
+    verdicts = verdicts.localCheckpoint(eager=False)
+
+    (verdicts.filter("keep")
+     .select("doc_id", F.col("scrubbed_text").alias("text"),
+             "n_tokens", "shard_id")
+     .repartition(partitions, "shard_id")
+     .sortWithinPartitions("shard_id", "doc_id")
+     .write.mode("overwrite").parquet(f"{output_path}/data"))
+    (verdicts.select("doc_id", "keep", "drop_reason")
+     .write.mode("overwrite").parquet(f"{output_path}/report"))
+
+    row = (verdicts.agg(
+        F.count("*").alias("input_count"),
+        F.sum(F.col("keep").cast("long")).alias("kept_count"),
+        *[F.sum((F.col("drop_reason") == r).cast("long")).alias(f"n_{r}")
+          for r in ("low_quality", "repetitive", "lang_filtered",
+                    "contaminated", "exact_duplicate", "near_duplicate")],
+        F.coalesce(F.sum("n_tokens"), F.lit(0)).alias("total_tokens"),
+        F.countDistinct("shard_id").alias("n_shards"),
+        F.coalesce(F.bit_xor(F.when(F.col("keep"),
+                                    F.xxhash64("doc_id", "scrubbed_text"))),
+                   F.lit(0)).alias("digest")).collect()[0])
+    summary = row.asDict()
+    summary["wall_ms"] = int((time.monotonic() - t0) * 1000)
+    (spark.createDataFrame([tuple(summary.values())],
+                           list(summary.keys()))
+     .write.mode("overwrite").json(f"{output_path}/summary"))
+    return summary

@@ -1,0 +1,110 @@
+"""End-to-end corpus curation: composed gates, reason precedence, job sinks."""
+
+from __future__ import annotations
+
+import glob
+import json
+
+from pyspark.sql import functions as F
+
+from ocr_spark import curate
+
+BASE = ("the quick brown fox jumps over the lazy dog and runs far away "
+        "into the green forest while the rain keeps falling all day long")
+OTHER = ("columnar engines scan the compressed pages and the vectors of "
+         "every batch keep flowing through the operators all night")
+
+
+def _corpus(spark, with_near=False):
+    rows = [
+        (0, BASE),                               # kept
+        (1, BASE),                               # exact dup of 0
+        (2, "tiny junk"),                        # low_quality (<5 tokens)
+        (3, "be be be be be be be be be be"),    # repetitive 2-grams
+        (4, "数据库 系统 的 查询 优化 引擎 执行 计划 代价 模型"),  # lang zh
+        (5, OTHER),                              # kept
+    ]
+    if with_near:
+        rows.append((6, BASE.replace("green", "dark")))  # near dup of 0
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_curate_reason_codes_and_outputs(spark):
+    docs = _corpus(spark)
+    bench = spark.createDataFrame([(99, OTHER)], ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in
+           curate.curate(docs, bench=bench, budget_tokens=20).collect()}
+    assert got[0]["keep"] and got[0]["drop_reason"] is None
+    assert got[1]["drop_reason"] == "exact_duplicate"
+    assert got[2]["drop_reason"] == "low_quality"
+    assert got[3]["drop_reason"] == "repetitive"
+    assert got[4]["drop_reason"] == "lang_filtered"
+    assert got[5]["drop_reason"] == "contaminated"  # 13-gram overlap w/ bench
+    # kept docs carry tokens/shard/md5; dropped docs carry nulls
+    assert got[0]["n_tokens"] and got[0]["scrubbed_md5"]
+    assert got[0]["shard_id"] == 0
+    for d in (1, 2, 3, 4, 5):
+        assert got[d]["n_tokens"] is None and got[d]["shard_id"] is None
+
+
+def test_curate_near_dup_stage(spark):
+    docs = _corpus(spark, with_near=True)
+    got = {r["doc_id"]: r["drop_reason"] for r in
+           curate.curate(docs, near_dup=True).collect()}
+    assert got[6] == "near_duplicate"     # swept by MinHash, min-id kept
+    assert got[0] is None
+    got_off = {r["doc_id"]: r["drop_reason"] for r in
+               curate.curate(docs, near_dup=False).collect()}
+    assert got_off[6] is None             # stage off: near dup survives
+
+
+def test_curate_dup_verdict_independent_of_keeper_fate(spark):
+    """A duplicate copy reports exact_duplicate even when the group's
+    min-id keeper was itself dropped by an earlier gate (corpus_clean
+    semantics — group membership is a property of the full input)."""
+    junk = "x1 2 3 4 5 6 7 8 9 10 11 12"   # digit-heavy: fails quality
+    docs = spark.createDataFrame(
+        [(0, junk), (1, junk), (2, BASE)], ["doc_id", "text"])
+    got = {r["doc_id"]: r["drop_reason"] for r in
+           curate.curate(docs).collect()}
+    assert got[0] == "low_quality"
+    assert got[1] == "low_quality"        # quality precedes duplicate
+    assert got[2] is None
+
+
+def test_curate_scrub_reflected_in_tokens_and_md5(spark):
+    """Shards and md5 are computed over SCRUBBED text: an email collapses
+    to [EMAIL], changing the token count vs the raw text."""
+    text = BASE + " contact someone@example.com here"
+    docs = spark.createDataFrame([(0, text)], ["doc_id", "text"])
+    row = curate.curate(docs, with_text=True).collect()[0]
+    assert "[EMAIL]" in row["scrubbed_text"]
+    assert row["n_tokens"] == len(text.split())  # email is one token both ways
+    import hashlib
+    assert row["scrubbed_md5"] == hashlib.md5(
+        row["scrubbed_text"].encode()).hexdigest()
+
+
+def test_run_curation_sinks_and_digest_invariance(spark, tmp_path):
+    docs = _corpus(spark, with_near=True)
+    inp = str(tmp_path / "docs.parquet")
+    docs.write.parquet(inp)
+    s1 = curate.run_curation(spark, inp, str(tmp_path / "out1"),
+                             near_dup=True, partitions=2)
+    s2 = curate.run_curation(
+        spark, inp, str(tmp_path / "out2"), near_dup=True, partitions=5)
+    assert s1["digest"] == s2["digest"] != 0
+    assert s1["kept_count"] == 2          # docs 0 and 5
+    assert s1["n_exact_duplicate"] == 1 and s1["n_near_duplicate"] == 1
+    assert s1["n_low_quality"] == 1 and s1["n_repetitive"] == 1
+    assert s1["n_lang_filtered"] == 1 and s1["n_contaminated"] == 0
+    data = spark.read.parquet(str(tmp_path / "out1/data"))
+    assert data.count() == 2
+    assert set(data.columns) == {"doc_id", "text", "n_tokens", "shard_id"}
+    report = spark.read.parquet(str(tmp_path / "out1/report"))
+    assert report.count() == 7
+    summary = [json.loads(line)
+               for p in glob.glob(str(tmp_path / "out1/summary/*.json"))
+               for line in open(p) if line.strip()]
+    assert summary[0]["input_count"] == 7
+    assert summary[0]["digest"] == s1["digest"]
