@@ -135,3 +135,47 @@ def test_local_df_arrow_relation(spark):
     nested = local_df(spark, [(1, {"a": 2})],
                       "id int, s struct<a: int>")
     assert nested.collect()[0]["s"]["a"] == 2
+
+
+def test_decontaminate_broadcasts_eval_grams(spark):
+    """The eval gram set must broadcast (corpus side never shuffles for
+    the semi-join) and no sort-merge join may appear anywhere."""
+    df = entry.q_decontaminate(spark, SF)
+    plan = plans.physical_plan(df)
+    assert plans.has_broadcast_join(df)
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_token_shards_no_global_window(spark):
+    """The shard assignment must plan WITHOUT a window (the naive global
+    sum-over-order-by formulation is one unsplittable sort task).  The
+    final frame reads the checkpointed skinny projection — no further
+    exchange, one Arrow pass, and document text never in the plan."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    from ocr_spark.operators import textstats
+    df = textstats.token_shards(docs, 2000)
+    plan = plans.physical_plan(df)
+    assert "Window" not in plan, plan
+    assert "Exchange" not in plan, plan     # shuffle is inside the
+    # checkpointed prefix; nothing re-shuffles per consumer
+    assert "text" not in plan, plan         # skinny (id, _tok, _pid) only
+    assert plan.count("MapInPandas") == 1, plan
+    # and the pre-checkpoint prefix is the single range exchange on id
+    pre = (docs.select("doc_id",
+                       textstats.token_count(F.col("text")).alias("_tok"))
+           .repartitionByRange(8, F.col("doc_id"))
+           .sortWithinPartitions("doc_id"))
+    pre_plan = plans.physical_plan(pre)
+    assert pre_plan.count("Exchange") == 1, pre_plan
+    assert "rangepartitioning(doc_id" in pre_plan, pre_plan
+
+
+def test_repetition_features_narrow(spark):
+    """Repetition ratios are pure per-row array expressions — no exchange,
+    no python, no join may appear."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    from ocr_spark.operators import textstats
+    df = textstats.repetition_features(docs)
+    plan = plans.physical_plan(df)
+    assert "Exchange" not in plan and "Join" not in plan, plan
+    assert plans.python_eval_count(df) == 0
