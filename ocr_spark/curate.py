@@ -40,6 +40,7 @@ Scale notes — gate order is cost order:
 
 from __future__ import annotations
 
+import argparse
 import time
 from typing import Optional
 
@@ -179,3 +180,34 @@ def run_curation(spark: SparkSession, input_path: str, output_path: str,
                            list(summary.keys()))
      .write.mode("overwrite").json(f"{output_path}/summary"))
     return summary
+
+
+def main() -> None:
+    from ocr_spark.job import build_session
+    ap = argparse.ArgumentParser(
+        description="ocr_spark corpus curation pipeline")
+    ap.add_argument("--input", required=True, help="documents parquet")
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--bench", default=None,
+                    help="eval-set parquet for decontamination (optional)")
+    ap.add_argument("--langs", default=",".join(DEFAULT_LANGS),
+                    help="comma-separated language allowlist")
+    ap.add_argument("--budget-tokens", type=int, default=2000)
+    ap.add_argument("--near-dup", action="store_true",
+                    help="enable the MinHash near-dedup stage")
+    ap.add_argument("--partitions", type=int, default=32)
+    ap.add_argument("--master", default=None)
+    args = ap.parse_args()
+
+    spark = build_session(app="ocr_spark-curate", master=args.master,
+                          shuffle_partitions=args.partitions)
+    summary = run_curation(
+        spark, args.input, args.output, bench_path=args.bench,
+        langs=tuple(l for l in args.langs.split(",") if l),
+        budget_tokens=args.budget_tokens, near_dup=args.near_dup,
+        partitions=args.partitions)
+    print(summary)
+
+
+if __name__ == "__main__":
+    main()
