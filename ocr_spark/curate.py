@@ -36,6 +36,18 @@ Scale notes — gate order is cost order:
 * The PII scrub expression is evaluated in two narrow consumers
   (token counting and output text/md5) rather than materialized —
   trading a regex re-evaluation for not shuffling scrubbed text.
+* The chain is deliberately **scan-heavy, shuffle-light**: evaluating
+  the gate chain reads the corpus parquet ~3× (gate expressions,
+  dup-keeper aggregate, eval-gram join), each scan column-pruned to
+  (id, text) — but the only corpus-sized exchanges are the map-side-
+  combined fingerprint aggregate and the skinny (id, token-count)
+  range partition.  On columnar storage, repeated pruned scans
+  parallelize embarrassingly; shuffles do not.  The verdict frame is
+  lazily ``localCheckpoint``-ed (one corpus-sized disk copy) so its
+  three consumers — the near-dup survivor set, the shard pass's totals
+  action, and the final annotate join — trigger that evaluation ONCE,
+  and the near-dup drop list (ids only) is checkpointed so no
+  downstream re-evaluation can re-run the MinHash stage.
 """
 
 from __future__ import annotations
@@ -88,6 +100,11 @@ def curate(df: DataFrame, bench: Optional[DataFrame] = None,
                     F.lit("exact_duplicate")))
     verdicts = (joined.withColumn("drop_reason", reason)
                 .select(id_col, text_col, "drop_reason"))
+    # three consumers follow (near-dup survivors, the shard pass's totals
+    # collect, the final annotate join) — materialize the gate chain ONCE
+    # (one corpus-sized disk copy) instead of re-running quality/
+    # repetition/decontaminate/dup joins per consumer
+    verdicts = verdicts.localCheckpoint(eager=False)
 
     if near_dup:
         survivors = (verdicts.filter(F.col("drop_reason").isNull())
@@ -97,7 +114,10 @@ def curate(df: DataFrame, bench: Optional[DataFrame] = None,
                     .select(id_col))
         near_drops = (survivors.select(id_col)
                       .join(kept_ids, id_col, "left_anti")
-                      .withColumn("_near_drop", F.lit(True)))
+                      .withColumn("_near_drop", F.lit(True))
+                      # skinny id list — checkpoint so downstream
+                      # re-evaluation never re-runs the MinHash stage
+                      .localCheckpoint(eager=False))
         verdicts = (verdicts.join(near_drops, id_col, "left")
                     .withColumn(
                         "drop_reason",

@@ -107,6 +107,20 @@ STOPWORDS = ("the", "a", "an", "and", "or", "of", "to", "in", "is", "for",
              "el", "la", "los", "las", "de", "del", "y", "en", "un", "una",
              "que", "es", "der", "die", "das", "und", "ein")
 
+# single-pass stopword-occurrence counter: ' word(?= )' over the
+# space-canonicalized padded text counts exactly the whitespace tokens
+# equal to a stopword (the lookahead leaves the trailing space for an
+# adjacent stopword's leading-space match).  One JVM regex scan instead
+# of an interpreted per-token HOF isin — ~5x cheaper per row; equality
+# with the HOF formula is pinned by test_stopword_count_formulas_agree.
+_STOP_COUNT_RE = " (?:" + "|".join(STOPWORDS) + ")(?= )"
+
+
+def _stopword_count(text: Column) -> Column:
+    canon = F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
+    padded = F.concat(F.lit(" "), canon, F.lit(" "))
+    return F.size(F.regexp_extract_all(padded, F.lit(_STOP_COUNT_RE), 0))
+
 
 def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Append quality-feature columns + a composite ``quality_ok`` verdict.
@@ -120,31 +134,39 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
       token len ≤ 12, digits < 30%.
     """
     text = F.col(text_col)
-    n_chars = F.length(text)
-    n_tokens = token_count(text)
-    stripped_digits = F.length(F.regexp_replace(text, r"[0-9]", ""))
-    stripped_upper = F.length(F.regexp_replace(text, r"[A-Z]", ""))
-    stripped_punct = F.length(F.regexp_replace(text, r"[^\p{L}\p{N}\s]", ""))
-    n_stop = F.size(F.filter(
-        F.split(F.lower(F.trim(text)), r"\s+"),
-        lambda t: t.isin(*STOPWORDS)))
+    # materialize the shared regex scans ONCE as helper columns: the ratio
+    # and verdict expressions below reference each of them several times,
+    # and inlined (non-aliased) subtrees are re-evaluated per reference —
+    # measured 4-6x the per-row cost on real corpora
+    base = (df
+            .withColumn("_qf_nc", F.length(text))
+            .withColumn("_qf_nt", token_count(text))
+            .withColumn("_qf_nd",
+                        F.length(F.regexp_replace(text, r"[0-9]", "")))
+            .withColumn("_qf_nu",
+                        F.length(F.regexp_replace(text, r"[A-Z]", "")))
+            .withColumn("_qf_np",
+                        F.length(F.regexp_replace(text,
+                                                  r"[^\p{L}\p{N}\s]", "")))
+            .withColumn("_qf_ns", _stopword_count(text)))
+    n_chars, n_tokens = F.col("_qf_nc"), F.col("_qf_nt")
     avg_len_x100 = F.when(n_tokens > 0,
                           (n_chars * 100 / n_tokens).cast("bigint")).otherwise(F.lit(0))
     digit_x1000 = F.when(n_chars > 0,
-                         ((n_chars - stripped_digits) * 1000 / n_chars).cast("bigint")
+                         ((n_chars - F.col("_qf_nd")) * 1000 / n_chars).cast("bigint")
                          ).otherwise(F.lit(0))
     upper_x1000 = F.when(n_chars > 0,
-                         ((n_chars - stripped_upper) * 1000 / n_chars).cast("bigint")
+                         ((n_chars - F.col("_qf_nu")) * 1000 / n_chars).cast("bigint")
                          ).otherwise(F.lit(0))
     punct_x1000 = F.when(n_chars > 0,
-                         ((n_chars - stripped_punct) * 1000 / n_chars).cast("bigint")
+                         ((n_chars - F.col("_qf_np")) * 1000 / n_chars).cast("bigint")
                          ).otherwise(F.lit(0))
     stop_x1000 = F.when(n_tokens > 0,
-                        (n_stop * 1000 / n_tokens).cast("bigint")
+                        (F.col("_qf_ns") * 1000 / n_tokens).cast("bigint")
                         ).otherwise(F.lit(0))
     quality_ok = ((n_chars >= 20) & (n_tokens >= 5)
                   & avg_len_x100.between(200, 1200) & (digit_x1000 < 300))
-    return (df
+    return (base
             .withColumn("n_chars_calc", n_chars.cast("bigint"))
             .withColumn("n_tokens", n_tokens)
             .withColumn("avg_token_len_x100", avg_len_x100)
@@ -152,7 +174,9 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
             .withColumn("upper_ratio_x1000", upper_x1000)
             .withColumn("punct_ratio_x1000", punct_x1000)
             .withColumn("stopword_ratio_x1000", stop_x1000)
-            .withColumn("quality_ok", quality_ok))
+            .withColumn("quality_ok", quality_ok)
+            .drop("_qf_nc", "_qf_nt", "_qf_nd", "_qf_nu", "_qf_np",
+                  "_qf_ns"))
 
 
 def fingerprint(text: Column) -> Column:
@@ -477,7 +501,39 @@ def _ws_token_array(text: Column) -> Column:
 def _word_ngrams(toks: Column, n: int) -> Column:
     """Word ``n``-grams (space-joined strings) of a token array — empty
     array when the document has fewer than ``n`` tokens.  Pure Column
-    expression (sequence + transform + slice), no Python."""
+    expression (sequence + transform + slice), no Python.
+
+    ``toks`` MUST be a materialized column reference (``F.col``), not a
+    computed expression: the lambda body references it per sequence
+    element, and an inlined expression subtree (e.g. the regex
+    tokenization) would be re-evaluated O(tokens) times per row —
+    measured ~9x the per-row cost.  Call sites ``withColumn`` the token
+    array first.
+
+    n=2/3 (the repetition-signal hot path) use a ``zip_with`` over
+    shifted slices instead of transform+slice: the slices are argument
+    arrays evaluated ONCE per row, so per-element work is a plain
+    bound-reference concat rather than an O(n) slice copy."""
+    if n == 2:
+        shift1 = F.slice(toks, 2,
+                         F.greatest(F.size(toks) - 1, F.lit(0)))
+        z = F.zip_with(toks, shift1,
+                       lambda a, b: F.when(b.isNotNull(),
+                                           F.concat_ws(" ", a, b)))
+        return F.filter(z, lambda x: x.isNotNull())
+    if n == 3:
+        shift1 = F.slice(toks, 2,
+                         F.greatest(F.size(toks) - 1, F.lit(0)))
+        shift2 = F.slice(toks, 3,
+                         F.greatest(F.size(toks) - 2, F.lit(0)))
+        pairs = F.zip_with(toks, shift1,
+                           lambda a, b: F.when(b.isNotNull(),
+                                               F.concat_ws(" ", a, b)))
+        z = F.zip_with(pairs, shift2,
+                       lambda ab, c: F.when(ab.isNotNull()
+                                            & c.isNotNull(),
+                                            F.concat_ws(" ", ab, c)))
+        return F.filter(z, lambda x: x.isNotNull())
     return F.when(
         F.size(toks) >= n,
         F.transform(F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1)),
@@ -507,17 +563,23 @@ def decontaminate(df: DataFrame, bench: DataFrame, id_col: str = "doc_id",
     Per-doc ``array_distinct`` happens BEFORE the explode, so distinct
     counting needs no corpus-wide shuffle.
     """
+    # token arrays materialize as columns before `_word_ngrams` — see
+    # repetition_features: an inlined tokenization inside the transform
+    # lambda re-runs per sequence element
     bench_grams = (bench
+                   .withColumn("_toks",
+                               _ws_token_array(F.col(bench_text_col)))
                    .select(F.explode(
-                       _word_ngrams(_ws_token_array(F.col(bench_text_col)),
-                                    n)).alias("_gram"))
+                       _word_ngrams(F.col("_toks"), n)).alias("_gram"))
                    .select(F.md5(F.col("_gram")).alias("_gram_md5"))
                    .distinct())
-    doc_grams = (df.select(
-        F.col(id_col).alias("_did"),
-        F.explode(F.array_distinct(
-            _word_ngrams(_ws_token_array(F.col(text_col)), n))).alias("_gram"))
-        .select("_did", F.md5(F.col("_gram")).alias("_gram_md5")))
+    doc_grams = (df
+                 .withColumn("_toks", _ws_token_array(F.col(text_col)))
+                 .select(
+                     F.col(id_col).alias("_did"),
+                     F.explode(F.array_distinct(
+                         _word_ngrams(F.col("_toks"), n))).alias("_gram"))
+                 .select("_did", F.md5(F.col("_gram")).alias("_gram_md5")))
     hits = (doc_grams.join(F.broadcast(bench_grams), "_gram_md5")
             .groupBy("_did")
             .agg(F.count("*").cast("bigint").alias("n_contaminated_ngrams")))
@@ -544,11 +606,17 @@ def repetition_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     thresholds: >20% duplicate 2-grams or >30% duplicate lines
     (Gopher's dup-line-fraction 0.30 / top-2gram 0.20 neighborhood).
     """
-    toks = _ws_token_array(F.col(text_col))
-    lines = F.filter(
-        F.transform(F.split(F.col(text_col), r"\r?\n"),
-                    lambda l: F.trim(l)),
-        lambda l: l != "")
+    # materialize the token/line arrays as columns FIRST: `_word_ngrams`
+    # references its input inside a `transform` lambda, and an inlined
+    # expression there is re-evaluated once per sequence element — the
+    # regex tokenization would run O(tokens) times per document
+    # (measured ~9x slower).  A column reference is a row-value read.
+    base = (df.withColumn("_rep_toks",
+                          _ws_token_array(F.col(text_col)))
+            .withColumn("_rep_lines", F.filter(
+                F.transform(F.split(F.col(text_col), r"\r?\n"),
+                            lambda l: F.trim(l)),
+                lambda l: l != "")))
 
     def dup_x1000(arr: Column) -> Column:
         size = F.size(arr)
@@ -557,13 +625,17 @@ def repetition_features(df: DataFrame, text_col: str = "text") -> DataFrame:
                       (ndup * 1000 / size).cast("bigint")).otherwise(
             F.lit(0).cast("bigint"))
 
-    d2 = dup_x1000(_word_ngrams(toks, 2))
-    d3 = dup_x1000(_word_ngrams(toks, 3))
-    dl = dup_x1000(lines)
-    return (df.withColumn("dup_2gram_x1000", d2)
-            .withColumn("dup_3gram_x1000", d3)
-            .withColumn("dup_line_x1000", dl)
-            .withColumn("repetitive", (d2 > 200) | (dl > 300)))
+    base = (base
+            .withColumn("dup_2gram_x1000",
+                        dup_x1000(_word_ngrams(F.col("_rep_toks"), 2)))
+            .withColumn("dup_3gram_x1000",
+                        dup_x1000(_word_ngrams(F.col("_rep_toks"), 3)))
+            .withColumn("dup_line_x1000", dup_x1000(F.col("_rep_lines"))))
+    return (base
+            .withColumn("repetitive",
+                        (F.col("dup_2gram_x1000") > 200)
+                        | (F.col("dup_line_x1000") > 300))
+            .drop("_rep_toks", "_rep_lines"))
 
 
 def token_shards(df: DataFrame, budget_tokens: int,

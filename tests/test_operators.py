@@ -1674,3 +1674,33 @@ def test_token_shards_rejects_bad_budget(spark):
     df = spark.createDataFrame([(1, "a")], ["doc_id", "text"])
     with pytest.raises(ValueError):
         textstats.token_shards(df, 0)
+
+
+def test_stopword_count_formulas_agree(spark):
+    """The single-regex stopword counter must equal the per-token HOF
+    isin formula on adversarial inputs: adjacent stopwords, stopwords as
+    substrings/prefixes, punctuation-glued tokens, multi-whitespace,
+    empty, and the real corpus."""
+    from ocr_spark.operators.textstats import (STOPWORDS, _stopword_count)
+    cases = [
+        "the a an and the the",          # adjacent stopwords
+        "theater another lands",         # stopword prefixes, no match
+        "the. ,a (an) the",              # glued punctuation, only bare 'the'
+        "  the\t\ta\nan  ",              # mixed whitespace runs
+        "", "   ", "the", "x",
+        "EL La LOS dEl",                 # casefold
+        "un una unamuno ein eine",
+        BASE,
+    ]
+    df = spark.createDataFrame([(t,) for t in cases], ["text"])
+    hof = F.size(F.filter(F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
+                          lambda t: t.isin(*STOPWORDS)))
+    rows = df.select("text", hof.alias("old"),
+                     _stopword_count(F.col("text")).alias("new")).collect()
+    for r in rows:
+        assert r["old"] == r["new"], (r["text"], r["old"], r["new"])
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    diff = docs.select(hof.alias("old"),
+                       _stopword_count(F.col("text")).alias("new")) \
+        .filter("old != new").count()
+    assert diff == 0
