@@ -471,6 +471,55 @@ def q_canonical_urls(spark, sf_dir):
                     urls.host_of(messy).alias("host")))
 
 
+def q_url_blocklist(spark, sf_dir):
+    """UT1-style domain-blocklist annotation over synthesized hosts:
+    apex suffix matches (every ``doc_id % 7 == 0`` host is under
+    blocked-zone.org), exact-host entries, www-subdomain matches, a
+    longest-match overlap (doc 490 sits under BOTH blocked-zone.org and
+    host-5.blocked-zone.org — the more specific entry must win), mixed
+    case, and a non-default port that must not defeat matching.  The
+    DuckDB twin is an INDEPENDENT formulation (label-boundary LIKE
+    precedence, longest first), not a mirror of the suffix-join."""
+    from ocr_spark.operators import urls
+    d = F.col("doc_id")
+    host = F.concat(
+        F.when(d % 5 == 0, F.lit("WWW.")).otherwise(F.lit("")),
+        F.lit("Host-"), (d % 97).cast("string"),
+        F.when(d % 7 == 0, F.lit(".Blocked-Zone.ORG"))
+        .otherwise(F.lit(".Example.COM")))
+    url = F.concat(
+        F.when(d % 2 == 0, F.lit("HTTPS://")).otherwise(F.lit("http://")),
+        host,
+        F.when(d % 4 == 2, F.lit(":8443")).otherwise(F.lit("")),
+        F.lit("/page/"), d.cast("string"))
+    docs = _docs(spark, sf_dir).select("doc_id", url.alias("url"))
+    bl = spark.createDataFrame(
+        [("blocked-zone.org",), ("host-7.example.com",),
+         ("host-3.example.com",), ("host-5.blocked-zone.org",)],
+        ["domain"])
+    return (urls.blocklist_annotate(docs, bl)
+            .select("doc_id", urls.bare_host(F.col("url")).alias("host"),
+                    "blocked_domain", "url_blocked"))
+
+
+def q_host_cap(spark, sf_dir):
+    """Per-host output cap (≤5 docs/host, lowest doc_id first) with one
+    deliberately hot host holding ~a third of the corpus — the skew case
+    the partial WindowGroupLimit exists for.  Host parsing must fold
+    case and strip the port before grouping."""
+    from ocr_spark.operators import urls
+    d = F.col("doc_id")
+    host = F.when(d % 3 == 0, F.lit("HOT.Example.COM")).otherwise(
+        F.concat(F.lit("h"), (d % 23).cast("string"),
+                 F.lit(".example.com")))
+    url = F.concat(F.lit("https://"), host,
+                   F.when(d % 4 == 1, F.lit(":443")).otherwise(F.lit("")),
+                   F.lit("/doc/"), d.cast("string"))
+    docs = _docs(spark, sf_dir).select("doc_id", url.alias("url"))
+    return (urls.host_cap(docs, 5)
+            .select("doc_id", urls.bare_host(F.col("url")).alias("host")))
+
+
 def q_embedding_norms(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     norm = F.expr("sqrt(aggregate(transform(embedding, x -> CAST(x AS DOUBLE) * x), "
@@ -1018,6 +1067,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_duplicates": q_exact_duplicates,
         "corpus_clean": q_corpus_clean,
         "canonical_urls": q_canonical_urls,
+        "url_blocklist": q_url_blocklist,
+        "host_cap": q_host_cap,
         "scrub_pii": q_scrub_pii,
         "drop_repeated_lines": q_drop_repeated_lines,
         "minhash_dedup_keep": q_minhash_dedup_keep,
@@ -1604,6 +1655,48 @@ def oracle_sql() -> dict[str, str]:
                          '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1),
                          '([^@]*)$', 1)) AS host
             FROM comp3""",
+        # independent formulation: label-boundary LIKE precedence ordered
+        # longest-entry-first, host recomputed arithmetically (never
+        # parsed) — shares no code path with the suffix-explode join
+        "url_blocklist": """
+            WITH hosts AS (
+                SELECT doc_id,
+                       lower(CASE WHEN doc_id % 5 = 0 THEN 'WWW.'
+                                  ELSE '' END
+                             || 'Host-' || CAST(doc_id % 97 AS VARCHAR)
+                             || CASE WHEN doc_id % 7 = 0
+                                     THEN '.Blocked-Zone.ORG'
+                                     ELSE '.Example.COM' END) AS host
+                FROM documents),
+            tagged AS (
+                SELECT doc_id, host,
+                       CASE WHEN host = 'host-5.blocked-zone.org'
+                                 OR host LIKE '%.host-5.blocked-zone.org'
+                            THEN 'host-5.blocked-zone.org'
+                            WHEN host = 'host-7.example.com'
+                                 OR host LIKE '%.host-7.example.com'
+                            THEN 'host-7.example.com'
+                            WHEN host = 'host-3.example.com'
+                                 OR host LIKE '%.host-3.example.com'
+                            THEN 'host-3.example.com'
+                            WHEN host = 'blocked-zone.org'
+                                 OR host LIKE '%.blocked-zone.org'
+                            THEN 'blocked-zone.org'
+                            ELSE NULL END AS blocked_domain
+                FROM hosts)
+            SELECT doc_id, host, blocked_domain,
+                   blocked_domain IS NOT NULL AS url_blocked
+            FROM tagged""",
+        "host_cap": """
+            WITH hosts AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 3 = 0 THEN 'hot.example.com'
+                            ELSE 'h' || CAST(doc_id % 23 AS VARCHAR)
+                                 || '.example.com' END AS host
+                FROM documents)
+            SELECT doc_id, host FROM hosts
+            QUALIFY row_number() OVER (PARTITION BY host
+                                       ORDER BY doc_id) <= 5""",
         "drop_repeated_lines": """
             WITH docs2 AS (
                 SELECT doc_id,

@@ -23,7 +23,9 @@ resources.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, functions as F
+from typing import Optional
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 
 def host_of(url: Column) -> Column:
@@ -63,3 +65,111 @@ def canonical_url(url: Column) -> Column:
         scheme, F.lit("://"), hostport, path,
         F.when(F.length(sorted_q) > 0,
                F.concat(F.lit("?"), sorted_q)).otherwise(F.lit(""))))
+
+
+def bare_host(url: Column) -> Column:
+    """Lowercased host of a url with any ``:port`` stripped — the form
+    domain blocklists are keyed on.  Empty string when unparseable."""
+    return F.substring_index(host_of(url), ":", 1)
+
+
+def host_domain_suffixes(host: Column) -> Column:
+    """Array of every dot-suffix of *host*, most-specific first:
+    ``a.b.example.com`` → ``[a.b.example.com, b.example.com,
+    example.com, com]``.  Empty array for an empty host.
+
+    ``host`` MUST be a materialized column reference (``F.col``) — the
+    ``transform`` lambda would re-split an inlined expression once per
+    label (see ``_word_ngrams``).  Call sites ``withColumn`` the host
+    first.
+    """
+    parts = F.split(host, r"\.")
+    n = F.size(parts)
+    return F.when(host == "", F.array().cast("array<string>")).otherwise(
+        F.transform(F.sequence(F.lit(1), n),
+                    lambda i: F.array_join(F.slice(parts, i, n - i + 1),
+                                           ".")))
+
+
+def blocklist_annotate(df: DataFrame, blocked: DataFrame,
+                       url_col: str = "url", id_col: str = "doc_id",
+                       domain_col: str = "domain") -> DataFrame:
+    """Annotate each row with the blocklist domain its url host falls
+    under — the UT1/RefinedWeb-style adult/spam domain filter (Penedo et
+    al. 2023 §3.1 run domain blocklists as the first URL gate).
+
+    A host matches a blocklist entry when it IS the entry or is a
+    subdomain of it (``news.bad.example`` matches ``bad.example`` but
+    ``notbad.example`` does not — label-boundary, not substring).  When
+    several entries match, the longest (most specific) wins
+    deterministically.  Appends ``blocked_domain`` (string, null when
+    clean) and ``url_blocked`` (bool).
+
+    Scale shape (decontaminate's): the corpus side is one narrow pass —
+    host → dot-suffix array → explode (≤ label-count rows per doc, id +
+    suffix only) → **broadcast** equi-join against the blocklist (UT1's
+    largest category is ~4M domains ≈ 10^2 MB, inside broadcast range;
+    drop the hint and the same equi-join shuffles by suffix if a list
+    ever outgrows it).  Only MATCHED ids reach the tiny longest-match
+    aggregate, and the annotate join back is AQE-broadcastable for the
+    same reason.  Nothing corpus-sized ever shuffles.  Punycode/IDN
+    hosts are matched literally (blocklists ship punycode forms).
+    """
+    hosts = (df.select(F.col(id_col).alias("_bid"),
+                       bare_host(F.col(url_col)).alias("_bhost"))
+             .withColumn("_bsuf",
+                         F.explode(host_domain_suffixes(F.col("_bhost"))))
+             .select("_bid", "_bsuf"))
+    entries = (blocked
+               .select(F.lower(F.trim(F.col(domain_col))).alias("_bsuf"))
+               .filter(F.col("_bsuf") != "").distinct())
+    # two same-length suffixes of one host are necessarily equal, so
+    # max_by on length is total — no hidden tie-break
+    hits = (hosts.join(F.broadcast(entries), "_bsuf")
+            .groupBy("_bid")
+            .agg(F.max_by(F.col("_bsuf"),
+                          F.length(F.col("_bsuf"))).alias("blocked_domain")))
+    return (df.join(hits, F.col(id_col) == F.col("_bid"), "left")
+            .drop("_bid")
+            .withColumn("url_blocked", F.col("blocked_domain").isNotNull()))
+
+
+def blocklist_filter(df: DataFrame, blocked: DataFrame,
+                     url_col: str = "url", id_col: str = "doc_id",
+                     domain_col: str = "domain") -> DataFrame:
+    """Rows of *df* whose url host falls under NO blocklist domain —
+    the filter form of :func:`blocklist_annotate`, same scale shape."""
+    return (blocklist_annotate(df, blocked, url_col=url_col,
+                               id_col=id_col, domain_col=domain_col)
+            .filter(~F.col("url_blocked"))
+            .drop("blocked_domain", "url_blocked"))
+
+
+def host_cap(df: DataFrame, max_per_host: int, url_col: str = "url",
+             id_col: str = "doc_id",
+             order_col: Optional[str] = None) -> DataFrame:
+    """Keep at most *max_per_host* rows per url host — the per-host
+    output cap every crawl-curation pipeline applies so that mega-hosts
+    (wikis, forges, link farms) cannot dominate the training mix.
+
+    Selection is deterministic: rows are ranked within their host by
+    ``order_col`` ascending (when given) then ``id_col`` ascending, and
+    ranks ≤ *max_per_host* survive.  Columns pass through unchanged.
+
+    Scale: a window + ``rank <= k`` FILTER is the shape Spark ≥ 3.5's
+    ``InferWindowGroupLimit`` rewrites with a partial
+    ``WindowGroupLimit`` BELOW the exchange (plan-pinned in
+    tests/test_plans.py), so every input partition ships at most
+    *max_per_host* rows per host — a billion-page host costs the
+    shuffle ``max_per_host × input-partitions`` rows, not a billion.
+    (The tagging form of this rule — rank feeding an expression — loses
+    that pruning; see docs/ROUND3_NOTES.md §24.)
+    """
+    if max_per_host <= 0:
+        raise ValueError(f"max_per_host must be positive, got {max_per_host}")
+    order = ([F.col(order_col).asc_nulls_last()] if order_col else []) \
+        + [F.col(id_col).asc()]
+    w = Window.partitionBy(bare_host(F.col(url_col))).orderBy(*order)
+    return (df.withColumn("_hc_rn", F.row_number().over(w))
+            .filter(F.col("_hc_rn") <= max_per_host)
+            .drop("_hc_rn"))

@@ -1704,3 +1704,84 @@ def test_stopword_count_formulas_agree(spark):
                        _stopword_count(F.col("text")).alias("new")) \
         .filter("old != new").count()
     assert diff == 0
+
+
+# ---------------------------------------------------------------- url gates
+
+
+_BL_URLS = [
+    (1, "https://news.bad.example/a"),          # subdomain of blocked apex
+    (2, "https://bad.example/b"),               # exact blocked apex
+    (3, "https://notbad.example/c"),            # substring lookalike — clean
+    (4, "https://deep.very.bad.example/d"),     # deeper subdomain
+    (5, "https://HTTPS.BAD.EXAMPLE:8443/e"),    # case + port stripped
+    (6, "https://sub.specific.bad.example/f"),  # two matches → longest wins
+    (7, "not a url"),                           # unparseable → clean
+    (8, "https://clean.example/g"),
+]
+_BL_DOMAINS = ["bad.example", "specific.bad.example", "  Other.Example  "]
+
+
+def _bl_frames(spark):
+    docs = spark.createDataFrame(_BL_URLS, ["doc_id", "url"])
+    bl = spark.createDataFrame([(d,) for d in _BL_DOMAINS], ["domain"])
+    return docs, bl
+
+
+def test_blocklist_annotate_semantics(spark):
+    from ocr_spark.operators import urls
+    docs, bl = _bl_frames(spark)
+    got = {r["doc_id"]: (r["blocked_domain"], r["url_blocked"])
+           for r in urls.blocklist_annotate(docs, bl).collect()}
+    assert got[1] == ("bad.example", True)
+    assert got[2] == ("bad.example", True)
+    assert got[3] == (None, False)              # label boundary, not substring
+    assert got[4] == ("bad.example", True)
+    assert got[5] == ("bad.example", True)      # case-folded, port stripped
+    assert got[6] == ("specific.bad.example", True)   # longest match
+    assert got[7] == (None, False)
+    assert got[8] == (None, False)
+
+
+def test_blocklist_filter_and_entry_normalization(spark):
+    from ocr_spark.operators import urls
+    docs, bl = _bl_frames(spark)
+    kept = sorted(r["doc_id"]
+                  for r in urls.blocklist_filter(docs, bl).collect())
+    assert kept == [3, 7, 8]
+    # entries are trimmed + casefolded: ' Other.Example ' blocks other.example
+    extra = spark.createDataFrame([(9, "http://x.other.example/")],
+                                  ["doc_id", "url"])
+    row = urls.blocklist_annotate(extra, bl).collect()[0]
+    assert row["blocked_domain"] == "other.example"
+    # original columns pass through the filter unchanged
+    assert urls.blocklist_filter(docs, bl).columns == ["doc_id", "url"]
+
+
+def test_host_cap_deterministic(spark):
+    from ocr_spark.operators import urls
+    rows = [(i, f"https://Big.Host:443/{'p' * i}") for i in range(10, 0, -1)] \
+        + [(100, "https://small.host/x"), (101, "https://small.host/y")]
+    docs = spark.createDataFrame(rows, ["doc_id", "url"])
+    kept = sorted(r["doc_id"]
+                  for r in urls.host_cap(docs, 3).collect())
+    assert kept == [1, 2, 3, 100, 101]          # lowest ids per host survive
+    # order_col ranks before id: keep the two LONGEST urls per host
+    docs2 = docs.withColumn("neg_len", -F.length("url"))
+    kept2 = sorted(r["doc_id"] for r in
+                   urls.host_cap(docs2, 2, order_col="neg_len").collect())
+    assert kept2 == [9, 10, 100, 101]
+    with pytest.raises(ValueError):
+        urls.host_cap(docs, 0)
+
+
+def test_host_cap_partitioning_invariant(spark):
+    from ocr_spark.operators import urls
+    rows = [(i, f"https://h{i % 5}.example/p") for i in range(40)]
+    docs = spark.createDataFrame(rows, ["doc_id", "url"])
+    expect = sorted(r["doc_id"]
+                    for r in urls.host_cap(docs.coalesce(1), 4).collect())
+    for parts in (3, 7):
+        got = sorted(r["doc_id"] for r in
+                     urls.host_cap(docs.repartition(parts), 4).collect())
+        assert got == expect

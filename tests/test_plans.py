@@ -179,3 +179,37 @@ def test_repetition_features_narrow(spark):
     plan = plans.physical_plan(df)
     assert "Exchange" not in plan and "Join" not in plan, plan
     assert plans.python_eval_count(df) == 0
+
+
+def test_host_cap_partial_window_group_limit(spark):
+    """host_cap's rank <= k FILTER shape must keep the partial
+    WindowGroupLimit BELOW the exchange — every input partition ships at
+    most k rows per host instead of the whole host (ROUND3_NOTES §24:
+    the tagging form of this rule silently loses the pruning)."""
+    from ocr_spark.operators import urls
+    docs = spark.createDataFrame(
+        [(i, f"https://h{i % 3}.example/p") for i in range(30)],
+        ["doc_id", "url"])
+    plan = plans.physical_plan(urls.host_cap(docs, 2))
+    assert "WindowGroupLimit" in plan, plan
+    assert plan.index("WindowGroupLimit", plan.index("Exchange")) \
+        > plan.index("Exchange"), plan      # a partial limit below it
+    assert "Partial" in plan.split("WindowGroupLimit")[-1].splitlines()[0], plan
+
+
+def test_blocklist_broadcasts_entries(spark):
+    """The blocklist suffix equi-join must broadcast the entry set, and
+    the corpus side must reach its suffix explode with NO exchange
+    before it (one narrow scan-side pass; only matched ids shuffle
+    afterwards).  The final annotate join is AQE-broadcastable, not
+    statically pinned — stats-free test frames plan it as SMJ."""
+    from ocr_spark.operators import urls
+    docs = spark.createDataFrame([(1, "https://a.bad.example/x")],
+                                 ["doc_id", "url"])
+    bl = spark.createDataFrame([("bad.example",)], ["domain"])
+    df = urls.blocklist_annotate(docs, bl)
+    plan = plans.physical_plan(df)
+    assert plans.has_broadcast_join(df)
+    # between the explode (Generate) and the corpus scan lies no Exchange
+    gen = plan.index("Generate")
+    assert "Exchange" not in plan[gen:plan.index("Scan", gen)], plan
