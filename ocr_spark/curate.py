@@ -3,19 +3,25 @@
 Chains the operator suite end-to-end over a documents-shaped table
 (``doc_id``, ``text``, ...):
 
-    quality gate → repetition gate → language allowlist →
-    eval-set decontamination → exact dedup → [optional MinHash
-    near-dedup] → PII scrub → token-budget shard assignment
+    [optional URL domain blocklist] → quality gate → repetition gate →
+    language allowlist → eval-set decontamination → exact dedup →
+    [optional MinHash near-dedup] → [optional per-host cap] →
+    PII scrub → token-budget shard assignment
 
 Every document gets a first-failing-gate reason code (precedence:
-``low_quality`` → ``repetitive`` → ``lang_filtered`` → ``contaminated``
-→ ``exact_duplicate`` → ``near_duplicate``); kept documents additionally
-get scrubbed text, a post-scrub token count, and a training-shard id.
+``url_blocked`` → ``low_quality`` → ``repetitive`` → ``lang_filtered``
+→ ``contaminated`` → ``exact_duplicate`` → ``near_duplicate`` →
+``host_capped``); kept documents additionally get scrubbed text, a
+post-scrub token count, and a training-shard id.
 As in :func:`ocr_spark.operators.textstats.corpus_clean`, gate verdicts
 are independent per document: a duplicate copy is reported
 ``exact_duplicate`` even when its group's min-id keeper was itself
 dropped by an earlier gate — group membership is a property of the full
-input, not of the survivors.
+input, not of the survivors.  The two set-dependent stages are the
+explicit exceptions: near-dedup and the per-host cap rank only the
+SURVIVORS of every earlier gate (dropping a host's spam pages must free
+its cap slots for clean ones), so their verdicts depend on the admitted
+set by design.
 
 Scale notes — gate order is cost order:
 
@@ -59,16 +65,23 @@ from typing import Optional
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ocr_spark.operators import dedup, textstats
+from ocr_spark.operators import dedup, textstats, urls
 
 DEFAULT_LANGS = ("en", "es", "de", "fr")
+
+REASONS = ("url_blocked", "low_quality", "repetitive", "lang_filtered",
+           "contaminated", "exact_duplicate", "near_duplicate",
+           "host_capped")
 
 
 def curate(df: DataFrame, bench: Optional[DataFrame] = None,
            id_col: str = "doc_id", text_col: str = "text",
            langs: tuple[str, ...] = DEFAULT_LANGS,
            budget_tokens: int = 2000, ngram_n: int = 13,
-           near_dup: bool = False, with_text: bool = False) -> DataFrame:
+           near_dup: bool = False, with_text: bool = False,
+           blocklist: Optional[DataFrame] = None,
+           url_col: str = "url",
+           max_per_host: Optional[int] = None) -> DataFrame:
     """Per-document curation verdicts: (id, keep, drop_reason, n_tokens,
     shard_id, scrubbed_md5[, scrubbed_text]).
 
@@ -76,8 +89,22 @@ def curate(df: DataFrame, bench: Optional[DataFrame] = None,
     docs; token counts and shards are computed over the SCRUBBED text
     (what a training run would actually read).  ``bench`` (optional) is
     the eval table for decontamination; ``near_dup`` enables the
-    MinHash near-dedup stage over survivors.
+    MinHash near-dedup stage over survivors.  ``blocklist`` (optional,
+    a ``domain`` DataFrame) turns on the URL domain gate and
+    ``max_per_host`` the per-host cap — both require ``url_col`` to
+    exist in *df*; the cap ranks survivors by id within
+    :func:`ocr_spark.operators.urls.bare_host` of the url.
     """
+    if blocklist is not None or max_per_host is not None:
+        if url_col not in df.columns:
+            raise ValueError(
+                f"url gates need column {url_col!r}; have {df.columns}")
+    if blocklist is not None:
+        df = (urls.blocklist_annotate(df, blocklist, url_col=url_col,
+                                      id_col=id_col)
+              .drop("blocked_domain"))
+    else:
+        df = df.withColumn("url_blocked", F.lit(False))
     feats = textstats.quality_features(df, text_col)
     feats = textstats.repetition_features(feats, text_col)
     if bench is not None:
@@ -92,14 +119,17 @@ def curate(df: DataFrame, bench: Optional[DataFrame] = None,
     joined = (feats.withColumn("_fp", fp)
               .join(keepers,
                     F.col("_fp").eqNullSafe(F.col("_keep_fp")), "inner"))
-    reason = (F.when(~F.col("quality_ok"), F.lit("low_quality"))
+    reason = (F.when(F.col("url_blocked"), F.lit("url_blocked"))
+              .when(~F.col("quality_ok"), F.lit("low_quality"))
               .when(F.col("repetitive"), F.lit("repetitive"))
               .when(~lang.isin(*langs), F.lit("lang_filtered"))
               .when(F.col("contaminated"), F.lit("contaminated"))
               .when(F.col(id_col) != F.col("_keep_id"),
                     F.lit("exact_duplicate")))
+    carry = [id_col, text_col] \
+        + ([url_col] if max_per_host is not None else [])
     verdicts = (joined.withColumn("drop_reason", reason)
-                .select(id_col, text_col, "drop_reason"))
+                .select(*carry, "drop_reason"))
     # three consumers follow (near-dup survivors, the shard pass's totals
     # collect, the final annotate join) — materialize the gate chain ONCE
     # (one corpus-sized disk copy) instead of re-running quality/
@@ -126,6 +156,26 @@ def curate(df: DataFrame, bench: Optional[DataFrame] = None,
                                           F.lit("near_duplicate"))))
                     .drop("_near_drop"))
 
+    if max_per_host is not None:
+        survivors = (verdicts.filter(F.col("drop_reason").isNull())
+                     .select(id_col, url_col))
+        capped = (urls.host_cap(survivors, max_per_host, url_col=url_col,
+                                id_col=id_col)
+                  .select(id_col))
+        cap_drops = (survivors.select(id_col)
+                     .join(capped, id_col, "left_anti")
+                     .withColumn("_cap_drop", F.lit(True))
+                     # skinny id list — keep downstream re-evaluation off
+                     # the window stage, as with the near-dup drop list
+                     .localCheckpoint(eager=False))
+        verdicts = (verdicts.join(cap_drops, id_col, "left")
+                    .withColumn(
+                        "drop_reason",
+                        F.coalesce(F.col("drop_reason"),
+                                   F.when(F.col("_cap_drop"),
+                                          F.lit("host_capped"))))
+                    .drop("_cap_drop", url_col))
+
     scrubbed = textstats.scrub_pii(F.col(text_col))
     kept = (verdicts.filter(F.col("drop_reason").isNull())
             .select(F.col(id_col), scrubbed.alias("text")))
@@ -150,7 +200,10 @@ def run_curation(spark: SparkSession, input_path: str, output_path: str,
                  bench_path: Optional[str] = None,
                  langs: tuple[str, ...] = DEFAULT_LANGS,
                  budget_tokens: int = 2000, near_dup: bool = False,
-                 partitions: int = 32) -> dict:
+                 partitions: int = 32,
+                 blocklist_path: Optional[str] = None,
+                 url_col: str = "url",
+                 max_per_host: Optional[int] = None) -> dict:
     """Execute the curation job: parquet in → three sinks out.
 
     * ``{out}/data``    — kept docs (doc_id, text=scrubbed, n_tokens,
@@ -167,9 +220,12 @@ def run_curation(spark: SparkSession, input_path: str, output_path: str,
     t0 = time.monotonic()
     docs = spark.read.parquet(input_path)
     bench = spark.read.parquet(bench_path) if bench_path else None
+    blocklist = (spark.read.parquet(blocklist_path)
+                 if blocklist_path else None)
     verdicts = curate(docs, bench=bench, langs=langs,
                       budget_tokens=budget_tokens, near_dup=near_dup,
-                      with_text=True)
+                      with_text=True, blocklist=blocklist,
+                      url_col=url_col, max_per_host=max_per_host)
     # the verdict frame feeds three sinks and the summary — materialize
     # once instead of re-running the gates per consumer
     verdicts = verdicts.localCheckpoint(eager=False)
@@ -187,8 +243,7 @@ def run_curation(spark: SparkSession, input_path: str, output_path: str,
         F.count("*").alias("input_count"),
         F.sum(F.col("keep").cast("long")).alias("kept_count"),
         *[F.sum((F.col("drop_reason") == r).cast("long")).alias(f"n_{r}")
-          for r in ("low_quality", "repetitive", "lang_filtered",
-                    "contaminated", "exact_duplicate", "near_duplicate")],
+          for r in REASONS],
         F.coalesce(F.sum("n_tokens"), F.lit(0)).alias("total_tokens"),
         F.countDistinct("shard_id").alias("n_shards"),
         F.coalesce(F.bit_xor(F.when(F.col("keep"),
@@ -215,6 +270,11 @@ def main() -> None:
     ap.add_argument("--budget-tokens", type=int, default=2000)
     ap.add_argument("--near-dup", action="store_true",
                     help="enable the MinHash near-dedup stage")
+    ap.add_argument("--blocklist", default=None,
+                    help="domain-blocklist parquet (column: domain)")
+    ap.add_argument("--url-col", default="url")
+    ap.add_argument("--max-per-host", type=int, default=None,
+                    help="keep at most N surviving docs per url host")
     ap.add_argument("--partitions", type=int, default=32)
     ap.add_argument("--master", default=None)
     args = ap.parse_args()
@@ -225,7 +285,8 @@ def main() -> None:
         spark, args.input, args.output, bench_path=args.bench,
         langs=tuple(l for l in args.langs.split(",") if l),
         budget_tokens=args.budget_tokens, near_dup=args.near_dup,
-        partitions=args.partitions)
+        partitions=args.partitions, blocklist_path=args.blocklist,
+        url_col=args.url_col, max_per_host=args.max_per_host)
     print(summary)
 
 

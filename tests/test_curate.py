@@ -108,3 +108,46 @@ def test_run_curation_sinks_and_digest_invariance(spark, tmp_path):
                for line in open(p) if line.strip()]
     assert summary[0]["input_count"] == 7
     assert summary[0]["digest"] == s1["digest"]
+
+
+def test_curate_url_gates(spark):
+    """Blocklist gate outranks every later reason; the host cap ranks
+    only SURVIVORS (a host's blocked/junk pages must not consume its cap
+    slots) and drops lowest-priority ids last."""
+    rows = [
+        (0, BASE + " spam body", "https://spam.bad.example/x"),  # url_blocked
+        (1, "tiny junk", "https://big.example/junk"),   # low_quality
+        (2, BASE, "https://big.example/a"),             # kept
+        (3, OTHER, "https://big.example/b"),            # kept (slot 2)
+        (4, BASE + " extra tail words here", "https://big.example/c"),
+        (5, OTHER + " more trailing content", "https://small.example/y"),
+        (6, BASE, "https://bad.example/dup"),           # url_blocked
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "url"])
+    bl = spark.createDataFrame([("bad.example",)], ["domain"])
+    got = {r["doc_id"]: r for r in
+           curate.curate(docs, blocklist=bl, max_per_host=2,
+                         budget_tokens=50).collect()}
+    assert got[0]["drop_reason"] == "url_blocked"
+    # url_blocked outranks exact_duplicate: doc 6 duplicates doc 2's
+    # text (and 2 is its group's min-id keeper)
+    assert got[6]["drop_reason"] == "url_blocked"
+    assert got[1]["drop_reason"] == "low_quality"
+    # big.example survivors are 2,3,4 — cap 2 keeps lowest ids 2,3;
+    # doc 1 (dropped earlier) did NOT consume a slot
+    assert got[2]["keep"] and got[3]["keep"]
+    assert got[4]["drop_reason"] == "host_capped"
+    assert got[5]["keep"]
+    # the url column does not leak into the verdict schema
+    assert "url" not in curate.curate(
+        docs, blocklist=bl, max_per_host=2).columns
+
+
+def test_curate_url_gates_require_url_column(spark):
+    import pytest
+    docs = spark.createDataFrame([(0, BASE)], ["doc_id", "text"])
+    bl = spark.createDataFrame([("bad.example",)], ["domain"])
+    with pytest.raises(ValueError):
+        curate.curate(docs, blocklist=bl)
+    with pytest.raises(ValueError):
+        curate.curate(docs, max_per_host=3)
