@@ -85,7 +85,10 @@ def host_domain_suffixes(host: Column) -> Column:
     """
     parts = F.split(host, r"\.")
     n = F.size(parts)
-    return F.when(host == "", F.array().cast("array<string>")).otherwise(
+    # null/empty guard first: size(null)=-1 would make sequence(1,-1)
+    # DESCEND through [1,0,-1] and explode three null suffixes per row
+    return F.when(host.isNull() | (host == ""),
+                  F.array().cast("array<string>")).otherwise(
         F.transform(F.sequence(F.lit(1), n),
                     lambda i: F.array_join(F.slice(parts, i, n - i + 1),
                                            ".")))

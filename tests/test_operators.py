@@ -1785,3 +1785,38 @@ def test_host_cap_partitioning_invariant(spark):
         got = sorted(r["doc_id"] for r in
                      urls.host_cap(docs.repartition(parts), 4).collect())
         assert got == expect
+
+
+def test_word_ngram_zipwith_matches_generic_path(spark):
+    """The zip_with fast path for n=2/3 must equal the generic
+    transform+slice formulation on degenerate and real inputs."""
+    from ocr_spark.operators.textstats import _word_ngrams, _ws_token_array
+    texts = ["", "one", "one two", "one two three", "a b c d e f",
+             "  spaced   out\ttokens \n here ", BASE]
+    df = (spark.createDataFrame([(t,) for t in texts], ["text"])
+          .withColumn("_toks", _ws_token_array(F.col("text"))))
+
+    def generic(toks, n):
+        return F.when(
+            F.size(toks) >= n,
+            F.transform(F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1)),
+                        lambda i: F.array_join(
+                            F.slice(toks, i, n), " "))
+        ).otherwise(F.array().cast("array<string>"))
+
+    for n in (2, 3):
+        rows = df.select(
+            _word_ngrams(F.col("_toks"), n).alias("fast"),
+            generic(F.col("_toks"), n).alias("slow")).collect()
+        for r in rows:
+            assert r["fast"] == r["slow"], (n, r)
+
+
+def test_blocklist_null_url(spark):
+    from ocr_spark.operators import urls
+    docs = spark.createDataFrame([(1, None), (2, "https://bad.example/")],
+                                 ["doc_id", "url"])
+    bl = spark.createDataFrame([("bad.example",)], ["domain"])
+    got = {r["doc_id"]: r["url_blocked"]
+           for r in urls.blocklist_annotate(docs, bl).collect()}
+    assert got == {1: False, 2: True}
