@@ -520,6 +520,32 @@ def q_host_cap(spark, sf_dir):
             .select("doc_id", urls.bare_host(F.col("url")).alias("host")))
 
 
+_LM_GIBBERISH = "qzx vkj wqp zzk jjx qqw xqv kjz"
+_LM_FLUENT = ("the quick brown fox runs through the green forest "
+              "all day long and the rain keeps falling")
+
+
+def q_surprisal(spark, sf_dir):
+    """CCNet-style LM fluency scoring: a quantized char-trigram
+    surprisal model trained on a seed slice (doc_id % 17 == 2), scored
+    over the corpus plus planted rows — gibberish (must rank worse than
+    the fluent English plant), fluent text, and a too-short doc (null
+    score).  Integer floor-log2 quantization keeps model and scores
+    bit-identical across engines; the DuckDB twin is the explode +
+    left-join formulation of the same model, vs the closure-shipped
+    pandas-UDF scorer here."""
+    from ocr_spark.operators import textstats
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    seed = docs.filter(F.col("doc_id") % 17 == 2)
+    model = textstats.surprisal_model(seed, top_vocab=1500)
+    planted = spark.createDataFrame(
+        [(9001, _LM_GIBBERISH), (9002, _LM_FLUENT), (9003, "ab")],
+        ["doc_id", "text"])
+    corpus = docs.unionByName(planted)
+    return (textstats.surprisal_score(corpus, model)
+            .select("doc_id", "lm_grams", "surprisal_x1000"))
+
+
 def q_embedding_norms(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     norm = F.expr("sqrt(aggregate(transform(embedding, x -> CAST(x AS DOUBLE) * x), "
@@ -1069,6 +1095,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "canonical_urls": q_canonical_urls,
         "url_blocklist": q_url_blocklist,
         "host_cap": q_host_cap,
+        "surprisal": q_surprisal,
         "scrub_pii": q_scrub_pii,
         "drop_repeated_lines": q_drop_repeated_lines,
         "minhash_dedup_keep": q_minhash_dedup_keep,
@@ -1687,6 +1714,50 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, host, blocked_domain,
                    blocked_domain IS NOT NULL AS url_blocked
             FROM tagged""",
+        "surprisal": f"""
+            WITH corpus AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL SELECT 9001, '{_LM_GIBBERISH}'
+                UNION ALL SELECT 9002, '{_LM_FLUENT}'
+                UNION ALL SELECT 9003, 'ab'),
+            seedc AS (
+                SELECT trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))
+                           AS c
+                FROM documents WHERE doc_id % 17 = 2),
+            seedg AS (
+                SELECT substring(c, CAST(i AS INTEGER), 3) AS g
+                FROM (SELECT c, unnest(range(1, length(c) - 1)) AS i
+                      FROM seedc)),
+            counts AS (SELECT g, count(*) AS cnt FROM seedg GROUP BY g),
+            tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM counts),
+            vocab AS (
+                SELECT g, length(bin((SELECT total FROM tot) // cnt)) - 1
+                           AS bits
+                FROM counts ORDER BY cnt DESC, g LIMIT 1500),
+            oovv AS (SELECT length(bin(total)) AS oov FROM tot),
+            docc AS (
+                SELECT doc_id,
+                       trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))
+                           AS c
+                FROM corpus),
+            docg AS (
+                SELECT doc_id, substring(c, CAST(i AS INTEGER), 3) AS g
+                FROM (SELECT doc_id, c,
+                             unnest(range(1, length(c) - 1)) AS i
+                      FROM docc)),
+            scored AS (
+                SELECT doc_id,
+                       CAST(sum(coalesce(v.bits, (SELECT oov FROM oovv)))
+                            AS BIGINT) AS s,
+                       count(*) AS ng
+                FROM docg LEFT JOIN vocab v USING (g) GROUP BY doc_id)
+            SELECT d.doc_id,
+                   CAST(coalesce(greatest(length(d.c) - 2, 0), 0)
+                        AS BIGINT) AS lm_grams,
+                   CASE WHEN s.ng > 0
+                        THEN CAST(floor(s.s * 1000 / s.ng) AS BIGINT)
+                        END AS surprisal_x1000
+            FROM docc d LEFT JOIN scored s USING (doc_id)""",
         "host_cap": """
             WITH hosts AS (
                 SELECT doc_id,

@@ -721,3 +721,101 @@ def _sample_threshold(fraction: float) -> int:
     The bucket's maximum value is 0xFFFFFF = 2^24 - 1, so fraction 1.0
     maps to 2^24 and keeps all rows."""
     return int(fraction * 0x1000000)
+
+
+# --------------------------------------------------------------- surprisal
+
+
+def _lm_canon(text: Column) -> Column:
+    """Casefolded, whitespace-collapsed text — the character stream both
+    the model builder and the scorer gram over.  MUST stay expressible
+    identically in Spark and the DuckDB twin (lower + '\\s+'→' ' +
+    trim), so canonicalization never diverges between engines."""
+    return F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))
+
+
+def surprisal_model(seed: DataFrame, text_col: str = "text", n: int = 3,
+                    top_vocab: int = 50_000) -> dict:
+    """Train a quantized character-``n``-gram surprisal model on *seed*
+    — the CCNet recipe (Wenzek et al. 2020 §3.3) of scoring crawl text
+    against a small clean reference corpus (they use a Wikipedia KenLM;
+    this is the engine-portable integer form).
+
+    Per gram, surprisal is ``floor(log2(total / count))`` bits — an
+    exact INTEGER on exact counts, so model and scores are bit-identical
+    across engines (no ``ln`` ulp hazards; a power-of-two-quantized LM
+    is coarse, but ranking fluency does not need calibrated
+    probabilities).  The vocabulary keeps the ``top_vocab`` most
+    frequent grams (ties broken bytewise on the gram — deterministic);
+    everything else scores the out-of-vocabulary penalty
+    ``floor(log2(total)) + 1``, one bit worse than a count-1 gram.
+
+    Scale: *seed* is small by contract (a reference corpus, not the
+    crawl — same asymmetry as :func:`decontaminate`'s ``bench``); its
+    gram counting is one explode + groupBy on the seed only, and the
+    capped vocabulary (≤ ``top_vocab`` rows) collects to the driver for
+    closure shipping.  Returns ``{"grams": {gram: bits}, "oov": bits,
+    "n": n}``.
+    """
+    if n < 1:
+        raise ValueError(f"n must be positive, got {n}")
+    canon = _lm_canon(F.col(text_col))
+    c = seed.select(canon.alias("_c")).filter(F.length("_c") >= n)
+    grams = c.select(F.explode(F.transform(
+        F.sequence(F.lit(1), F.length("_c") - F.lit(n - 1)),
+        lambda i: F.substring(F.col("_c"), i, n))).alias("_g"))
+    counts = grams.groupBy("_g").agg(F.count("*").alias("_cnt"))
+    counts = counts.localCheckpoint(eager=False)   # two consumers below
+    total = counts.agg(F.sum("_cnt")).collect()[0][0] or 0
+    if total == 0:
+        return {"grams": {}, "oov": 1, "n": n}
+    vocab = (counts.orderBy(F.col("_cnt").desc(), F.col("_g"))
+             .limit(top_vocab).collect())
+    # exact integer quantization on the driver: floor(log2(x)) of a
+    # positive int is bit_length-1
+    model = {r["_g"]: (total // r["_cnt"]).bit_length() - 1
+             for r in vocab}
+    return {"grams": model, "oov": total.bit_length(), "n": n}
+
+
+def surprisal_score(df: DataFrame, model: dict,
+                    text_col: str = "text") -> DataFrame:
+    """Append ``lm_grams`` (bigint) and ``surprisal_x1000`` (bigint,
+    milli-bits per gram; null when the text is too short to gram) from a
+    :func:`surprisal_model`.  Low scores = fluent-under-the-seed text;
+    CCNet keeps the low-perplexity head of exactly this ranking.
+
+    Scale shape: the model ships in the task closure (≤ ``top_vocab``
+    entries); scoring is ONE Arrow-batched pandas UDF over the
+    JVM-canonicalized text — no explode (a per-gram explode would emit
+    ~n_chars rows per document), no join, no shuffle; the plan stays a
+    narrow projection (plan-pinned).  Canonicalization stays JVM-side so
+    the Python worker only slices codepoints — it never re-implements
+    case folding.  The DuckDB twin is the explode + left-join + groupBy
+    formulation over the same integer model — independent shape, exact
+    same values.
+    """
+    grams, oov, n = model["grams"], int(model["oov"]), int(model["n"])
+
+    @pandas_udf(T.LongType())
+    def _gram_bits(canon: pd.Series) -> pd.Series:
+        get = grams.get
+        out = []
+        for s in canon:
+            if s is None:
+                out.append(0)
+                continue
+            out.append(sum(get(s[i:i + n], oov)
+                           for i in range(len(s) - n + 1)))
+        return pd.Series(out, dtype="int64")
+
+    out = (df.withColumn("_lm_c", _lm_canon(F.col(text_col)))
+           .withColumn("lm_grams",
+                       F.greatest(F.length("_lm_c") - F.lit(n - 1),
+                                  F.lit(0)).cast("bigint"))
+           .withColumn("_lm_sum", _gram_bits(F.col("_lm_c"))))
+    return (out.withColumn(
+        "surprisal_x1000",
+        F.when(F.col("lm_grams") > 0,
+               F.floor(F.col("_lm_sum") * 1000 / F.col("lm_grams"))))
+        .drop("_lm_c", "_lm_sum"))

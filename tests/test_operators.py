@@ -1820,3 +1820,57 @@ def test_blocklist_null_url(spark):
     got = {r["doc_id"]: r["url_blocked"]
            for r in urls.blocklist_annotate(docs, bl).collect()}
     assert got == {1: False, 2: True}
+
+
+def test_surprisal_hand_computed(spark):
+    seed = spark.createDataFrame([(0, "abab")], ["doc_id", "text"])
+    model = textstats.surprisal_model(seed)
+    # grams aba/bab count 1 each, total 2: floor(log2(2/1)) = 1 bit each;
+    # oov = floor(log2(2)) + 1 = 2
+    assert model["grams"] == {"aba": 1, "bab": 1}
+    assert model["oov"] == 2 and model["n"] == 3
+    docs = spark.createDataFrame(
+        [(1, "abab"), (2, "zzzz"), (3, "ab"), (4, None), (5, "A  B\na")],
+        ["doc_id", "text"])
+    got = {r["doc_id"]: (r["lm_grams"], r["surprisal_x1000"])
+           for r in textstats.surprisal_score(docs, model).collect()}
+    assert got[1] == (2, 1000)       # in-vocab: 2 grams x 1 bit
+    assert got[2] == (2, 2000)       # all-OOV
+    assert got[3] == (0, None)       # too short to gram
+    assert got[4] == (0, None)       # null text
+    # canonicalization: 'A  B\na' -> 'a b a' -> grams 'a b', ' b ', 'b a'
+    assert got[5] == (3, 2000)
+
+
+def test_surprisal_vocab_cap_tiebreak(spark):
+    """At the vocabulary cap, equal-count grams resolve bytewise — the
+    kept gram scores in-vocab, the evicted one scores OOV."""
+    seed = spark.createDataFrame([(0, "abab")], ["doc_id", "text"])
+    model = textstats.surprisal_model(seed, top_vocab=1)
+    assert model["grams"] == {"aba": 1}     # 'aba' < 'bab' at equal count
+    docs = spark.createDataFrame([(1, "abab")], ["doc_id", "text"])
+    row = textstats.surprisal_score(docs, model).collect()[0]
+    assert row["surprisal_x1000"] == 1500   # (1 + oov 2) * 1000 // 2
+
+
+def test_surprisal_ranks_gibberish_above_fluent(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    seed = docs.filter("lang = 'en'")
+    model = textstats.surprisal_model(seed)
+    probe = spark.createDataFrame(
+        [(1, "the green forest keeps the rain all day long"),
+         (2, "qzx vkj wqp zzk jjx qqw xqv kjz")], ["doc_id", "text"])
+    got = {r["doc_id"]: r["surprisal_x1000"]
+           for r in textstats.surprisal_score(probe, model).collect()}
+    assert got[2] > got[1]
+
+
+def test_surprisal_empty_seed_and_bad_n(spark):
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    model = textstats.surprisal_model(empty)
+    assert model["grams"] == {}
+    docs = spark.createDataFrame([(1, "anything")], ["doc_id", "text"])
+    row = textstats.surprisal_score(docs, model).collect()[0]
+    assert row["surprisal_x1000"] == 1000   # every gram scores oov=1
+    with pytest.raises(ValueError):
+        textstats.surprisal_model(docs, n=0)

@@ -213,3 +213,16 @@ def test_blocklist_broadcasts_entries(spark):
     # between the explode (Generate) and the corpus scan lies no Exchange
     gen = plan.index("Generate")
     assert "Exchange" not in plan[gen:plan.index("Scan", gen)], plan
+
+
+def test_surprisal_score_narrow(spark):
+    """Scoring is one Arrow pass over a narrow projection — no explode
+    (Generate), no join, no exchange; exactly one python stage."""
+    from ocr_spark.operators import textstats
+    docs = spark.createDataFrame([(1, "abab")], ["doc_id", "text"])
+    model = {"grams": {"aba": 1}, "oov": 2, "n": 3}
+    df = textstats.surprisal_score(docs, model)
+    plan = plans.physical_plan(df)
+    assert "Exchange" not in plan and "Join" not in plan, plan
+    assert "Generate" not in plan, plan
+    assert plans.python_eval_count(df) == 1
