@@ -4,15 +4,15 @@ Chains the operator suite end-to-end over a documents-shaped table
 (``doc_id``, ``text``, ...):
 
     [optional URL domain blocklist] → quality gate → repetition gate →
-    language allowlist → eval-set decontamination → exact dedup →
-    [optional MinHash near-dedup] → [optional per-host cap] →
-    PII scrub → token-budget shard assignment
+    language allowlist → eval-set decontamination → [optional LM
+    surprisal gate] → exact dedup → [optional MinHash near-dedup] →
+    [optional per-host cap] → PII scrub → token-budget shard assignment
 
 Every document gets a first-failing-gate reason code (precedence:
 ``url_blocked`` → ``low_quality`` → ``repetitive`` → ``lang_filtered``
-→ ``contaminated`` → ``exact_duplicate`` → ``near_duplicate`` →
-``host_capped``); kept documents additionally get scrubbed text, a
-post-scrub token count, and a training-shard id.
+→ ``contaminated`` → ``high_surprisal`` → ``exact_duplicate`` →
+``near_duplicate`` → ``host_capped``); kept documents additionally get
+scrubbed text, a post-scrub token count, and a training-shard id.
 As in :func:`ocr_spark.operators.textstats.corpus_clean`, gate verdicts
 are independent per document: a duplicate copy is reported
 ``exact_duplicate`` even when its group's min-id keeper was itself
@@ -70,8 +70,8 @@ from ocr_spark.operators import dedup, textstats, urls
 DEFAULT_LANGS = ("en", "es", "de", "fr")
 
 REASONS = ("url_blocked", "low_quality", "repetitive", "lang_filtered",
-           "contaminated", "exact_duplicate", "near_duplicate",
-           "host_capped")
+           "contaminated", "high_surprisal", "exact_duplicate",
+           "near_duplicate", "host_capped")
 
 
 def curate(df: DataFrame, bench: Optional[DataFrame] = None,
@@ -81,7 +81,9 @@ def curate(df: DataFrame, bench: Optional[DataFrame] = None,
            near_dup: bool = False, with_text: bool = False,
            blocklist: Optional[DataFrame] = None,
            url_col: str = "url",
-           max_per_host: Optional[int] = None) -> DataFrame:
+           max_per_host: Optional[int] = None,
+           lm_model: Optional[dict] = None,
+           max_surprisal_x1000: Optional[int] = None) -> DataFrame:
     """Per-document curation verdicts: (id, keep, drop_reason, n_tokens,
     shard_id, scrubbed_md5[, scrubbed_text]).
 
@@ -94,7 +96,14 @@ def curate(df: DataFrame, bench: Optional[DataFrame] = None,
     ``max_per_host`` the per-host cap — both require ``url_col`` to
     exist in *df*; the cap ranks survivors by id within
     :func:`ocr_spark.operators.urls.bare_host` of the url.
+    ``lm_model`` (a trained :func:`textstats.surprisal_model`) +
+    ``max_surprisal_x1000`` turn on the CCNet-style fluency gate:
+    docs scoring above the threshold (milli-bits/gram vs the seed)
+    drop as ``high_surprisal``.
     """
+    if (lm_model is None) != (max_surprisal_x1000 is None):
+        raise ValueError(
+            "lm_model and max_surprisal_x1000 must be given together")
     if blocklist is not None or max_per_host is not None:
         if url_col not in df.columns:
             raise ValueError(
@@ -112,6 +121,12 @@ def curate(df: DataFrame, bench: Optional[DataFrame] = None,
                                         text_col=text_col, n=ngram_n)
     else:
         feats = feats.withColumn("contaminated", F.lit(False))
+    if lm_model is not None:
+        feats = textstats.surprisal_score(feats, lm_model,
+                                          text_col=text_col)
+    else:
+        feats = feats.withColumn("surprisal_x1000",
+                                 F.lit(None).cast("bigint"))
     lang = textstats.language_id(F.col(text_col))
     fp = textstats.fingerprint(F.col(text_col))
     keepers = (df.groupBy(fp.alias("_keep_fp"))
@@ -124,6 +139,9 @@ def curate(df: DataFrame, bench: Optional[DataFrame] = None,
               .when(F.col("repetitive"), F.lit("repetitive"))
               .when(~lang.isin(*langs), F.lit("lang_filtered"))
               .when(F.col("contaminated"), F.lit("contaminated"))
+              .when(F.col("surprisal_x1000")
+                    > F.lit(max_surprisal_x1000 or 0),
+                    F.lit("high_surprisal"))
               .when(F.col(id_col) != F.col("_keep_id"),
                     F.lit("exact_duplicate")))
     carry = [id_col, text_col] \
@@ -203,7 +221,9 @@ def run_curation(spark: SparkSession, input_path: str, output_path: str,
                  partitions: int = 32,
                  blocklist_path: Optional[str] = None,
                  url_col: str = "url",
-                 max_per_host: Optional[int] = None) -> dict:
+                 max_per_host: Optional[int] = None,
+                 lm_seed_path: Optional[str] = None,
+                 max_surprisal_x1000: Optional[int] = None) -> dict:
     """Execute the curation job: parquet in → three sinks out.
 
     * ``{out}/data``    — kept docs (doc_id, text=scrubbed, n_tokens,
@@ -222,10 +242,14 @@ def run_curation(spark: SparkSession, input_path: str, output_path: str,
     bench = spark.read.parquet(bench_path) if bench_path else None
     blocklist = (spark.read.parquet(blocklist_path)
                  if blocklist_path else None)
+    lm_model = (textstats.surprisal_model(spark.read.parquet(lm_seed_path))
+                if lm_seed_path else None)
     verdicts = curate(docs, bench=bench, langs=langs,
                       budget_tokens=budget_tokens, near_dup=near_dup,
                       with_text=True, blocklist=blocklist,
-                      url_col=url_col, max_per_host=max_per_host)
+                      url_col=url_col, max_per_host=max_per_host,
+                      lm_model=lm_model,
+                      max_surprisal_x1000=max_surprisal_x1000)
     # the verdict frame feeds three sinks and the summary — materialize
     # once instead of re-running the gates per consumer
     verdicts = verdicts.localCheckpoint(eager=False)
@@ -275,6 +299,10 @@ def main() -> None:
     ap.add_argument("--url-col", default="url")
     ap.add_argument("--max-per-host", type=int, default=None,
                     help="keep at most N surviving docs per url host")
+    ap.add_argument("--lm-seed", default=None,
+                    help="clean seed parquet to train the surprisal LM on")
+    ap.add_argument("--max-surprisal", type=int, default=None,
+                    help="drop docs above this milli-bits/gram score")
     ap.add_argument("--partitions", type=int, default=32)
     ap.add_argument("--master", default=None)
     args = ap.parse_args()
@@ -286,7 +314,8 @@ def main() -> None:
         langs=tuple(l for l in args.langs.split(",") if l),
         budget_tokens=args.budget_tokens, near_dup=args.near_dup,
         partitions=args.partitions, blocklist_path=args.blocklist,
-        url_col=args.url_col, max_per_host=args.max_per_host)
+        url_col=args.url_col, max_per_host=args.max_per_host,
+        lm_seed_path=args.lm_seed, max_surprisal_x1000=args.max_surprisal)
     print(summary)
 
 

@@ -151,3 +151,35 @@ def test_curate_url_gates_require_url_column(spark):
         curate.curate(docs, blocklist=bl)
     with pytest.raises(ValueError):
         curate.curate(docs, max_per_host=3)
+
+
+def test_curate_surprisal_gate(spark):
+    """Gibberish above the LM threshold drops as high_surprisal, which
+    outranks exact_duplicate but yields to earlier gates."""
+    from ocr_spark.operators import textstats
+    seed = spark.createDataFrame([(0, BASE), (1, OTHER)],
+                                 ["doc_id", "text"])
+    model = textstats.surprisal_model(seed)
+    gib = ("qzx vkj wqp zzk jjx qqw xqv kjz bqx cvk dwq fzk gjx "
+           "hqw jqv kkz lzx mvk nwq pzk rjx sqw tqv vkz")
+    rows = [
+        (0, BASE),          # fluent under its own seed — kept
+        (1, gib),           # high_surprisal
+        (2, gib),           # dup of 1 — but high_surprisal wins precedence
+        (3, "tiny junk"),   # low_quality outranks surprisal
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r["drop_reason"] for r in
+           curate.curate(docs, lm_model=model,
+                         langs=curate.DEFAULT_LANGS + ("und",),
+                         max_surprisal_x1000=7000).collect()}
+    assert got[0] is None
+    assert got[1] == "high_surprisal"
+    assert got[2] == "high_surprisal"
+    assert got[3] == "low_quality"
+    # both knobs must come together
+    import pytest
+    with pytest.raises(ValueError):
+        curate.curate(docs, lm_model=model)
+    with pytest.raises(ValueError):
+        curate.curate(docs, max_surprisal_x1000=5000)
