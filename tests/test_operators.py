@@ -1874,3 +1874,49 @@ def test_surprisal_empty_seed_and_bad_n(spark):
     assert row["surprisal_x1000"] == 1000   # every gram scores oov=1
     with pytest.raises(ValueError):
         textstats.surprisal_model(docs, n=0)
+
+
+def test_surprisal_differential_vs_python_reference(spark):
+    """Spark model+score vs an independent pure-Python implementation on
+    an adversarial corpus: mixed case, NBSP (NOT whitespace under the
+    engines' ASCII \\s — the reference must agree), CJK, ties, repeats.
+    Locks the canonicalization contract between JVM and the UDF."""
+    import re
+    from collections import Counter
+
+    def py_model(seed_texts, n=3, top=50_000):
+        canon = lambda t: re.sub(r"[ \t\n\x0b\f\r]+", " ", t.lower()).strip()
+        c = Counter()
+        for t in seed_texts:
+            s = canon(t)
+            for i in range(len(s) - n + 1):
+                c[s[i:i + n]] += 1
+        total = sum(c.values())
+        if not total:
+            return {}, 1, n
+        vocab = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:top]
+        return ({g: (total // cnt).bit_length() - 1 for g, cnt in vocab},
+                total.bit_length(), n)
+
+    def py_score(t, grams, oov, n):
+        s = re.sub(r"[ \t\n\x0b\f\r]+", " ", t.lower()).strip()
+        ng = max(len(s) - n + 1, 0)
+        if not ng:
+            return ng, None
+        tot = sum(grams.get(s[i:i + n], oov) for i in range(ng))
+        return ng, tot * 1000 // ng
+
+    seeds = ["The Quick\tBrown  fox", "fox fox fox", "数据库系统查询",
+             "aaa AAA aAa", ""]
+    probes = seeds + ["unseen grams here", "数据库", "ab", "FOX THE QUICK"]
+    g, oov, n = py_model(seeds)
+    seed_df = spark.createDataFrame([(i, t) for i, t in enumerate(seeds)],
+                                    ["doc_id", "text"])
+    model = textstats.surprisal_model(seed_df)
+    assert model["grams"] == g and model["oov"] == oov
+    probe_df = spark.createDataFrame([(i, t) for i, t in enumerate(probes)],
+                                     ["doc_id", "text"])
+    got = {r["doc_id"]: (r["lm_grams"], r["surprisal_x1000"])
+           for r in textstats.surprisal_score(probe_df, model).collect()}
+    for i, t in enumerate(probes):
+        assert got[i] == py_score(t, g, oov, n), (t, got[i])

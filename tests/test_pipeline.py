@@ -319,3 +319,30 @@ def test_pipeline_job_count_budget(spark, pages_path, tmp_path):
                     .getJobIdsForGroup(None) or [])
     n_jobs = len(all_after - all_before)
     assert 0 < n_jobs <= 16, f"pipeline ran {n_jobs} Spark jobs"
+
+
+def test_extract_then_curate_integration(spark, tmp_path):
+    """The two halves of the engine compose: extracted tier-1/2 text from
+    the HTML pipeline feeds the curation chain directly, and the chain
+    produces a non-trivial admission split over it."""
+    from datetime import date
+    from ocr_spark import curate, job, pagegen
+    from pyspark.sql import functions as F
+
+    out = str(tmp_path / "ex")
+    pages = pagegen.generate_df(spark, 80, partitions=4)
+    job.run_pipeline(spark, "", out, date(2026, 8, 16), partitions=4,
+                     input_df=pages)
+    docs = (spark.read.parquet(f"{out}/data")
+            .select(F.xxhash64("url").alias("doc_id"),
+                    F.col("extracted_text").alias("text")))
+    n_docs = docs.count()
+    assert n_docs > 0
+    verdicts = curate.curate(docs, langs=("es", "und"), budget_tokens=500)
+    by_reason = {r["drop_reason"]: r["n"] for r in
+                 verdicts.groupBy("drop_reason")
+                 .agg(F.count("*").alias("n")).collect()}
+    assert sum(by_reason.values()) == n_docs
+    assert by_reason.get(None, 0) > 0          # something survives
+    kept = verdicts.filter("keep")
+    assert kept.filter("shard_id is null").count() == 0
