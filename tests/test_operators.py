@@ -1920,3 +1920,38 @@ def test_surprisal_differential_vs_python_reference(spark):
            for r in textstats.surprisal_score(probe_df, model).collect()}
     for i, t in enumerate(probes):
         assert got[i] == py_score(t, g, oov, n), (t, got[i])
+
+
+def test_blocklist_randomized_vs_python_reference(spark):
+    """300 seeded-random hosts vs a random blocklist, Spark suffix-join
+    vs an independent Python longest-label-boundary-match reference."""
+    import random
+    rng = random.Random(20260817)
+    labels = ["a", "b", "ab", "ba", "x", "aa"]
+    tlds = ["com", "org", "net"]
+
+    def rand_host():
+        depth = rng.randint(1, 4)
+        return ".".join(rng.choice(labels) for _ in range(depth)) \
+            + "." + rng.choice(tlds)
+
+    hosts = [rand_host() for _ in range(300)]
+    blocked = sorted({rand_host() for _ in range(40)})
+
+    def py_match(host):
+        best = None
+        for d in blocked:
+            if host == d or host.endswith("." + d):
+                if best is None or len(d) > len(best):
+                    best = d
+        return best
+
+    docs = spark.createDataFrame(
+        [(i, f"https://{h}/p") for i, h in enumerate(hosts)],
+        ["doc_id", "url"])
+    bl = spark.createDataFrame([(d,) for d in blocked], ["domain"])
+    from ocr_spark.operators import urls
+    got = {r["doc_id"]: r["blocked_domain"]
+           for r in urls.blocklist_annotate(docs, bl).collect()}
+    for i, h in enumerate(hosts):
+        assert got[i] == py_match(h), (h, got[i], py_match(h))
