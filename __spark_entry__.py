@@ -520,6 +520,24 @@ def q_host_cap(spark, sf_dir):
             .select("doc_id", urls.bare_host(F.col("url")).alias("host")))
 
 
+def q_host_profile(spark, sf_dir):
+    """Per-host reputation rollup over synthesized hosts (the q_host_cap
+    layout: one hot host at ~1/3 of the corpus) with a synthetic
+    admission verdict — counts, ok-rate ×1000, and text volume per
+    host, value-checked against a plain SQL GROUP BY."""
+    from ocr_spark.operators import urls
+    d = F.col("doc_id")
+    host = F.when(d % 3 == 0, F.lit("HOT.Example.COM")).otherwise(
+        F.concat(F.lit("h"), (d % 23).cast("string"),
+                 F.lit(".example.com")))
+    url = F.concat(F.lit("https://"), host, F.lit("/doc/"),
+                   d.cast("string"))
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", "text", url.alias("url"),
+        (d % 7 != 0).alias("quality_ok"))
+    return urls.host_profile(docs)
+
+
 _LM_GIBBERISH = "qzx vkj wqp zzk jjx qqw xqv kjz"
 _LM_FLUENT = ("the quick brown fox runs through the green forest "
               "all day long and the rain keeps falling")
@@ -1095,6 +1113,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "canonical_urls": q_canonical_urls,
         "url_blocklist": q_url_blocklist,
         "host_cap": q_host_cap,
+        "host_profile": q_host_profile,
         "surprisal": q_surprisal,
         "scrub_pii": q_scrub_pii,
         "drop_repeated_lines": q_drop_repeated_lines,
@@ -1758,6 +1777,21 @@ def oracle_sql() -> dict[str, str]:
                         THEN CAST(floor(s.s * 1000 / s.ng) AS BIGINT)
                         END AS surprisal_x1000
             FROM docc d LEFT JOIN scored s USING (doc_id)""",
+        "host_profile": """
+            WITH hosts AS (
+                SELECT doc_id, length(text) AS nc,
+                       CASE WHEN doc_id % 7 != 0 THEN 1 ELSE 0 END AS ok,
+                       CASE WHEN doc_id % 3 = 0 THEN 'hot.example.com'
+                            ELSE 'h' || CAST(doc_id % 23 AS VARCHAR)
+                                 || '.example.com' END AS host
+                FROM documents)
+            SELECT host,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(ok) AS BIGINT) AS n_ok,
+                   CAST(sum(nc) AS BIGINT) AS total_chars,
+                   CAST(floor(sum(ok) * 1000 / count(*)) AS BIGINT)
+                       AS ok_x1000
+            FROM hosts GROUP BY host""",
         "host_cap": """
             WITH hosts AS (
                 SELECT doc_id,

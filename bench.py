@@ -51,7 +51,7 @@ SUITE = (
     "embedding_near_dups",
     "dedup_incremental", "tfidf_top_terms",
     "decontaminate", "repetition_features", "token_shards",
-    "url_blocklist", "host_cap", "surprisal",
+    "url_blocklist", "host_cap", "host_profile", "surprisal",
     "corpus_curate",
 )
 

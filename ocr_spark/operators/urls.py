@@ -148,6 +148,32 @@ def blocklist_filter(df: DataFrame, blocked: DataFrame,
             .drop("blocked_domain", "url_blocked"))
 
 
+def host_profile(df: DataFrame, url_col: str = "url",
+                 ok_col: str = "quality_ok",
+                 text_col: str = "text") -> DataFrame:
+    """Per-host reputation rollup — the domain-statistics table web-corpus
+    pipelines maintain for URL-level scoring and audits (doc counts,
+    admission rates, volume per registrable host).
+
+    Output: ``host``, ``n_docs``, ``n_ok`` (rows where *ok_col* is
+    true), ``total_chars``, ``ok_x1000`` (floor ratio).  *ok_col* is any
+    boolean verdict the caller computed (quality gate, keep flag, …) —
+    the operator is the rollup, not the judgement.
+
+    Scale: one map-side-combinable aggregate keyed on
+    :func:`bare_host` — host cardinality (~10^8) is far below doc
+    cardinality, so partial aggregation collapses each input partition
+    before the exchange (plan-pinned).
+    """
+    return (df.groupBy(bare_host(F.col(url_col)).alias("host"))
+            .agg(F.count("*").cast("bigint").alias("n_docs"),
+                 F.sum(F.col(ok_col).cast("bigint")).alias("n_ok"),
+                 F.sum(F.length(F.col(text_col)).cast("bigint"))
+                 .alias("total_chars"))
+            .withColumn("ok_x1000",
+                        F.floor(F.col("n_ok") * 1000 / F.col("n_docs"))))
+
+
 def host_cap(df: DataFrame, max_per_host: int, url_col: str = "url",
              id_col: str = "doc_id",
              order_col: Optional[str] = None) -> DataFrame:

@@ -1955,3 +1955,18 @@ def test_blocklist_randomized_vs_python_reference(spark):
            for r in urls.blocklist_annotate(docs, bl).collect()}
     for i, h in enumerate(hosts):
         assert got[i] == py_match(h), (h, got[i], py_match(h))
+
+
+def test_host_profile_rollup(spark):
+    from ocr_spark.operators import urls
+    rows = [(0, "aaaa", "https://A.Example:443/x", True),
+            (1, "bb", "https://a.example/y", False),
+            (2, "c", "https://other.example/z", True)]
+    docs = spark.createDataFrame(rows,
+                                 ["doc_id", "text", "url", "quality_ok"])
+    got = {r["host"]: r for r in urls.host_profile(docs).collect()}
+    a = got["a.example"]
+    assert (a["n_docs"], a["n_ok"], a["total_chars"], a["ok_x1000"]) \
+        == (2, 1, 6, 500)
+    o = got["other.example"]
+    assert (o["n_docs"], o["n_ok"], o["ok_x1000"]) == (1, 1, 1000)

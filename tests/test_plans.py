@@ -226,3 +226,8 @@ def test_surprisal_score_narrow(spark):
     assert "Exchange" not in plan and "Join" not in plan, plan
     assert "Generate" not in plan, plan
     assert plans.python_eval_count(df) == 1
+
+
+def test_host_profile_partial_aggregation(spark):
+    df = entry.q_host_profile(spark, SF)
+    assert plans.has_partial_aggregation(df)
