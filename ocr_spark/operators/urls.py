@@ -69,8 +69,12 @@ def canonical_url(url: Column) -> Column:
 
 def bare_host(url: Column) -> Column:
     """Lowercased host of a url with any ``:port`` stripped — the form
-    domain blocklists are keyed on.  Empty string when unparseable."""
-    return F.substring_index(host_of(url), ":", 1)
+    domain blocklists are keyed on.  Empty string when unparseable.
+
+    The strip is digits-after-colon-at-end, NOT first-colon: a bracketed
+    IPv6 authority ``[::1]:8080`` yields ``[::1]`` (first-colon would
+    collapse every IPv6 host to ``[`` — one shared cap/profile group)."""
+    return F.regexp_replace(host_of(url), r":[0-9]+$", "")
 
 
 def host_domain_suffixes(host: Column) -> Column:

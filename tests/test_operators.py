@@ -1970,3 +1970,19 @@ def test_host_profile_rollup(spark):
         == (2, 1, 6, 500)
     o = got["other.example"]
     assert (o["n_docs"], o["n_ok"], o["ok_x1000"]) == (1, 1, 1000)
+
+
+def test_bare_host_ipv6_and_ports(spark):
+    from ocr_spark.operators import urls
+    rows = [(1, "https://Example.COM:8443/x"),
+            (2, "http://[::1]:8080/y"),
+            (3, "http://[2001:DB8::1]/z"),
+            (4, "https://user:pw@Host.Example:443/w")]
+    got = {r["doc_id"]: r["h"] for r in
+           spark.createDataFrame(rows, ["doc_id", "url"])
+           .select("doc_id",
+                   urls.bare_host(F.col("url")).alias("h")).collect()}
+    assert got[1] == "example.com"
+    assert got[2] == "[::1]"            # NOT '[' — ipv6 keeps identity
+    assert got[3] == "[2001:db8::1]"
+    assert got[4] == "host.example"     # userinfo and port both stripped
