@@ -174,6 +174,33 @@ def q_exact_duplicates(spark, sf_dir):
     return dedup.exact_duplicates(docs.unionByName(planted))
 
 
+# 10-token boilerplate sentence planted for the ExactSubstr dedup check —
+# the word-salad corpus has no natural duplicated 8-grams at small sf, so
+# the removal would be a no-op without it (same rationale as
+# q_exact_duplicates' planting).  The Spark query and the DuckDB twin both
+# plant it with the identical CASE rule.
+_SPAN = "subscribe to our newsletter for the latest updates and offers"
+
+
+def q_dedup_substrings(spark, sf_dir):
+    """ExactSubstr dedup (Lee et al. 2022 style, word-window k=8): docs with
+    doc_id%13==5 get the boilerplate sentence appended TWICE (intra-doc +
+    cross-doc duplication, plus identical junction windows), docs with
+    doc_id%7==0 once; every non-first duplicated window's tokens are removed,
+    keep-first by (doc_id, pos).  Output is the md5 of the cleaned canonical
+    text so the hash compare stays skinny."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    planted = (F.when(F.col("doc_id") % 13 == 5,
+                      F.concat(F.col("text"), F.lit(" " + _SPAN + " " + _SPAN)))
+               .when(F.col("doc_id") % 7 == 0,
+                     F.concat(F.col("text"), F.lit(" " + _SPAN)))
+               .otherwise(F.col("text")))
+    corpus = docs.select("doc_id", planted.alias("text"))
+    return (dedup.dedup_substrings(corpus, k=8)
+            .select("doc_id", F.md5("text_clean").alias("clean_md5"),
+                    "n_tokens", "n_tokens_removed"))
+
+
 def q_minhash_dedup_keep(spark, sf_dir):
     """Near-dup cluster resolution end-to-end: plant a 3-doc near-dup chain
     (doc 0 verbatim under id 20M, doc 0 with one token swapped under 20M+1),
@@ -1109,6 +1136,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_fingerprints": q_winnow_fingerprints,
         # dedup
         "exact_duplicates": q_exact_duplicates,
+        "dedup_substrings": q_dedup_substrings,
         "corpus_clean": q_corpus_clean,
         "canonical_urls": q_canonical_urls,
         "url_blocklist": q_url_blocklist,
@@ -1320,6 +1348,55 @@ def oracle_sql() -> dict[str, str]:
             SELECT {_FP_SQL} AS fp, CAST(count(*) AS BIGINT) AS n_dups,
                    min(doc_id) AS keep_id
             FROM documents GROUP BY 1""",
+        # INDEPENDENT formulation of ExactSubstr dedup: the twin groups raw
+        # window STRINGS with a row_number window, while Spark resolves
+        # first occurrences via md5 keys + min(struct) aggregate — a hash
+        # or keeper bug on either side cannot mirror into the other.
+        "dedup_substrings": f"""
+            WITH docs2 AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 13 = 5
+                                 THEN text || ' {_SPAN} {_SPAN}'
+                            WHEN doc_id % 7 = 0 THEN text || ' {_SPAN}'
+                            ELSE text END AS text
+                FROM documents),
+            toks AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(lower(trim(text)),
+                                                      '\\s+'),
+                                   t -> t <> '') AS t
+                FROM docs2),
+            wins AS (
+                SELECT doc_id, pos,
+                       array_to_string(t[pos+1 : pos+8], ' ') AS w
+                FROM (SELECT doc_id, t, unnest(range(len(t) - 7)) AS pos
+                      FROM toks WHERE len(t) >= 8)),
+            ranked AS (
+                SELECT doc_id, pos,
+                       row_number() OVER (PARTITION BY w
+                                          ORDER BY doc_id, pos) AS rn,
+                       count(*) OVER (PARTITION BY w) AS c
+                FROM wins),
+            rem AS (SELECT doc_id, pos FROM ranked WHERE c > 1 AND rn > 1),
+            tokpos AS (
+                SELECT doc_id, unnest(range(len(t))) AS idx, unnest(t) AS tok
+                FROM toks),
+            kept AS (
+                SELECT p.doc_id, p.idx, p.tok FROM tokpos p
+                WHERE NOT EXISTS (SELECT 1 FROM rem r
+                                  WHERE r.doc_id = p.doc_id
+                                    AND p.idx >= r.pos
+                                    AND p.idx < r.pos + 8)),
+            agg AS (
+                SELECT doc_id AS aid, string_agg(tok, ' ' ORDER BY idx) AS ct,
+                       count(*) AS nk
+                FROM kept GROUP BY doc_id)
+            SELECT t.doc_id,
+                   md5(coalesce(a.ct, '')) AS clean_md5,
+                   CAST(len(t.t) AS BIGINT) AS n_tokens,
+                   CAST(len(t.t) - coalesce(a.nk, 0) AS BIGINT)
+                       AS n_tokens_removed
+            FROM toks t LEFT JOIN agg a ON t.doc_id = a.aid""",
         "dedup_incremental": f"""
             WITH hist AS (
                 SELECT DISTINCT {_FP_SQL} AS fingerprint

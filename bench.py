@@ -42,7 +42,8 @@ RUN_DATE = date(2026, 8, 16)
 SUITE = (
     "token_count", "quality_features", "fingerprint_groups",
     "corpus_clean", "drop_repeated_lines",
-    "exact_duplicates", "minhash_near_dups", "simhash_near_dups",
+    "exact_duplicates", "dedup_substrings",
+    "minhash_near_dups", "simhash_near_dups",
     "dni_check_letter", "cif_control", "confidence_score",
     "extract_dni", "extract_permis", "extract_nif",
     "tpch_q1", "revenue_by_region", "events_hourly",

@@ -39,7 +39,8 @@ from pyspark.sql import DataFrame, functions as F
 from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf
 
-from ocr_spark.operators.textstats import fingerprint
+from ocr_spark.operators.textstats import (fingerprint, _word_ngrams,
+                                            _ws_token_array)
 
 SEED = 0x5EED
 
@@ -731,3 +732,108 @@ def near_dedup_incremental(new_df: DataFrame, history_sigs: DataFrame,
     return dedup_near_minhash(fresh, id_col, text_col, k=k, bands=bands,
                               threshold=threshold,
                               shingle_width=shingle_width)
+
+
+# ---------------------------------------------------------------------------
+# exact substring dedup (duplicated k-token spans, keep-first)
+# ---------------------------------------------------------------------------
+
+def duplicated_windows(df: DataFrame, k: int = 50, id_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """Every ``k``-token window occurrence whose content already appeared
+    earlier in the corpus (corpus order = ``(id, pos)``) — the detection
+    half of Lee et al. 2022 "Deduplicating Training Data Makes Language
+    Models Better" (ExactSubstr), at word-window granularity.
+
+    Returns ``(id, pos)`` rows: ``pos`` is the 0-based token index where a
+    NON-FIRST occurrence of a duplicated window starts.  Tokenization is
+    the shared whitespace contract of ``textstats._ws_token_array``
+    (lower + trim + split + drop-empties); windows are keyed by md5 of the
+    space-joined gram (128-bit — no birthday collisions at 10^12-doc
+    window counts, unlike a 64-bit hash).
+
+    Plan shape at corpus scale: one tokenize pass → per-doc window-hash
+    array (pure Column: sequence + slice, no Python) → posexplode to
+    skinny ``(id, pos, wh)`` rows (~50 B/row regardless of document size).
+    First-occurrence resolution is a map-side-combinable
+    ``min(struct(id, pos)) + count`` groupBy — NOT a row_number window, so
+    a boilerplate window shared by 10^8 pages partially aggregates before
+    the shuffle instead of sorting one hot partition.  The groupBy output
+    keeps only duplicated windows (``cnt > 1``), so the annotate join's
+    right side is the (small) duplicated-window set — AQE broadcasts it
+    when it fits, and it is exactly one row per key either way, so join
+    skew cannot amplify rows.  The suffix-array formulation of the paper
+    removes byte-level duplicates but needs a global sorted index; this
+    window formulation distributes with one shuffle and is the standard
+    Spark-shaped approximation (fixed k, whole-window granularity).
+    """
+    base = df.select(F.col(id_col).alias("id"),
+                     _ws_token_array(F.col(text_col)).alias("_toks"))
+    return _duplicated_window_occurrences(base, k)
+
+
+def _duplicated_window_occurrences(base: DataFrame, k: int) -> DataFrame:
+    """Non-first duplicated-window occurrences of a pre-tokenized
+    ``(id, _toks)`` frame — the shared core of :func:`duplicated_windows`
+    and :func:`dedup_substrings` (so the removal path tokenizes ONCE)."""
+    occ = base.select(
+        "id",
+        F.posexplode(F.transform(_word_ngrams(F.col("_toks"), k),
+                                 lambda g: F.md5(g))).alias("pos", "wh"))
+    # occ feeds both the first-occurrence aggregate and the annotate join —
+    # materialize once (same rationale as ngram_jaccard_pairs)
+    occ = occ.localCheckpoint(eager=False)
+    firsts = (occ.groupBy("wh")
+              .agg(F.min(F.struct("id", "pos")).alias("first"),
+                   F.count("*").alias("cnt"))
+              .filter(F.col("cnt") > 1)
+              .select("wh", "first"))
+    return (occ.join(firsts, "wh")
+            .filter(~((F.col("id") == F.col("first.id"))
+                      & (F.col("pos") == F.col("first.pos"))))
+            .select("id", "pos"))
+
+
+def dedup_substrings(df: DataFrame, k: int = 50, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Remove duplicated ``k``-token spans from every document, keeping the
+    corpus-first occurrence — the removal half of ExactSubstr dedup
+    (Lee et al. 2022): verbatim boilerplate, licence blocks, and quoted
+    passages shared across pages are cut from every copy but one, while
+    each document's unique prose survives.
+
+    A token is dropped iff it is covered by ANY non-first duplicated
+    window occurrence ``[pos, pos+k)`` (overlapping occurrences merge
+    naturally — including self-overlap inside a run like ``a a a …``).
+    Output per input document (every doc survives, possibly empty):
+    ``(id_col, text_clean, n_tokens, n_tokens_removed)`` where
+    ``text_clean`` re-joins the kept tokens of the CANONICAL token stream
+    (lowercased, whitespace-collapsed — the same contract every dedup
+    operator here compares under).
+
+    Scale: :func:`duplicated_windows` (one shuffle) → per-doc removed-
+    position lists (groupBy on id over the small duplicate set) → one
+    AQE-broadcastable join back to the corpus → a pure-Column
+    filter-with-index pass (``F.filter((t, i) -> !exists(rpos, …))``) —
+    per-token cost is O(removed windows in that doc), no Python stage.
+    """
+    base = (df
+            .select(F.col(id_col).alias("id"),
+                    _ws_token_array(F.col(text_col)).alias("_toks"))
+            .localCheckpoint(eager=False))
+    dup_occ = _duplicated_window_occurrences(base, k)
+    rem = dup_occ.groupBy("id").agg(F.collect_list("pos").alias("_rpos"))
+    kept = F.filter(
+        F.col("_toks"),
+        lambda t, i: ~F.exists(F.col("_rpos"),
+                               lambda p: (i >= p) & (i < p + F.lit(k))))
+    return (base.join(rem, "id", "left")
+            .withColumn("_rpos",
+                        F.coalesce(F.col("_rpos"),
+                                   F.array().cast("array<int>")))
+            .withColumn("_kept", kept)
+            .select(F.col("id").alias(id_col),
+                    F.array_join("_kept", " ").alias("text_clean"),
+                    F.size("_toks").cast("bigint").alias("n_tokens"),
+                    (F.size("_toks") - F.size("_kept")).cast("bigint")
+                    .alias("n_tokens_removed")))

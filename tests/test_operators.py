@@ -1986,3 +1986,80 @@ def test_bare_host_ipv6_and_ports(spark):
     assert got[2] == "[::1]"            # NOT '[' — ipv6 keeps identity
     assert got[3] == "[2001:db8::1]"
     assert got[4] == "host.example"     # userinfo and port both stripped
+
+
+# --- ExactSubstr dedup (duplicated k-token spans) -----------------------------
+
+SPAN8 = "a b c d e f g h"
+
+
+@pytest.fixture(scope="module")
+def substr_docs(spark):
+    rows = [
+        (1, SPAN8 + " unique one tail"),            # corpus-first occurrence
+        (2, "prefix two " + SPAN8 + " suffix two"),  # cross-doc dup
+        (3, SPAN8 + " x " + SPAN8),                  # both occurrences non-first
+        (4, "short doc"),                            # < k tokens
+        (5, ""),                                     # empty
+        (6, "w1 w2 w3 w4 w5 w6 w7 w8 w9 mid "
+            "w1 w2 w3 w4 w5 w6 w7 w8 w9"),           # intra-doc 9-token repeat
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_dedup_substrings_hand_cases(spark, substr_docs):
+    got = {r["doc_id"]: r for r in
+           dedup.dedup_substrings(substr_docs, k=8).collect()}
+    # first occurrence keeps everything
+    assert got[1]["text_clean"] == SPAN8 + " unique one tail"
+    assert got[1]["n_tokens_removed"] == 0
+    # later copy loses exactly the 8-token span, unique prose survives
+    assert got[2]["text_clean"] == "prefix two suffix two"
+    assert got[2]["n_tokens_removed"] == 8
+    # both of doc 3's occurrences are non-first -> only the separator stays
+    assert got[3]["text_clean"] == "x"
+    assert got[3]["n_tokens_removed"] == 16
+    # sub-window docs and empty docs pass through
+    assert got[4]["text_clean"] == "short doc"
+    assert got[5]["text_clean"] == ""
+    assert got[5]["n_tokens"] == 0
+    # intra-doc repeat: overlapping dup windows (pos 10 and 11) merge to
+    # remove the whole second 9-token run
+    assert got[6]["text_clean"] == "w1 w2 w3 w4 w5 w6 w7 w8 w9 mid"
+    assert got[6]["n_tokens_removed"] == 9
+
+
+def test_dedup_substrings_keep_first_is_corpus_order(spark):
+    # the FIRST (doc_id, pos) occurrence survives even when the duplicate
+    # appears in a lower partition / later row order
+    rows = [(10, "z0 " + SPAN8), (2, SPAN8 + " tail2")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r["text_clean"] for r in
+           dedup.dedup_substrings(df, k=8).collect()}
+    assert got[2] == SPAN8 + " tail2"      # doc 2 is corpus-first
+    assert got[10] == "z0"
+
+
+def test_dedup_substrings_partitioning_invariant(spark, substr_docs):
+    one = {(r["doc_id"], r["text_clean"], r["n_tokens_removed"])
+           for r in dedup.dedup_substrings(substr_docs, k=8).collect()}
+    many = {(r["doc_id"], r["text_clean"], r["n_tokens_removed"])
+            for r in dedup.dedup_substrings(
+                substr_docs.repartition(7), k=8).collect()}
+    assert one == many
+
+
+def test_dedup_substrings_canonicalizes_whitespace_and_case(spark):
+    # output text is the canonical token stream: case-folded, runs collapsed
+    df = spark.createDataFrame([(1, "  Hello   World  ")], ["doc_id", "text"])
+    row = dedup.dedup_substrings(df, k=8).collect()[0]
+    assert row["text_clean"] == "hello world"
+    assert row["n_tokens"] == 2
+
+
+def test_duplicated_windows_positions(spark, substr_docs):
+    got = {(r["id"], r["pos"])
+           for r in dedup.duplicated_windows(substr_docs, k=8).collect()}
+    # doc2's copy starts at token 2; doc3 has copies at 0 and 9; doc6's
+    # second run yields windows at 10 and 11
+    assert got == {(2, 2), (3, 0), (3, 9), (6, 10), (6, 11)}

@@ -231,3 +231,17 @@ def test_surprisal_score_narrow(spark):
 def test_host_profile_partial_aggregation(spark):
     df = entry.q_host_profile(spark, SF)
     assert plans.has_partial_aggregation(df)
+
+
+def test_dedup_substrings_partial_agg_no_window(spark):
+    """ExactSubstr first-occurrence resolution must be a map-side-
+    combinable aggregate (partial_min + partial_count BEFORE the
+    exchange), never a row_number window — a boilerplate window shared
+    by 10^8 pages would otherwise sort one hot partition.  The
+    duplicated-window annotate join must not be a sort-merge join (the
+    firsts side is one row per key and broadcastable)."""
+    df = entry.q_dedup_substrings(spark, SF)
+    plan = plans.physical_plan(df)
+    assert "Window" not in plan, plan
+    assert "partial_min" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
