@@ -201,6 +201,38 @@ def q_dedup_substrings(spark, sf_dir):
                     "n_tokens", "n_tokens_removed"))
 
 
+# spam phrase planted for the quality-classifier check: the word-salad
+# corpus has ONE vocabulary regardless of lang label, so seed-vs-background
+# log-odds are 0 everywhere without planting a discriminative token set.
+_SPAM = "casino pills winner bonus"
+
+
+def q_quality_classifier(spark, sf_dir):
+    """GPT-3/CCNet-style classifier filtering with an integer Naive-Bayes
+    log-odds model: seed = the raw corpus, background = the corpus with a
+    spam phrase appended to every third doc (so spam tokens carry negative
+    whole-bit log-odds while shared vocabulary stays ~0).  Scores the
+    corpus plus one planted pure-spam doc, which must rank at the bottom."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    background = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 3 == 0,
+               F.concat(F.col("text"), F.lit(" " + _SPAM + " " + _SPAM)))
+        .otherwise(F.col("text")).alias("text"))
+    model = textstats.quality_classifier_model(docs, background)
+    from ocr_spark.localrel import local_df
+    planted = local_df(
+        spark, [(93_000_001, _SPAM + " " + _SPAM + " " + _SPAM)],
+        "doc_id bigint, text string")
+    mixed = (docs.filter(F.col("doc_id") == 0)
+             .select(F.lit(93_000_002).cast("bigint").alias("doc_id"),
+                     F.concat(F.col("text"),
+                              F.lit(" " + _SPAM)).alias("text")))
+    corpus = docs.unionByName(planted).unionByName(mixed)
+    return (textstats.quality_classifier_score(corpus, model)
+            .select("doc_id", "clf_tokens", "logodds_x1000"))
+
+
 def q_minhash_dedup_keep(spark, sf_dir):
     """Near-dup cluster resolution end-to-end: plant a 3-doc near-dup chain
     (doc 0 verbatim under id 20M, doc 0 with one token swapped under 20M+1),
@@ -1143,6 +1175,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_cap": q_host_cap,
         "host_profile": q_host_profile,
         "surprisal": q_surprisal,
+        "quality_classifier": q_quality_classifier,
         "scrub_pii": q_scrub_pii,
         "drop_repeated_lines": q_drop_repeated_lines,
         "minhash_dedup_keep": q_minhash_dedup_keep,
@@ -1854,6 +1887,63 @@ def oracle_sql() -> dict[str, str]:
                         THEN CAST(floor(s.s * 1000 / s.ng) AS BIGINT)
                         END AS surprisal_x1000
             FROM docc d LEFT JOIN scored s USING (doc_id)""",
+        # INDEPENDENT recomputation of the integer Naive-Bayes model:
+        # the twin rebuilds counts/totals/vocab in SQL and scores via
+        # explode + left join, while Spark ships a driver-trained dict
+        # through one Arrow pass — same integer values, disjoint shapes.
+        "quality_classifier": f"""
+            WITH tok AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(lower(trim(text)),
+                                                      '\\s+'),
+                                   t -> t <> '') AS t
+                FROM documents),
+            seedtok AS (SELECT unnest(t) AS tok FROM tok),
+            bgtok AS (
+                SELECT unnest(list_filter(string_split_regex(
+                           lower(trim(CASE WHEN doc_id % 3 = 0
+                                      THEN text || ' {_SPAM} {_SPAM}'
+                                      ELSE text END)), '\\s+'),
+                           t -> t <> '')) AS tok
+                FROM documents),
+            scnt AS (SELECT tok, count(*) AS c FROM seedtok GROUP BY tok),
+            bcnt AS (SELECT tok, count(*) AS c FROM bgtok GROUP BY tok),
+            merged AS (
+                SELECT coalesce(s.tok, b.tok) AS tok,
+                       CAST(coalesce(s.c, 0) AS BIGINT) AS cs,
+                       CAST(coalesce(b.c, 0) AS BIGINT) AS cb
+                FROM scnt s FULL OUTER JOIN bcnt b ON s.tok = b.tok),
+            tots AS (SELECT CAST(sum(cs) AS BIGINT) AS ts,
+                            CAST(sum(cb) AS BIGINT) AS tb,
+                            CAST(count(*) AS BIGINT) AS v
+                     FROM merged),
+            model AS (
+                SELECT tok,
+                       length(bin((cs + 1) * (tb + v)))
+                       - length(bin((cb + 1) * (ts + v))) AS score
+                FROM merged, tots
+                ORDER BY cs + cb DESC, tok LIMIT 50000),
+            corpus AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL SELECT 93000001, '{_SPAM} {_SPAM} {_SPAM}'
+                UNION ALL SELECT 93000002, text || ' {_SPAM}'
+                          FROM documents WHERE doc_id = 0),
+            ctoks AS (
+                SELECT doc_id,
+                       unnest(list_filter(string_split_regex(
+                           lower(trim(text)), '\\s+'), t -> t <> '')) AS tok
+                FROM corpus),
+            agg AS (
+                SELECT c.doc_id, count(*) AS n,
+                       CAST(sum(coalesce(m.score, 0)) AS BIGINT) AS s
+                FROM ctoks c LEFT JOIN model m ON c.tok = m.tok
+                GROUP BY c.doc_id)
+            SELECT corpus.doc_id,
+                   CAST(coalesce(a.n, 0) AS BIGINT) AS clf_tokens,
+                   CASE WHEN a.n > 0
+                        THEN CAST(floor(a.s * 1000 / a.n) AS BIGINT)
+                        END AS logodds_x1000
+            FROM corpus LEFT JOIN agg a ON corpus.doc_id = a.doc_id""",
         "host_profile": """
             WITH hosts AS (
                 SELECT doc_id, length(text) AS nc,

@@ -5,13 +5,15 @@ Chains the operator suite end-to-end over a documents-shaped table
 
     [optional URL domain blocklist] → quality gate → repetition gate →
     language allowlist → eval-set decontamination → [optional LM
-    surprisal gate] → exact dedup → [optional MinHash near-dedup] →
+    surprisal gate] → [optional seed-vs-background quality classifier]
+    → exact dedup → [optional MinHash near-dedup] →
     [optional per-host cap] → PII scrub → token-budget shard assignment
 
 Every document gets a first-failing-gate reason code (precedence:
 ``url_blocked`` → ``low_quality`` → ``repetitive`` → ``lang_filtered``
-→ ``contaminated`` → ``high_surprisal`` → ``exact_duplicate`` →
-``near_duplicate`` → ``host_capped``); kept documents additionally get
+→ ``contaminated`` → ``high_surprisal`` → ``classifier_rejected`` →
+``exact_duplicate`` → ``near_duplicate`` → ``host_capped``); kept
+documents additionally get
 scrubbed text, a post-scrub token count, and a training-shard id.
 As in :func:`ocr_spark.operators.textstats.corpus_clean`, gate verdicts
 are independent per document: a duplicate copy is reported
@@ -70,8 +72,8 @@ from ocr_spark.operators import dedup, textstats, urls
 DEFAULT_LANGS = ("en", "es", "de", "fr")
 
 REASONS = ("url_blocked", "low_quality", "repetitive", "lang_filtered",
-           "contaminated", "high_surprisal", "exact_duplicate",
-           "near_duplicate", "host_capped")
+           "contaminated", "high_surprisal", "classifier_rejected",
+           "exact_duplicate", "near_duplicate", "host_capped")
 
 
 def curate(df: DataFrame, bench: Optional[DataFrame] = None,
@@ -83,7 +85,9 @@ def curate(df: DataFrame, bench: Optional[DataFrame] = None,
            url_col: str = "url",
            max_per_host: Optional[int] = None,
            lm_model: Optional[dict] = None,
-           max_surprisal_x1000: Optional[int] = None) -> DataFrame:
+           max_surprisal_x1000: Optional[int] = None,
+           clf_model: Optional[dict] = None,
+           min_logodds_x1000: Optional[int] = None) -> DataFrame:
     """Per-document curation verdicts: (id, keep, drop_reason, n_tokens,
     shard_id, scrubbed_md5[, scrubbed_text]).
 
@@ -99,11 +103,18 @@ def curate(df: DataFrame, bench: Optional[DataFrame] = None,
     ``lm_model`` (a trained :func:`textstats.surprisal_model`) +
     ``max_surprisal_x1000`` turn on the CCNet-style fluency gate:
     docs scoring above the threshold (milli-bits/gram vs the seed)
-    drop as ``high_surprisal``.
+    drop as ``high_surprisal``.  ``clf_model`` (a trained
+    :func:`textstats.quality_classifier_model`) + ``min_logodds_x1000``
+    turn on the GPT-3-style classifier gate: docs scoring BELOW the
+    threshold (milli-bits/token of seed-vs-background log-odds) drop as
+    ``classifier_rejected``.
     """
     if (lm_model is None) != (max_surprisal_x1000 is None):
         raise ValueError(
             "lm_model and max_surprisal_x1000 must be given together")
+    if (clf_model is None) != (min_logodds_x1000 is None):
+        raise ValueError(
+            "clf_model and min_logodds_x1000 must be given together")
     if blocklist is not None or max_per_host is not None:
         if url_col not in df.columns:
             raise ValueError(
@@ -127,6 +138,12 @@ def curate(df: DataFrame, bench: Optional[DataFrame] = None,
     else:
         feats = feats.withColumn("surprisal_x1000",
                                  F.lit(None).cast("bigint"))
+    if clf_model is not None:
+        feats = textstats.quality_classifier_score(feats, clf_model,
+                                                   text_col=text_col)
+    else:
+        feats = feats.withColumn("logodds_x1000",
+                                 F.lit(None).cast("bigint"))
     lang = textstats.language_id(F.col(text_col))
     fp = textstats.fingerprint(F.col(text_col))
     keepers = (df.groupBy(fp.alias("_keep_fp"))
@@ -142,6 +159,10 @@ def curate(df: DataFrame, bench: Optional[DataFrame] = None,
               .when(F.col("surprisal_x1000")
                     > F.lit(max_surprisal_x1000 or 0),
                     F.lit("high_surprisal"))
+              # null logodds (gate off, or token-less text) never fires
+              .when(F.col("logodds_x1000")
+                    < F.lit(min_logodds_x1000 or 0),
+                    F.lit("classifier_rejected"))
               .when(F.col(id_col) != F.col("_keep_id"),
                     F.lit("exact_duplicate")))
     carry = [id_col, text_col] \
@@ -223,7 +244,10 @@ def run_curation(spark: SparkSession, input_path: str, output_path: str,
                  url_col: str = "url",
                  max_per_host: Optional[int] = None,
                  lm_seed_path: Optional[str] = None,
-                 max_surprisal_x1000: Optional[int] = None) -> dict:
+                 max_surprisal_x1000: Optional[int] = None,
+                 clf_seed_path: Optional[str] = None,
+                 min_logodds_x1000: Optional[int] = None,
+                 clf_bg_fraction: float = 0.1) -> dict:
     """Execute the curation job: parquet in → three sinks out.
 
     * ``{out}/data``    — kept docs (doc_id, text=scrubbed, n_tokens,
@@ -244,12 +268,21 @@ def run_curation(spark: SparkSession, input_path: str, output_path: str,
                  if blocklist_path else None)
     lm_model = (textstats.surprisal_model(spark.read.parquet(lm_seed_path))
                 if lm_seed_path else None)
+    # GPT-3 recipe: classifier positives = the clean seed corpus,
+    # negatives = a reproducible sample of the raw input itself
+    clf_model = (textstats.quality_classifier_model(
+                     spark.read.parquet(clf_seed_path),
+                     textstats.deterministic_sample(
+                         docs, clf_bg_fraction, salt="clfbg"))
+                 if clf_seed_path else None)
     verdicts = curate(docs, bench=bench, langs=langs,
                       budget_tokens=budget_tokens, near_dup=near_dup,
                       with_text=True, blocklist=blocklist,
                       url_col=url_col, max_per_host=max_per_host,
                       lm_model=lm_model,
-                      max_surprisal_x1000=max_surprisal_x1000)
+                      max_surprisal_x1000=max_surprisal_x1000,
+                      clf_model=clf_model,
+                      min_logodds_x1000=min_logodds_x1000)
     # the verdict frame feeds three sinks and the summary — materialize
     # once instead of re-running the gates per consumer
     verdicts = verdicts.localCheckpoint(eager=False)
@@ -303,6 +336,14 @@ def main() -> None:
                     help="clean seed parquet to train the surprisal LM on")
     ap.add_argument("--max-surprisal", type=int, default=None,
                     help="drop docs above this milli-bits/gram score")
+    ap.add_argument("--clf-seed", default=None,
+                    help="clean seed parquet for the quality classifier "
+                         "(negatives come from a deterministic sample of "
+                         "the input)")
+    ap.add_argument("--min-logodds", type=int, default=None,
+                    help="drop docs below this milli-bits/token "
+                         "seed-vs-background log-odds score")
+    ap.add_argument("--clf-bg-fraction", type=float, default=0.1)
     ap.add_argument("--partitions", type=int, default=32)
     ap.add_argument("--master", default=None)
     args = ap.parse_args()
@@ -315,7 +356,9 @@ def main() -> None:
         budget_tokens=args.budget_tokens, near_dup=args.near_dup,
         partitions=args.partitions, blocklist_path=args.blocklist,
         url_col=args.url_col, max_per_host=args.max_per_host,
-        lm_seed_path=args.lm_seed, max_surprisal_x1000=args.max_surprisal)
+        lm_seed_path=args.lm_seed, max_surprisal_x1000=args.max_surprisal,
+        clf_seed_path=args.clf_seed, min_logodds_x1000=args.min_logodds,
+        clf_bg_fraction=args.clf_bg_fraction)
     print(summary)
 
 

@@ -819,3 +819,110 @@ def surprisal_score(df: DataFrame, model: dict,
         F.when(F.col("lm_grams") > 0,
                F.floor(F.col("_lm_sum") * 1000 / F.col("lm_grams"))))
         .drop("_lm_c", "_lm_sum"))
+
+# -------------------------------------------------- quality classifier
+
+def _tok_counts(df: DataFrame, text_col: str) -> DataFrame:
+    """Corpus token counts under the shared whitespace contract —
+    ``(_t, _c)`` rows; one explode + one map-side-combinable groupBy."""
+    return (df.select(F.explode(
+                _ws_token_array(F.col(text_col))).alias("_t"))
+            .groupBy("_t").agg(F.count("*").alias("_c")))
+
+
+def quality_classifier_model(seed: DataFrame, background: DataFrame,
+                             text_col: str = "text",
+                             top_vocab: int = 50_000) -> dict:
+    """Train the seed-vs-background QUALITY CLASSIFIER of the GPT-3 /
+    CCNet / PaLM curation recipe (Brown et al. 2020 §A; Wenzek et al.
+    2020 §3.4; Chowdhery et al. 2022 §B): positive examples are a small
+    clean reference corpus, negatives a sample of the raw crawl, and
+    every document is scored by how seed-like its tokens are.  This is
+    the engine-portable integer Naive-Bayes form of that classifier:
+    per-token log-odds in whole bits,
+
+        score(t) = floor(log2((cs+1) * (Tb+V)))
+                 - floor(log2((cb+1) * (Ts+V)))
+
+    with cs/cb the token's seed/background counts, Ts/Tb the corpus
+    totals, V the distinct-token universe (add-one smoothing) — every
+    factor an exact integer, so ``floor(log2(x)) = bit_length(x)-1``
+    makes model and scores bit-identical across engines (a whole-bit
+    classifier is coarse, but classifier FILTERING only consumes the
+    ranking).  Out-of-vocabulary tokens score 0 (neutral) — with
+    add-one smoothing an unseen token carries no evidence either way.
+
+    Vocabulary keeps the ``top_vocab`` most frequent tokens by combined
+    count (ties bytewise on the token — deterministic across engines).
+    At 10^12-doc scale counts fit int64 and the smoothed products stay
+    under 2^63 for any real corpus (~2^40 tokens × 2^20 count).
+
+    Scale: BOTH inputs are small by contract — the seed is a reference
+    corpus and the background should be a :func:`deterministic_sample`
+    of the crawl (the GPT-3 recipe trains on a sample, never the full
+    crawl), so counting is two explode+groupBys over small frames and
+    the capped vocabulary collects to the driver for closure shipping.
+    Returns ``{"tokens": {tok: bits}, "ts": Ts, "tb": Tb, "v": V}``.
+    """
+    sc = _tok_counts(seed, text_col).localCheckpoint(eager=False)
+    bc = _tok_counts(background, text_col).localCheckpoint(eager=False)
+    merged = (sc.withColumnRenamed("_c", "_cs")
+              .join(bc.withColumnRenamed("_c", "_cb"), "_t", "full_outer")
+              .select("_t",
+                      F.coalesce("_cs", F.lit(0)).alias("_cs"),
+                      F.coalesce("_cb", F.lit(0)).alias("_cb"))
+              .localCheckpoint(eager=False))
+    tots = merged.agg(F.sum("_cs").alias("ts"), F.sum("_cb").alias("tb"),
+                      F.count("*").alias("v")).collect()[0]
+    ts, tb, v = int(tots["ts"] or 0), int(tots["tb"] or 0), int(tots["v"])
+    if v == 0:
+        return {"tokens": {}, "ts": 0, "tb": 0, "v": 0}
+    top = (merged.orderBy((F.col("_cs") + F.col("_cb")).desc(), F.col("_t"))
+           .limit(top_vocab).collect())
+    tokens = {r["_t"]: ((r["_cs"] + 1) * (tb + v)).bit_length()
+              - ((r["_cb"] + 1) * (ts + v)).bit_length()
+              for r in top}
+    return {"tokens": tokens, "ts": ts, "tb": tb, "v": v}
+
+
+def quality_classifier_score(df: DataFrame, model: dict,
+                             text_col: str = "text") -> DataFrame:
+    """Append ``clf_tokens`` (bigint) and ``logodds_x1000`` (bigint,
+    milli-bits per token; null for token-less text) from a
+    :func:`quality_classifier_model`.  HIGH scores = seed-like text;
+    the GPT-3 recipe keeps high-scoring documents (optionally with a
+    stochastic Pareto acceptance — compose with
+    :func:`deterministic_sample` for the reproducible analog).
+
+    Scale shape (same contract as :func:`surprisal_score`, plan-pinned
+    narrow): the model ships in the task closure; canonicalization is
+    JVM-side (:func:`_lm_canon`), the Python worker only splits on the
+    single canonical space and sums dict lookups — ONE Arrow pass, no
+    explode, no join, no shuffle.  The DuckDB twin recomputes the same
+    integer model as an explode + full-join + ``length(bin(x))``
+    formulation — independent shape, identical values.
+    """
+    toks = model["tokens"]
+
+    @pandas_udf(T.LongType())
+    def _tok_logodds(canon: pd.Series) -> pd.Series:
+        get = toks.get
+        out = []
+        for s in canon:
+            if not s:
+                out.append(0)
+                continue
+            out.append(sum(get(t, 0) for t in s.split(" ")))
+        return pd.Series(out, dtype="int64")
+
+    out = (df.withColumn("_clf_c", _lm_canon(F.col(text_col)))
+           .withColumn("clf_tokens",
+                       F.when(F.length("_clf_c") == 0, F.lit(0))
+                       .otherwise(F.size(F.split(F.col("_clf_c"), " ")))
+                       .cast("bigint"))
+           .withColumn("_clf_sum", _tok_logodds(F.col("_clf_c"))))
+    return (out.withColumn(
+        "logodds_x1000",
+        F.when(F.col("clf_tokens") > 0,
+               F.floor(F.col("_clf_sum") * 1000 / F.col("clf_tokens"))))
+        .drop("_clf_c", "_clf_sum"))

@@ -183,3 +183,39 @@ def test_curate_surprisal_gate(spark):
         curate.curate(docs, lm_model=model)
     with pytest.raises(ValueError):
         curate.curate(docs, max_surprisal_x1000=5000)
+
+
+def test_curate_classifier_gate(spark):
+    """Background-like (spammy) docs below the log-odds threshold drop as
+    classifier_rejected, which outranks exact_duplicate but yields to the
+    surprisal gate and every earlier one."""
+    from ocr_spark.operators import textstats
+    seed = spark.createDataFrame([(0, BASE), (1, OTHER)],
+                                 ["doc_id", "text"])
+    # spammy VOCABULARY without repeated 2-grams, so the earlier
+    # repetition gate stays quiet and the classifier is what fires
+    spam = ("casino bonus winner pills deals offers jackpot prize coins "
+            "tokens spins bets odds chips stakes")
+    background = spark.createDataFrame([(0, spam)], ["doc_id", "text"])
+    model = textstats.quality_classifier_model(seed, background)
+    rows = [
+        (0, BASE),    # seed-like — kept
+        (1, spam),    # classifier_rejected
+        (2, spam),    # dup of 1 — classifier wins precedence
+        (3, "casino bonus"),  # low_quality (<5 tokens) outranks classifier
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r["drop_reason"] for r in
+           curate.curate(docs, clf_model=model,
+                         langs=curate.DEFAULT_LANGS + ("und",),
+                         min_logodds_x1000=0).collect()}
+    assert got[0] is None
+    assert got[1] == "classifier_rejected"
+    assert got[2] == "classifier_rejected"
+    assert got[3] == "low_quality"
+    # both knobs must come together
+    import pytest
+    with pytest.raises(ValueError):
+        curate.curate(docs, clf_model=model)
+    with pytest.raises(ValueError):
+        curate.curate(docs, min_logodds_x1000=0)

@@ -2063,3 +2063,114 @@ def test_duplicated_windows_positions(spark, substr_docs):
     # doc2's copy starts at token 2; doc3 has copies at 0 and 9; doc6's
     # second run yields windows at 10 and 11
     assert got == {(2, 2), (3, 0), (3, 9), (6, 10), (6, 11)}
+
+
+# --- quality classifier (seed-vs-background integer log-odds) ------------------
+
+def test_quality_classifier_hand_model(spark):
+    seed = spark.createDataFrame([(1, "good clean prose")], ["i", "text"])
+    bg = spark.createDataFrame([(1, "good spam spam junk")], ["i", "text"])
+    m = textstats.quality_classifier_model(seed, bg)
+    # ts=3 tb=4 v=5; score = bits((cs+1)*9) - bits((cb+1)*8)
+    assert m["ts"] == 3 and m["tb"] == 4 and m["v"] == 5
+    assert m["tokens"] == {"good": 0, "clean": 1, "prose": 1,
+                           "spam": -1, "junk": -1}
+
+
+def test_quality_classifier_scores_rank_spam_low(spark):
+    seed = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "a clear sentence about ordinary daily life")], ["i", "text"])
+    bg = spark.createDataFrame(
+        [(1, "casino bonus casino bonus winner pills"),
+         (2, "the quick brown fox casino winner pills bonus")], ["i", "text"])
+    m = textstats.quality_classifier_model(seed, bg)
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps"),          # seed-like
+         (2, "casino bonus winner pills casino"),   # background-like
+         (3, "fox casino"),                          # mixed
+         (4, "")],                                   # empty
+        ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in
+           textstats.quality_classifier_score(docs, m).collect()}
+    assert got[1]["logodds_x1000"] > got[3]["logodds_x1000"] > got[2]["logodds_x1000"]
+    assert got[4]["clf_tokens"] == 0 and got[4]["logodds_x1000"] is None
+
+
+def test_quality_classifier_oov_is_neutral(spark):
+    seed = spark.createDataFrame([(1, "alpha beta")], ["i", "text"])
+    bg = spark.createDataFrame([(1, "gamma delta")], ["i", "text"])
+    m = textstats.quality_classifier_model(seed, bg)
+    docs = spark.createDataFrame([(1, "zzz yyy xxx")], ["doc_id", "text"])
+    row = textstats.quality_classifier_score(docs, m).collect()[0]
+    assert row["logodds_x1000"] == 0      # unseen tokens carry no evidence
+
+
+def test_quality_classifier_vocab_cap_tiebreak(spark):
+    seed = spark.createDataFrame([(1, "aa bb aa bb cc")], ["i", "text"])
+    bg = spark.createDataFrame([(1, "dd")], ["i", "text"])
+    m = textstats.quality_classifier_model(seed, bg, top_vocab=2)
+    # combined counts: aa=2, bb=2, cc=1, dd=1 -> cap keeps aa, bb (bytewise
+    # tie-break is moot at the top but deterministic below)
+    assert set(m["tokens"]) == {"aa", "bb"}
+    # totals are computed over the FULL vocabulary, not the capped one
+    assert m["ts"] == 5 and m["tb"] == 1 and m["v"] == 4
+
+
+def test_quality_classifier_empty_inputs(spark):
+    empty = spark.createDataFrame([(1, "")], ["i", "text"])
+    m = textstats.quality_classifier_model(empty, empty)
+    assert m == {"tokens": {}, "ts": 0, "tb": 0, "v": 0}
+    docs = spark.createDataFrame([(1, "anything at all")], ["doc_id", "text"])
+    row = textstats.quality_classifier_score(docs, m).collect()[0]
+    assert row["logodds_x1000"] == 0
+
+
+def test_quality_classifier_differential_vs_python_reference(spark):
+    """Differential fuzz: the operator pair vs an independent pure-Python
+    reimplementation of the integer model + scoring, over randomized
+    corpora (seeded RNG — deterministic test)."""
+    import random
+    rng = random.Random(0xC1A551F)
+    words = [f"w{i}" for i in range(30)]
+
+    def mk(n_docs):
+        return [" ".join(rng.choice(words)
+                         for _ in range(rng.randint(0, 25)))
+                for _ in range(n_docs)]
+
+    for trial in range(5):
+        seed_rows = mk(6)
+        bg_rows = mk(8)
+        score_rows = mk(10)
+        seed = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(seed_rows)], ["i", "text"])
+        bg = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(bg_rows)], ["i", "text"])
+        docs = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(score_rows)], ["doc_id", "text"])
+        m = textstats.quality_classifier_model(seed, bg)
+
+        # independent reference
+        def toks(s):
+            return [t for t in s.lower().split() if t]
+        from collections import Counter
+        cs = Counter(t for d in seed_rows for t in toks(d))
+        cb = Counter(t for d in bg_rows for t in toks(d))
+        ts, tb = sum(cs.values()), sum(cb.values())
+        v = len(set(cs) | set(cb))
+        ref_model = {t: ((cs[t] + 1) * (tb + v)).bit_length()
+                     - ((cb[t] + 1) * (ts + v)).bit_length()
+                     for t in set(cs) | set(cb)}
+        assert m["tokens"] == ref_model and (m["ts"], m["tb"], m["v"]) == (ts, tb, v)
+
+        got = {r["doc_id"]: r["logodds_x1000"] for r in
+               textstats.quality_classifier_score(docs, m).collect()}
+        import math
+        for i, d in enumerate(score_rows):
+            tt = toks(d)
+            if not tt:
+                assert got[i] is None
+                continue
+            s = sum(ref_model.get(t, 0) for t in tt)
+            assert got[i] == math.floor(s * 1000 / len(tt)), (trial, i, d)

@@ -245,3 +245,17 @@ def test_dedup_substrings_partial_agg_no_window(spark):
     assert "Window" not in plan, plan
     assert "partial_min" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_quality_classifier_score_narrow(spark):
+    """Classifier scoring is one Arrow pass over a narrow projection —
+    no explode, no join, no exchange; exactly one python stage (the
+    model ships in the closure)."""
+    from ocr_spark.operators import textstats
+    docs = spark.createDataFrame([(1, "good spam")], ["doc_id", "text"])
+    model = {"tokens": {"good": 1, "spam": -1}, "ts": 1, "tb": 1, "v": 2}
+    df = textstats.quality_classifier_score(docs, model)
+    plan = plans.physical_plan(df)
+    assert "Exchange" not in plan and "Join" not in plan, plan
+    assert "Generate" not in plan, plan
+    assert plans.python_eval_count(df) == 1
