@@ -201,6 +201,13 @@ def q_dedup_substrings(spark, sf_dir):
                     "n_tokens", "n_tokens_removed"))
 
 
+def q_corpus_stats(spark, sf_dir):
+    """Per-language corpus audit rollup with EXACT integer discrete
+    percentiles (p50/p90 doc length) — thresholds via integer div, so no
+    float multiplication ever decides a boundary (cross-engine safe)."""
+    return textstats.corpus_stats(_docs(spark, sf_dir))
+
+
 # spam phrase planted for the quality-classifier check: the word-salad
 # corpus has ONE vocabulary regardless of lang label, so seed-vs-background
 # log-odds are 0 everywhere without planting a discriminative token set.
@@ -1176,6 +1183,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_profile": q_host_profile,
         "surprisal": q_surprisal,
         "quality_classifier": q_quality_classifier,
+        "corpus_stats": q_corpus_stats,
         "scrub_pii": q_scrub_pii,
         "drop_repeated_lines": q_drop_repeated_lines,
         "minhash_dedup_keep": q_minhash_dedup_keep,
@@ -1944,6 +1952,35 @@ def oracle_sql() -> dict[str, str]:
                         THEN CAST(floor(a.s * 1000 / a.n) AS BIGINT)
                         END AS logodds_x1000
             FROM corpus LEFT JOIN agg a ON corpus.doc_id = a.doc_id""",
+        # INDEPENDENT percentile formulation: the twin picks the element
+        # at row-number position (K*n+99)//100 of the raw sorted rows,
+        # while Spark takes min(len) over the cumulative distinct-length
+        # histogram — same integer rule, disjoint shapes.
+        "corpus_stats": f"""
+            WITH base AS (
+                SELECT lang, CAST(length(text) AS BIGINT) AS len,
+                       CAST({_NTOK} AS BIGINT) AS tok
+                FROM documents),
+            tot AS (
+                SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+                       CAST(sum(tok) AS BIGINT) AS total_tokens,
+                       CAST(sum(len) AS BIGINT) AS total_chars
+                FROM base GROUP BY lang),
+            ranked AS (
+                SELECT lang, len,
+                       row_number() OVER (PARTITION BY lang
+                                          ORDER BY len) AS rn,
+                       count(*) OVER (PARTITION BY lang) AS n
+                FROM base),
+            p50 AS (SELECT lang, len FROM ranked
+                    WHERE rn = (n * 50 + 99) // 100),
+            p90 AS (SELECT lang, len FROM ranked
+                    WHERE rn = (n * 90 + 99) // 100)
+            SELECT t.lang, t.n_docs, t.total_tokens, t.total_chars,
+                   p50.len AS p50_chars, p90.len AS p90_chars
+            FROM tot t
+            JOIN p50 ON t.lang = p50.lang
+            JOIN p90 ON t.lang = p90.lang""",
         "host_profile": """
             WITH hosts AS (
                 SELECT doc_id, length(text) AS nc,

@@ -926,3 +926,55 @@ def quality_classifier_score(df: DataFrame, model: dict,
         F.when(F.col("clf_tokens") > 0,
                F.floor(F.col("_clf_sum") * 1000 / F.col("clf_tokens"))))
         .drop("_clf_c", "_clf_sum"))
+
+# ------------------------------------------------------- corpus audit stats
+
+def corpus_stats(df: DataFrame, stratum_col: str = "lang",
+                 text_col: str = "text",
+                 percentiles: tuple[int, ...] = (50, 90)) -> DataFrame:
+    """Per-stratum corpus audit rollup — the summary table a curation run
+    publishes per language/source: document count, token and char
+    volumes, and EXACT discrete length percentiles.
+
+    Percentiles are integers (percent) and the rule is integer-exact on
+    both engines: ``pK_chars`` is the smallest length ``v`` with
+    ``|{len <= v}| >= ceil(K*n/100)`` — i.e. the element at 1-based
+    position ``ceil(K*n/100)`` of the sorted multiset.  The threshold is
+    computed as ``(K*n + 99) // 100`` so no float multiplication ever
+    decides a boundary (``0.9 * 10`` is 9.000000000000002 in IEEE — an
+    approx/interpolated percentile could not be hash-checked across
+    engines).
+
+    Scale shape: totals are one map-side-combinable groupBy on the
+    stratum; percentiles run on the ``(stratum, length) -> count``
+    aggregate (also map-side combinable — the shuffled volume is the
+    number of DISTINCT lengths per stratum, bounded by the page-size cap
+    rather than the corpus), then a cumulative-sum window over those
+    skinny rows.  Nothing corpus-sized is ever sorted, unlike a naive
+    per-stratum ``sort + pick`` (one unsplittable task per hot language
+    at 10^12 docs).
+    """
+    base = df.select(F.col(stratum_col).alias("stratum"),
+                     F.length(F.col(text_col)).cast("bigint").alias("_len"),
+                     token_count(F.col(text_col)).alias("_tok"))
+    base = base.localCheckpoint(eager=False)   # totals + histogram consumers
+    totals = (base.groupBy("stratum")
+              .agg(F.count("*").alias("n_docs"),
+                   F.sum("_tok").alias("total_tokens"),
+                   F.sum("_len").alias("total_chars")))
+    hist = (base.groupBy("stratum", "_len")
+            .agg(F.count("*").alias("_c")))
+    w = (Window.partitionBy("stratum").orderBy("_len")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cum = hist.withColumn("_cum", F.sum("_c").over(w))
+    joined = cum.join(F.broadcast(totals.select("stratum", "n_docs")),
+                      "stratum")
+    picks = joined.groupBy("stratum").agg(*[
+        F.min(F.when(
+            F.col("_cum") >= F.expr(f"(n_docs * {int(p)} + 99) div 100"),
+            F.col("_len"))).alias(f"p{p}_chars")
+        for p in percentiles])
+    return (totals.join(picks, "stratum")
+            .select(F.col("stratum").alias(stratum_col), "n_docs",
+                    "total_tokens", "total_chars",
+                    *[f"p{p}_chars" for p in percentiles]))

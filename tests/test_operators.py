@@ -2174,3 +2174,36 @@ def test_quality_classifier_differential_vs_python_reference(spark):
                 continue
             s = sum(ref_model.get(t, 0) for t in tt)
             assert got[i] == math.floor(s * 1000 / len(tt)), (trial, i, d)
+
+
+# --- corpus audit stats --------------------------------------------------------
+
+def test_corpus_stats_hand_percentiles(spark):
+    rows = [(i, "x" * i, "en") for i in range(1, 11)]          # lengths 1..10
+    rows += [(100 + i, "y" * (7 * i), "de") for i in range(1, 4)]  # 7,14,21
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    got = {r["lang"]: r for r in
+           textstats.corpus_stats(df).collect()}
+    # en: n=10 -> p50 = 5th smallest = 5, p90 = 9th = 9
+    assert got["en"]["n_docs"] == 10
+    assert got["en"]["p50_chars"] == 5 and got["en"]["p90_chars"] == 9
+    assert got["en"]["total_chars"] == sum(range(1, 11))
+    assert got["en"]["total_tokens"] == 10
+    # de: n=3 -> p50 = ceil(150/100)=2nd = 14, p90 = ceil(270/100)=3rd = 21
+    assert got["de"]["p50_chars"] == 14 and got["de"]["p90_chars"] == 21
+
+
+def test_corpus_stats_ties_and_single_doc(spark):
+    rows = [(1, "aa", "en"), (2, "bb", "en"), (3, "cc", "en"),
+            (4, "dddd", "en"), (5, "solo here", "fr")]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    got = {r["lang"]: r for r in textstats.corpus_stats(df).collect()}
+    # en: sorted lengths 2,2,2,4 -> p50 = 2nd = 2, p90 = ceil(360/100)=4th = 4
+    assert got["en"]["p50_chars"] == 2 and got["en"]["p90_chars"] == 4
+    # fr: single doc -> both percentiles are its length
+    assert got["fr"]["p50_chars"] == 9 and got["fr"]["p90_chars"] == 9
+    # partitioning invariance
+    again = {r["lang"]: r for r in
+             textstats.corpus_stats(df.repartition(5)).collect()}
+    assert {(k, v["p50_chars"], v["p90_chars"]) for k, v in got.items()} \
+        == {(k, v["p50_chars"], v["p90_chars"]) for k, v in again.items()}

@@ -259,3 +259,18 @@ def test_quality_classifier_score_narrow(spark):
     assert "Exchange" not in plan and "Join" not in plan, plan
     assert "Generate" not in plan, plan
     assert plans.python_eval_count(df) == 1
+
+
+def test_corpus_stats_histogram_not_corpus_sort(spark):
+    """Percentiles must run over the (stratum, length) histogram — the
+    window sorts distinct lengths per stratum, never raw corpus rows: the
+    plan's Window input is the map-side-combined count aggregate (partial
+    before exchange), not the scan."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    from ocr_spark.operators import textstats
+    df = textstats.corpus_stats(docs)
+    plan = plans.physical_plan(df)
+    assert "partial_count" in plan, plan
+    # the Window must consume the aggregated histogram: it appears after
+    # a HashAggregate in the plan tree, and no sort-merge join exists
+    assert "SortMergeJoin" not in plan, plan
