@@ -7,7 +7,8 @@ Chains the operator suite end-to-end over a documents-shaped table
     language allowlist → eval-set decontamination → [optional LM
     surprisal gate] → [optional seed-vs-background quality classifier]
     → exact dedup → [optional MinHash near-dedup] →
-    [optional per-host cap] → PII scrub → token-budget shard assignment
+    [optional per-host cap] → [optional ExactSubstr span removal] →
+    PII scrub → token-budget shard assignment
 
 Every document gets a first-failing-gate reason code (precedence:
 ``url_blocked`` → ``low_quality`` → ``repetitive`` → ``lang_filtered``
@@ -87,7 +88,8 @@ def curate(df: DataFrame, bench: Optional[DataFrame] = None,
            lm_model: Optional[dict] = None,
            max_surprisal_x1000: Optional[int] = None,
            clf_model: Optional[dict] = None,
-           min_logodds_x1000: Optional[int] = None) -> DataFrame:
+           min_logodds_x1000: Optional[int] = None,
+           substr_dedup_k: Optional[int] = None) -> DataFrame:
     """Per-document curation verdicts: (id, keep, drop_reason, n_tokens,
     shard_id, scrubbed_md5[, scrubbed_text]).
 
@@ -108,6 +110,16 @@ def curate(df: DataFrame, bench: Optional[DataFrame] = None,
     turn on the GPT-3-style classifier gate: docs scoring BELOW the
     threshold (milli-bits/token of seed-vs-background log-odds) drop as
     ``classifier_rejected``.
+
+    ``substr_dedup_k`` turns on the ExactSubstr REWRITE stage
+    (RefinedWeb's exact-substring removal after document-level dedup):
+    duplicated ``k``-token spans are cut from every admitted copy but
+    the corpus-first one (:func:`ocr_spark.operators.dedup.
+    dedup_substrings`) before scrubbing/token counting/sharding.  Not a
+    gate — no doc drops — but it rewrites kept text to the CANONICAL
+    token stream (lowercased, whitespace-collapsed) and, like near-dedup
+    and the host cap, it is set-dependent by design (spans are
+    deduplicated among survivors only).
     """
     if (lm_model is None) != (max_surprisal_x1000 is None):
         raise ValueError(
@@ -216,6 +228,38 @@ def curate(df: DataFrame, bench: Optional[DataFrame] = None,
                     .drop("_cap_drop", url_col))
 
     scrubbed = textstats.scrub_pii(F.col(text_col))
+    if substr_dedup_k is not None:
+        # rewrite path: admitted text goes through ExactSubstr removal,
+        # so the final text is join-carried (it no longer equals any
+        # expression over the input column)
+        survivors = (verdicts.filter(F.col("drop_reason").isNull())
+                     .select(id_col, text_col))
+        kept = (dedup.dedup_substrings(survivors, k=substr_dedup_k,
+                                       id_col=id_col, text_col=text_col)
+                .select(F.col(id_col),
+                        textstats.scrub_pii(F.col("text_clean"))
+                        .alias("text"))
+                .localCheckpoint(eager=False))   # shards + annotate join
+        shards = textstats.token_shards(kept, budget_tokens,
+                                        id_col=id_col, text_col="text")
+        out = (verdicts
+               .withColumn("keep", F.col("drop_reason").isNull())
+               .join(kept.select(F.col(id_col),
+                                 F.col("text").alias("_final_text")),
+                     id_col, "left")
+               .withColumn("scrubbed_md5",
+                           F.when(F.col("keep"), F.md5("_final_text")))
+               .join(shards.select(id_col, "n_tokens", "shard_id"),
+                     id_col, "left"))
+        cols = [id_col, "keep", "drop_reason", "n_tokens", "shard_id",
+                "scrubbed_md5"]
+        if with_text:
+            out = out.withColumn("scrubbed_text",
+                                 F.when(F.col("keep"),
+                                        F.col("_final_text")))
+            cols.append("scrubbed_text")
+        return out.select(*cols)
+
     kept = (verdicts.filter(F.col("drop_reason").isNull())
             .select(F.col(id_col), scrubbed.alias("text")))
     shards = textstats.token_shards(kept, budget_tokens, id_col=id_col,
@@ -247,7 +291,8 @@ def run_curation(spark: SparkSession, input_path: str, output_path: str,
                  max_surprisal_x1000: Optional[int] = None,
                  clf_seed_path: Optional[str] = None,
                  min_logodds_x1000: Optional[int] = None,
-                 clf_bg_fraction: float = 0.1) -> dict:
+                 clf_bg_fraction: float = 0.1,
+                 substr_dedup_k: Optional[int] = None) -> dict:
     """Execute the curation job: parquet in → three sinks out.
 
     * ``{out}/data``    — kept docs (doc_id, text=scrubbed, n_tokens,
@@ -282,7 +327,8 @@ def run_curation(spark: SparkSession, input_path: str, output_path: str,
                       lm_model=lm_model,
                       max_surprisal_x1000=max_surprisal_x1000,
                       clf_model=clf_model,
-                      min_logodds_x1000=min_logodds_x1000)
+                      min_logodds_x1000=min_logodds_x1000,
+                      substr_dedup_k=substr_dedup_k)
     # the verdict frame feeds three sinks and the summary — materialize
     # once instead of re-running the gates per consumer
     verdicts = verdicts.localCheckpoint(eager=False)
@@ -344,6 +390,9 @@ def main() -> None:
                     help="drop docs below this milli-bits/token "
                          "seed-vs-background log-odds score")
     ap.add_argument("--clf-bg-fraction", type=float, default=0.1)
+    ap.add_argument("--substr-dedup-k", type=int, default=None,
+                    help="remove duplicated k-token spans from admitted "
+                         "docs (ExactSubstr rewrite; keeps corpus-first)")
     ap.add_argument("--partitions", type=int, default=32)
     ap.add_argument("--master", default=None)
     args = ap.parse_args()
@@ -358,7 +407,8 @@ def main() -> None:
         url_col=args.url_col, max_per_host=args.max_per_host,
         lm_seed_path=args.lm_seed, max_surprisal_x1000=args.max_surprisal,
         clf_seed_path=args.clf_seed, min_logodds_x1000=args.min_logodds,
-        clf_bg_fraction=args.clf_bg_fraction)
+        clf_bg_fraction=args.clf_bg_fraction,
+        substr_dedup_k=args.substr_dedup_k)
     print(summary)
 
 

@@ -219,3 +219,57 @@ def test_curate_classifier_gate(spark):
         curate.curate(docs, clf_model=model)
     with pytest.raises(ValueError):
         curate.curate(docs, min_logodds_x1000=0)
+
+
+def test_curate_substr_dedup_rewrite(spark):
+    """ExactSubstr rewrite: a duplicated 8-token span is cut from the
+    later admitted copy (not the corpus-first one); dropped docs and the
+    no-rewrite path are unaffected."""
+    span = "v1 v2 v3 v4 v5 v6 v7 v8"
+    rows = [
+        (0, BASE),                                   # kept, untouched
+        (1, span + " alpha beta gamma delta own"),   # first span holder
+        (2, "pre1 pre2 pre3 pre4 pre5 " + span),     # later copy -> cut
+        (3, "tiny junk"),                            # low_quality drop
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in
+           curate.curate(docs, substr_dedup_k=8, with_text=True,
+                         langs=curate.DEFAULT_LANGS + ("und",)).collect()}
+    assert got[0]["keep"] and got[1]["keep"] and got[2]["keep"]
+    assert got[3]["drop_reason"] == "low_quality"
+    assert got[3]["scrubbed_text"] is None and got[3]["n_tokens"] is None
+    # first holder keeps its span (canonical lowercase stream)
+    assert got[1]["scrubbed_text"] == span + " alpha beta gamma delta own"
+    assert got[1]["n_tokens"] == 13
+    # later copy loses exactly the 8 span tokens
+    assert got[2]["scrubbed_text"] == "pre1 pre2 pre3 pre4 pre5"
+    assert got[2]["n_tokens"] == 5
+    # md5 reflects the rewritten text
+    import hashlib
+    assert got[2]["scrubbed_md5"] == hashlib.md5(
+        b"pre1 pre2 pre3 pre4 pre5").hexdigest()
+    # default path unchanged: span survives in both copies
+    off = {r["doc_id"]: r for r in
+           curate.curate(docs, with_text=True,
+                         langs=curate.DEFAULT_LANGS + ("und",)).collect()}
+    assert off[2]["scrubbed_text"].endswith(span)
+
+
+def test_curate_substr_dedup_only_among_survivors(spark):
+    """Set dependence: when the corpus-first span holder is DROPPED by a
+    gate, the surviving copy becomes first and keeps its span."""
+    span = "va vb vc vd ve vf vg vh"
+    rows = [
+        # corpus-first span holder, dropped by the repetition gate
+        (0, span + " qq qq qq qq qq qq qq qq qq qq qq qq"),
+        (1, span + " tail1 tail2 tail3 tail4 tail5"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in
+           curate.curate(docs, substr_dedup_k=8, with_text=True,
+                         langs=curate.DEFAULT_LANGS + ("und",)).collect()}
+    assert got[0]["drop_reason"] == "repetitive"
+    # doc 1 is now the FIRST holder among survivors — span survives
+    assert got[1]["keep"]
+    assert got[1]["scrubbed_text"] == span + " tail1 tail2 tail3 tail4 tail5"

@@ -2207,3 +2207,48 @@ def test_corpus_stats_ties_and_single_doc(spark):
              textstats.corpus_stats(df.repartition(5)).collect()}
     assert {(k, v["p50_chars"], v["p90_chars"]) for k, v in got.items()} \
         == {(k, v["p50_chars"], v["p90_chars"]) for k, v in again.items()}
+
+
+def test_dedup_substrings_differential_vs_python_reference(spark):
+    """Differential fuzz: the distributed ExactSubstr pair vs an
+    independent pure-Python reimplementation, over randomized small-vocab
+    corpora (k=3 with 6 words forces heavy natural window collisions,
+    including self-overlaps and cross-doc chains).  Seeded RNG."""
+    import random
+    rng = random.Random(0x5B57)
+    words = ["a", "b", "c", "d", "e", "f"]
+    K = 3
+
+    def ref(rows):
+        toks = {i: t.lower().split() for i, t in rows}
+        occ = []                       # (doc, pos, gram) in corpus order
+        for i in sorted(toks):
+            tt = toks[i]
+            for p in range(len(tt) - K + 1):
+                occ.append((i, p, " ".join(tt[p:p + K])))
+        first = {}
+        for i, p, g in occ:            # corpus order = (doc, pos)
+            first.setdefault(g, (i, p))
+        from collections import Counter
+        cnt = Counter(g for _, _, g in occ)
+        out = {}
+        for i in sorted(toks):
+            tt = toks[i]
+            drop = set()
+            for p in range(len(tt) - K + 1):
+                g = " ".join(tt[p:p + K])
+                if cnt[g] > 1 and first[g] != (i, p):
+                    drop.update(range(p, p + K))
+            kept = [t for j, t in enumerate(tt) if j not in drop]
+            out[i] = (" ".join(kept), len(tt), len(tt) - len(kept))
+        return out
+
+    for trial in range(4):
+        rows = [(i, " ".join(rng.choice(words)
+                             for _ in range(rng.randint(0, 14))))
+                for i in range(12)]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        got = {r["doc_id"]: (r["text_clean"], r["n_tokens"],
+                             r["n_tokens_removed"])
+               for r in dedup.dedup_substrings(df, k=K).collect()}
+        assert got == ref(rows), (trial, rows)
