@@ -1331,6 +1331,17 @@ WHERE inter * 1.0 / (sa.n_grams + sb.n_grams - inter) >= 0.3
 """
 
 
+# winnowing twin: polynomial-hash term list (mod-2^64 ring in HUGEINT —
+# each term b*P_j < 2^72 fits, the 8-term sum < 2^67 fits).  Byte-exact
+# for ASCII corpora (ascii(char) == utf-8 byte there; the harness corpus
+# is ASCII) — the Spark side hashes raw utf-8 bytes.
+_WINNOW_M = 1 << 64
+_WINNOW_TERMS = " + ".join(
+    f"(COALESCE(lead(b, {j}) OVER w, 0) * {pow(1000003, 7 - j, _WINNOW_M)}"
+    f"::HUGEINT % {_WINNOW_M}::HUGEINT)"
+    for j in range(8))
+
+
 def oracle_sql() -> dict[str, str]:
     doc = _SYNTH_DOC
     body = "lpad(CAST((doc_id * 7919) % 10000000 AS VARCHAR), 7, '0')"
@@ -1952,6 +1963,46 @@ def oracle_sql() -> dict[str, str]:
                         THEN CAST(floor(a.s * 1000 / a.n) AS BIGINT)
                         END AS logodds_x1000
             FROM corpus LEFT JOIN agg a ON corpus.doc_id = a.doc_id""",
+        # Winnowing (Schleimer et al.) — previously rows-only; the twin
+        # recomputes the mod-2^64 polynomial k-gram hash in HUGEINT ring
+        # arithmetic (lead-window formulation vs numpy sliding windows)
+        "winnow_fingerprints": f"""
+            WITH docs2 AS (SELECT doc_id, lower(text) AS s FROM documents),
+            chars AS (
+                SELECT doc_id, i,
+                       CAST(ascii(substring(s, CAST(i AS INT), 1))
+                            AS HUGEINT) AS b,
+                       length(s) AS n
+                FROM (SELECT doc_id, s, unnest(range(1, length(s)+1)) AS i
+                      FROM docs2)),
+            hashes AS (
+                SELECT doc_id, i, ({_WINNOW_TERMS}) % {_WINNOW_M}::HUGEINT
+                           AS h
+                FROM chars WINDOW w AS (PARTITION BY doc_id ORDER BY i)
+                QUALIFY i <= n - 7),
+            mins AS (
+                SELECT doc_id, i,
+                       min(h) OVER (PARTITION BY doc_id ORDER BY i
+                                    ROWS BETWEEN CURRENT ROW
+                                    AND 3 FOLLOWING) AS m,
+                       max(i) OVER (PARTITION BY doc_id) AS n_h
+                FROM hashes),
+            sel AS (
+                SELECT doc_id, m
+                FROM mins
+                WHERE (n_h <= 4 AND i = 1) OR (n_h > 4 AND i <= n_h - 3)),
+            -- the operator sorts fingerprints by UNSIGNED value and only
+            -- then two's-complements each element, so first_fp is the
+            -- signed form of the unsigned minimum
+            agg AS (
+                SELECT doc_id, count(DISTINCT m) AS n_fp,
+                       CAST(CASE WHEN min(m) >= {1 << 63}::HUGEINT
+                            THEN min(m) - {_WINNOW_M}::HUGEINT
+                            ELSE min(m) END AS BIGINT) AS first_fp
+                FROM sel GROUP BY doc_id)
+            SELECT d.doc_id AS id, CAST(coalesce(a.n_fp, 0) AS INT) AS n_fp,
+                   a.first_fp
+            FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id""",
         # INDEPENDENT percentile formulation: the twin picks the element
         # at row-number position (K*n+99)//100 of the raw sorted rows,
         # while Spark takes min(len) over the cumulative distinct-length
