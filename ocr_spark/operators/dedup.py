@@ -39,8 +39,7 @@ from pyspark.sql import DataFrame, functions as F
 from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf
 
-from ocr_spark.operators.textstats import (fingerprint, _word_ngrams,
-                                            _ws_token_array)
+from ocr_spark.operators.textstats import fingerprint, _ws_token_array
 
 SEED = 0x5EED
 
@@ -775,11 +774,20 @@ def duplicated_windows(df: DataFrame, k: int = 50, id_col: str = "doc_id",
 def _duplicated_window_occurrences(base: DataFrame, k: int) -> DataFrame:
     """Non-first duplicated-window occurrences of a pre-tokenized
     ``(id, _toks)`` frame — the shared core of :func:`duplicated_windows`
-    and :func:`dedup_substrings` (so the removal path tokenizes ONCE)."""
-    occ = base.select(
-        "id",
-        F.posexplode(F.transform(_word_ngrams(F.col("_toks"), k),
-                                 lambda g: F.md5(g))).alias("pos", "wh"))
+    and :func:`dedup_substrings` (so the removal path tokenizes ONCE).
+
+    The md5 is fused INTO the per-window lambda (rather than
+    ``transform(_word_ngrams(...), md5)``) so the intermediate gram-STRING
+    array never materializes — per-row peak memory is n_windows × 32 B of
+    hashes instead of n_windows × k tokens of text (~300 B/token at the
+    k=50 default, tens of MB for a long document)."""
+    toks = F.col("_toks")
+    win_hashes = F.when(
+        F.size(toks) >= k,
+        F.transform(F.sequence(F.lit(1), F.size(toks) - F.lit(k - 1)),
+                    lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, k))))
+    ).otherwise(F.array().cast("array<string>"))
+    occ = base.select("id", F.posexplode(win_hashes).alias("pos", "wh"))
     # occ feeds both the first-occurrence aggregate and the annotate join —
     # materialize once (same rationale as ngram_jaccard_pairs)
     occ = occ.localCheckpoint(eager=False)
