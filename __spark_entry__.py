@@ -543,16 +543,19 @@ def q_url_blocklist(spark, sf_dir):
     blocked-zone.org), exact-host entries, www-subdomain matches, a
     longest-match overlap (doc 490 sits under BOTH blocked-zone.org and
     host-5.blocked-zone.org — the more specific entry must win), mixed
-    case, and a non-default port that must not defeat matching.  The
-    DuckDB twin is an INDEPENDENT formulation (label-boundary LIKE
-    precedence, longest first), not a mirror of the suffix-join."""
+    case, a non-default port that must not defeat matching, and a
+    trailing root-dot FQDN (``host.`` — every ``doc_id % 11 == 0``) that
+    must not defeat matching either.  The DuckDB twin is an INDEPENDENT
+    formulation (label-boundary LIKE precedence, longest first, dotless
+    hosts by construction), not a mirror of the suffix-join."""
     from ocr_spark.operators import urls
     d = F.col("doc_id")
     host = F.concat(
         F.when(d % 5 == 0, F.lit("WWW.")).otherwise(F.lit("")),
         F.lit("Host-"), (d % 97).cast("string"),
         F.when(d % 7 == 0, F.lit(".Blocked-Zone.ORG"))
-        .otherwise(F.lit(".Example.COM")))
+        .otherwise(F.lit(".Example.COM")),
+        F.when(d % 11 == 0, F.lit(".")).otherwise(F.lit("")))
     url = F.concat(
         F.when(d % 2 == 0, F.lit("HTTPS://")).otherwise(F.lit("http://")),
         host,

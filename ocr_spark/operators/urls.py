@@ -73,8 +73,19 @@ def bare_host(url: Column) -> Column:
 
     The strip is digits-after-colon-at-end, NOT first-colon: a bracketed
     IPv6 authority ``[::1]:8080`` yields ``[::1]`` (first-colon would
-    collapse every IPv6 host to ``[`` — one shared cap/profile group)."""
-    return F.regexp_replace(host_of(url), r":[0-9]+$", "")
+    collapse every IPv6 host to ``[`` — one shared cap/profile group).
+
+    A single trailing dot (the DNS root label: ``bad.example.`` resolves
+    identically to ``bad.example`` in every browser) is also stripped —
+    otherwise a crawler-controlled root-dot FQDN bypasses the blocklist
+    entirely (``host_domain_suffixes('bad.example.')`` yields only
+    dotted suffixes, which never equal the dotless blocklist entries)
+    and splits cap/profile groups.  One dot only: ``example.com..`` is
+    not a resolvable DNS name and stays distinct rather than being
+    silently merged."""
+    return F.regexp_replace(
+        F.regexp_replace(host_of(url), r":[0-9]+$", ""),
+        r"^(.*[^.])\.$", "$1")
 
 
 def host_domain_suffixes(host: Column) -> Column:

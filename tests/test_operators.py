@@ -1718,6 +1718,9 @@ _BL_URLS = [
     (6, "https://sub.specific.bad.example/f"),  # two matches → longest wins
     (7, "not a url"),                           # unparseable → clean
     (8, "https://clean.example/g"),
+    (9, "https://bad.example./h"),              # root-dot FQDN — still blocked
+    (10, "https://sub.bad.example.:8443/i"),    # root dot + port
+    (11, "https://bad.example../j"),            # double dot: NOT valid DNS
 ]
 _BL_DOMAINS = ["bad.example", "specific.bad.example", "  Other.Example  "]
 
@@ -1741,6 +1744,23 @@ def test_blocklist_annotate_semantics(spark):
     assert got[6] == ("specific.bad.example", True)   # longest match
     assert got[7] == (None, False)
     assert got[8] == (None, False)
+    # a crawler-controlled trailing root dot must not defeat the gate
+    assert got[9] == ("bad.example", True)
+    assert got[10] == ("bad.example", True)
+    assert got[11] == (None, False)             # '..' is not a DNS name
+
+
+def test_bare_host_root_dot(spark):
+    from ocr_spark.operators import urls
+    cases = [("https://Example.COM./x", "example.com"),
+             ("https://example.com.:8080/x", "example.com"),
+             ("https://[::1]:8080/x", "[::1]"),
+             ("https://example.com../x", "example.com.."),
+             ("https://./x", ".")]
+    df = spark.createDataFrame(cases, ["url", "want"])
+    for r in df.select(urls.bare_host(F.col("url")).alias("got"),
+                       "want").collect():
+        assert r["got"] == r["want"], (r["got"], r["want"])
 
 
 def test_blocklist_filter_and_entry_normalization(spark):
@@ -1748,7 +1768,7 @@ def test_blocklist_filter_and_entry_normalization(spark):
     docs, bl = _bl_frames(spark)
     kept = sorted(r["doc_id"]
                   for r in urls.blocklist_filter(docs, bl).collect())
-    assert kept == [3, 7, 8]
+    assert kept == [3, 7, 8, 11]
     # entries are trimmed + casefolded: ' Other.Example ' blocks other.example
     extra = spark.createDataFrame([(9, "http://x.other.example/")],
                                   ["doc_id", "url"])
