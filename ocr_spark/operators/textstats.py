@@ -672,9 +672,14 @@ def token_shards(df: DataFrame, budget_tokens: int,
     # crosses Arrow — document text stays in the scan.  localCheckpoint
     # pins partition placement + within-partition order so the totals
     # pass and the cumsum pass see identical layout (and the corpus is
-    # tokenized once, not once per consumer).
+    # tokenized once, not once per consumer).  NULL text counts as 0
+    # tokens: token_count(NULL) is NULL, which pandas' int64 conversion
+    # would silently turn into INT64_MIN, poisoning every shard offset
+    # after it (while sum() skips NULLs, so the driver totals would
+    # disagree with the rows — corrupt assignments, no error).
     rp = (df.select(F.col(id_col),
-                    token_count(F.col(text_col)).alias("_tok"))
+                    F.coalesce(token_count(F.col(text_col)),
+                               F.lit(0)).alias("_tok"))
           .repartitionByRange(n_part, F.col(id_col))
           .sortWithinPartitions(id_col)
           .withColumn("_pid", F.spark_partition_id())

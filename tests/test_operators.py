@@ -4,6 +4,7 @@ from __future__ import annotations
 
 import pytest
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from ocr_spark.operators import dedup, multimodal, similarity, textstats
 
@@ -1668,6 +1669,24 @@ def test_token_shards_partitioning_invariant(spark):
         got = sorted(textstats.token_shards(df, 25, partitions=p).collect())
         assert got == ref, f"partitions={p}"
     assert len({r["shard_id"] for r in ref}) > 5  # non-trivial sharding
+
+
+def test_token_shards_null_text_counts_zero(spark):
+    """A NULL-text row consumes no budget and must NOT poison the rows
+    after it (token_count(NULL) is NULL; an uncoalesced int64 conversion
+    turns it into INT64_MIN and wrecks every later offset in the
+    partition)."""
+    rows = [(0, "a b c d e"), (1, None), (2, "f g h i j"),
+            (3, "k l m n o")]
+    df = spark.createDataFrame(rows, T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType())]))
+    got = {r["doc_id"]: (r["n_tokens"], r["shard_id"])
+           for r in textstats.token_shards(df, 10, partitions=1).collect()}
+    assert got[0] == (5, 0)
+    assert got[1] == (0, 0)
+    assert got[2] == (5, 0)
+    assert got[3] == (5, 1)
 
 
 def test_token_shards_rejects_bad_budget(spark):
