@@ -342,10 +342,16 @@ def run_curation(spark: SparkSession, input_path: str, output_path: str,
     (verdicts.select("doc_id", "keep", "drop_reason")
      .write.mode("overwrite").parquet(f"{output_path}/report"))
 
+    # every sum is coalesced: over ZERO rows sum() is NULL, the summary
+    # dict would carry Nones, and createDataFrame cannot infer types from
+    # them — an empty crawl day must publish a zero-count summary, not die
+    # at the last step after the data/report sinks were already written
     row = (verdicts.agg(
         F.count("*").alias("input_count"),
-        F.sum(F.col("keep").cast("long")).alias("kept_count"),
-        *[F.sum((F.col("drop_reason") == r).cast("long")).alias(f"n_{r}")
+        F.coalesce(F.sum(F.col("keep").cast("long")),
+                   F.lit(0)).alias("kept_count"),
+        *[F.coalesce(F.sum((F.col("drop_reason") == r).cast("long")),
+                     F.lit(0)).alias(f"n_{r}")
           for r in REASONS],
         F.coalesce(F.sum("n_tokens"), F.lit(0)).alias("total_tokens"),
         F.countDistinct("shard_id").alias("n_shards"),

@@ -110,6 +110,21 @@ def test_run_curation_sinks_and_digest_invariance(spark, tmp_path):
     assert summary[0]["digest"] == s1["digest"]
 
 
+def test_run_curation_empty_input(spark, tmp_path):
+    """An empty crawl day publishes a zero-count summary instead of
+    dying at the summary step (sums over zero rows are NULL, and
+    createDataFrame cannot infer types from None)."""
+    docs = _corpus(spark).limit(0)
+    inp = str(tmp_path / "empty.parquet")
+    docs.write.parquet(inp)
+    s = curate.run_curation(spark, inp, str(tmp_path / "out"), partitions=2)
+    assert s["input_count"] == 0 and s["kept_count"] == 0
+    assert s["total_tokens"] == 0 and s["digest"] == 0
+    assert all(s[k] == 0 for k in s if k.startswith("n_")
+               and k != "n_shards")
+    assert spark.read.parquet(str(tmp_path / "out/report")).count() == 0
+
+
 def test_curate_url_gates(spark):
     """Blocklist gate outranks every later reason; the host cap ranks
     only SURVIVORS (a host's blocked/junk pages must not consume its cap
