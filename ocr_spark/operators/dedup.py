@@ -340,6 +340,18 @@ def near_duplicates_minhash(df: DataFrame, id_col: str = "doc_id",
     keyed = minhash_band_keys(df, id_col, text_col, k=k, bands=bands,
                               shingle_width=shingle_width)
     cands = band_candidates(keyed)
+    return _verify_candidate_pairs(df, cands, id_col, text_col,
+                                   threshold, shingle_width)
+
+
+def _verify_candidate_pairs(df: DataFrame, cands: DataFrame, id_col: str,
+                            text_col: str, threshold: float,
+                            shingle_width: int) -> DataFrame:
+    """Exact-shingle-Jaccard verification of LSH candidate ``(id_a,
+    id_b)`` pairs against the texts in *df* — the shared verify stage of
+    :func:`near_duplicates_minhash` and :func:`near_dedup_incremental`.
+    Re-reads only candidate texts; returns (id_a, id_b, jaccard ≥
+    threshold)."""
     texts = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
     paired = (cands
               .join(texts.withColumnsRenamed({"id": "id_a", "text": "text_a"}), "id_a")
@@ -693,8 +705,11 @@ def near_dedup_incremental(new_df: DataFrame, history_sigs: DataFrame,
        retained — this is the one asymmetry vs the within-batch pass;
     4. batch rows estimated ≥ ``threshold`` against ANY history doc are
        dropped (``left_anti``);
-    5. the survivors are near-deduped within the batch by the full
-       exact-Jaccard path (:func:`dedup_near_minhash` — text is in hand).
+    5. the survivors are near-deduped within the batch — candidates from
+       the SAME checkpointed signatures (a second
+       :func:`_sig_band_buckets` derivation, pure JVM), verified by the
+       full exact-Jaccard path over the texts in hand
+       (:func:`_verify_candidate_pairs`), keepers by cluster minima.
 
     Fold the survivors' signatures into the next day's history with
     ``history_sigs.unionByName(minhash_signatures(kept, ...))``.
@@ -702,8 +717,10 @@ def near_dedup_incremental(new_df: DataFrame, history_sigs: DataFrame,
     ``history_sigs`` is read TWICE (band buckets + the verify join) — pass
     a materialized table (the parquet the previous increment wrote), not a
     freshly computed frame, or the signature UDF runs twice over history.
-    The batch side is localCheckpoint-ed here, so the increment's own
-    signatures are computed once regardless.
+    The batch side is localCheckpoint-ed here and BOTH the cross-batch and
+    within-batch passes derive band keys from it JVM-side, so the
+    increment's dominant Python cost — shingling + hashing its text — is
+    paid exactly once; only candidate pairs ever reach the verify UDF.
     """
     bands = min(bands, k)
     bsigs = (minhash_signatures(new_df, id_col, text_col, k, shingle_width)
@@ -728,9 +745,12 @@ def near_dedup_incremental(new_df: DataFrame, history_sigs: DataFrame,
                .select("batch_id").distinct())
     fresh = new_df.join(dup_ids.withColumnRenamed("batch_id", id_col),
                         id_col, "left_anti")
-    return dedup_near_minhash(fresh, id_col, text_col, k=k, bands=bands,
-                              threshold=threshold,
-                              shingle_width=shingle_width)
+    fresh_sigs = bsigs.join(dup_ids.withColumnRenamed("batch_id", "id"),
+                            "id", "left_anti")
+    pairs = _verify_candidate_pairs(
+        fresh, minhash_candidates(fresh_sigs, bands=bands, k=k),
+        id_col, text_col, threshold, shingle_width)
+    return _keep_cluster_minima(fresh, pairs, id_col)
 
 
 # ---------------------------------------------------------------------------

@@ -912,6 +912,27 @@ def test_near_dedup_incremental(spark):
     assert {r["doc_id"] for r in kept.collect()} == {11}
 
 
+def test_near_dedup_incremental_single_signature_pass(spark, monkeypatch):
+    """The batch text is shingled+hashed through Python exactly once (the
+    checkpointed signature pass): the within-batch stage must derive its
+    band keys from those signatures JVM-side, never re-tokenize the text
+    through minhash_band_keys — at a 10^9-doc daily increment that second
+    pass would double the operator's dominant cost."""
+    calls = []
+    orig = dedup.minhash_band_keys
+    monkeypatch.setattr(
+        dedup, "minhash_band_keys",
+        lambda *a, **kw: (calls.append(1), orig(*a, **kw))[1])
+    history = dedup.minhash_signatures(
+        spark.createDataFrame([(0, BASE)], ["doc_id", "text"]))
+    batch = spark.createDataFrame(
+        [(10, BASE), (11, "some other text entirely")],
+        ["doc_id", "text"])
+    kept = dedup.near_dedup_incremental(batch, history, threshold=0.5)
+    assert {r["doc_id"] for r in kept.collect()} == {11}
+    assert not calls, "within-batch pass re-shingled the text"
+
+
 def test_increment_operators_partitioning_invariance(spark, docs):
     """The increment family and TF-IDF are pure functions of the data:
     identical results at any parallelism (the property that makes them
