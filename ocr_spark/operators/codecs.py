@@ -1523,12 +1523,15 @@ def decode_gif(payload: bytes) -> tuple[list[np.ndarray], list[int]] | None:
         if not w or not h or w * h > MAX_DECODE_PIXELS:
             return None
         canvas = np.zeros((h, w, 3), dtype=np.uint8)
+        bg_rgb: np.ndarray | int = 0
         if gct is not None and len(gct) > (b[11] if b[11] < len(gct) else 0):
-            canvas[:] = gct[b[11]] if b[11] < len(gct) else 0
+            bg_rgb = gct[b[11]] if b[11] < len(gct) else 0
+            canvas[:] = bg_rgb
         frames: list[np.ndarray] = []
         delays: list[int] = []
         delay_ms = 0
         transparent = None
+        disposal = 0
         while pos < len(b):
             block = b[pos]
             pos += 1
@@ -1542,6 +1545,7 @@ def decode_gif(payload: bytes) -> tuple[list[np.ndarray], list[int]] | None:
                     delay_ms = int.from_bytes(b[pos + 2:pos + 4],
                                               "little") * 10
                     transparent = b[pos + 4] if flags & 1 else None
+                    disposal = (flags >> 2) & 7
                 while True:          # skip/consume sub-blocks
                     sz = b[pos]
                     pos += 1 + sz
@@ -1588,6 +1592,9 @@ def decode_gif(payload: bytes) -> tuple[list[np.ndarray], list[int]] | None:
                         src += 1
                 arr = ordered
             arr = np.clip(arr, 0, len(pal) - 1)
+            # disposal 3 (restore-previous) needs the pre-frame canvas —
+            # copy only when that disposal is in force
+            prev = canvas.copy() if disposal == 3 else None
             sub = canvas[it:it + ih, il:il + iw]
             painted = pal[arr]
             if transparent is not None:
@@ -1601,8 +1608,18 @@ def decode_gif(payload: bytes) -> tuple[list[np.ndarray], list[int]] | None:
                 return None
             frames.append(canvas.copy())
             delays.append(delay_ms)
+            # GIF89a disposal AFTER display, before the next frame:
+            # 2 = restore the frame REGION to the background color (the
+            # sprite-over-background animation form — without it later
+            # frames show stale sprite trails), 3 = restore the whole
+            # canvas to its pre-frame state; 0/1 = leave as composited
+            if disposal == 2:
+                canvas[it:it + ih, il:il + iw] = bg_rgb
+            elif disposal == 3 and prev is not None:
+                canvas = prev
             delay_ms = 0
             transparent = None
+            disposal = 0
         if not frames:
             return None
         return frames, delays

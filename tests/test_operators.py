@@ -1167,6 +1167,58 @@ def test_gif_lzw_reference_and_roundtrip(spark):
     assert one is not None and one[0][0].shape == (12, 20, 3)
 
 
+def test_gif_disposal_methods(spark):
+    """GIF89a frame disposal: 2 clears the frame REGION to the background
+    color before the next frame (the sprite-over-background form — without
+    it later frames show stale sprite trails), 3 restores the pre-frame
+    canvas, 0/1 leave the composite in place."""
+    import numpy as np
+
+    from ocr_spark.operators import codecs
+
+    BG, RED, GREEN, BLUE = (10, 10, 10), (255, 0, 0), (0, 255, 0), (0, 0, 255)
+
+    def gce(disposal):
+        return bytes([0x21, 0xF9, 4, (disposal & 7) << 2, 0, 0, 0, 0])
+
+    def image(left, top, w, h, pixels):
+        data = codecs._lzw_encode(pixels, 2)
+        out = bytes([0x2C]) + left.to_bytes(2, "little") \
+            + top.to_bytes(2, "little") + w.to_bytes(2, "little") \
+            + h.to_bytes(2, "little") + bytes([0, 2])
+        out += bytes([len(data)]) + data + bytes([0])
+        return out
+
+    def gif(*blocks):
+        head = (b"GIF89a" + (4).to_bytes(2, "little")
+                + (2).to_bytes(2, "little") + bytes([0x81, 0, 0]))
+        gct = bytes(v for c in (BG, RED, GREEN, BLUE) for v in c)
+        return head + gct + b"".join(blocks) + bytes([0x3B])
+
+    # disposal 2: red sprite region restored to background before frame 2
+    out = codecs.decode_gif(gif(gce(2), image(0, 0, 2, 1, [1, 1]),
+                                image(2, 1, 2, 1, [2, 2])))
+    assert out is not None
+    frames, _ = out
+    assert tuple(frames[0][0, 0]) == RED
+    assert tuple(frames[1][0, 0]) == BG      # sprite trail cleared
+    assert tuple(frames[1][1, 2]) == GREEN
+    # disposal 3: blue frame undone, red from frame 1 still composited
+    out3 = codecs.decode_gif(gif(image(0, 0, 1, 1, [1]),
+                                 gce(3), image(1, 0, 1, 1, [3]),
+                                 image(0, 1, 1, 1, [2])))
+    assert out3 is not None
+    f = out3[0]
+    assert tuple(f[1][0, 1]) == BLUE         # visible in its own frame
+    assert tuple(f[2][0, 1]) == BG           # restored before frame 3
+    assert tuple(f[2][0, 0]) == RED          # disposal 0 frame persists
+    assert tuple(f[2][1, 0]) == GREEN
+    # disposal 0/1 unchanged: trail persists without a disposal request
+    out0 = codecs.decode_gif(gif(image(0, 0, 2, 1, [1, 1]),
+                                 image(2, 1, 2, 1, [2, 2])))
+    assert tuple(out0[0][1][0, 0]) == RED
+
+
 def test_avi_mjpeg_roundtrip_and_frame_sampling(spark):
     """Real video path: encode an MJPEG AVI, demux it back losslessly
     (byte-identical frames), and sample_frames must emit the JPEG nearest
