@@ -103,6 +103,20 @@ _ADAM7 = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
           (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
 
 
+# Upper bound on bytes processed by the LEFT-SERIAL filters (Average,
+# Paeth) per image.  Those two cannot be numpy-vectorized (each byte
+# depends nonlinearly on the reconstructed byte bpp positions back), so
+# their cost is a Python loop — ~3.5 MB/s measured — and
+# MAX_DECODE_PIXELS alone would let one ≤8 MB hostile PNG declaring
+# near-cap geometry with all-Paeth rows (a legal ~24:1 zlib inflate,
+# 192 MB raw) hold an executor core for minutes.  32 MB ≈ a 3.3k×3.3k
+# all-Paeth RGB photo (web-size PNGs that large are rare — photographs
+# ship as JPEG; big PNGs are screenshots whose flat rows filter as
+# None/Up/Sub, which are vectorized and not counted) and bounds the
+# hostile worst case at ~9 s.
+MAX_SERIAL_FILTER_BYTES = 32_000_000
+
+
 def _png_unfilter(raw: bytes, h: int, stride: int, bpp: int
                   ) -> np.ndarray | None:
     """Invert RFC 2083 row filters over ``h`` rows of ``stride`` bytes
@@ -112,11 +126,17 @@ def _png_unfilter(raw: bytes, h: int, stride: int, bpp: int
     rows = np.frombuffer(raw, dtype=np.uint8,
                          count=h * (1 + stride)).reshape(h, 1 + stride)
     filters = rows[:, 0]
+    if int(np.isin(filters, (3, 4)).sum()) * stride \
+            > MAX_SERIAL_FILTER_BYTES:
+        return None
     out = np.zeros((h, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.uint8)
     for y in range(h):
         cur = rows[y, 1:].copy()
         f = filters[y]
+        # Average/Paeth run over plain-int lists: per-element indexing on
+        # a numpy array goes through scalar boxing (~10x slower than list
+        # ints — 1.1 → ~11 MB/s measured on all-Paeth rows)
         if f == 0:                       # None
             recon = cur
         elif f == 1:                     # Sub: per-lane prefix sum mod 256
@@ -125,23 +145,35 @@ def _png_unfilter(raw: bytes, h: int, stride: int, bpp: int
         elif f == 2:                     # Up
             recon = cur + prev           # uint8 wraps mod 256
         elif f == 3:                     # Average (left-serial)
-            recon = cur
-            recon[:bpp] = ((recon[:bpp].astype(np.int32)
-                            + prev[:bpp] // 2) & 0xFF).astype(np.uint8)
+            cl = cur.tolist()
+            pl = prev.tolist()
+            for i in range(bpp):
+                cl[i] = (cl[i] + pl[i] // 2) & 0xFF
             for i in range(bpp, stride):
-                recon[i] = (int(recon[i]) + (int(recon[i - bpp])
-                                             + int(prev[i])) // 2) & 0xFF
+                cl[i] = (cl[i] + ((cl[i - bpp] + pl[i]) >> 1)) & 0xFF
+            recon = np.asarray(cl, dtype=np.uint8)
         elif f == 4:                     # Paeth (left-serial)
-            recon = cur
-            for i in range(stride):
-                a = int(recon[i - bpp]) if i >= bpp else 0
-                bb = int(prev[i])
-                c = int(prev[i - bpp]) if i >= bpp else 0
+            cl = cur.tolist()
+            pl = prev.tolist()
+            # i < bpp: a = c = 0 → p = b → predictor is always b
+            for i in range(bpp):
+                cl[i] = (cl[i] + pl[i]) & 0xFF
+            for i in range(bpp, stride):
+                a = cl[i - bpp]
+                bb = pl[i]
+                c = pl[i - bpp]
                 p = a + bb - c
-                pa, pb, pc = abs(p - a), abs(p - bb), abs(p - c)
-                pred = a if (pa <= pb and pa <= pc) else (
-                    bb if pb <= pc else c)
-                recon[i] = (int(recon[i]) + pred) & 0xFF
+                pa = p - a if p >= a else a - p
+                pb = p - bb if p >= bb else bb - p
+                pc = p - c if p >= c else c - p
+                if pa <= pb and pa <= pc:
+                    pred = a
+                elif pb <= pc:
+                    pred = bb
+                else:
+                    pred = c
+                cl[i] = (cl[i] + pred) & 0xFF
+            recon = np.asarray(cl, dtype=np.uint8)
         else:
             return None
         out[y] = recon

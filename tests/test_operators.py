@@ -487,6 +487,32 @@ def test_bmp_roundtrip_and_downsample():
     assert codecs.decode_bmp(b"not a bitmap") is None
 
 
+def test_png_unfilter_serial_work_budget():
+    """A hostile PNG declaring huge geometry with all-Paeth rows (a legal
+    ~24:1 zlib inflate from an in-cap payload) must be refused, not
+    decoded at Python-loop speed for minutes: the left-serial filters
+    carry an explicit per-image byte budget."""
+    import numpy as np
+
+    from ocr_spark.operators import codecs
+
+    stride = 3000
+    over = codecs.MAX_SERIAL_FILTER_BYTES // stride + 1
+    rows = np.zeros((over, 1 + stride), np.uint8)
+    rows[:, 0] = 4
+    assert codecs._png_unfilter(rows.tobytes(), over, stride, 3) is None
+    # vectorized filters are NOT budgeted: same geometry all-Up decodes
+    rows[:, 0] = 2
+    out = codecs._png_unfilter(rows.tobytes(), over, stride, 3)
+    assert out is not None and out.shape == (over, stride)
+    # mixed: serial rows under budget pass even when total raw is over it
+    rows[: max(over // 2, 1), 0] = 4
+    under = codecs.MAX_SERIAL_FILTER_BYTES // stride // 2
+    rows[: under, 0] = 4
+    rows[under:, 0] = 2
+    assert codecs._png_unfilter(rows.tobytes(), over, stride, 3) is not None
+
+
 def test_png_roundtrip_filters_and_color_types():
     """Real PNG codec: lossless encode→decode round trip; decode of
     streams forward-filtered with EVERY RFC 2083 filter type (the test
