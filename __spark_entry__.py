@@ -145,6 +145,17 @@ def q_stratified_sample(spark, sf_dir):
         .select("doc_id", "lang"))
 
 
+def q_temperature_mix(spark, sf_dir):
+    """Temperature-flattened training mix (tau=0.5, 30k-token budget):
+    per-stratum keep thresholds ∝ isqrt(token mass) in exact integer
+    arithmetic — some strata clip at keep-all, others sample
+    fractionally; the DuckDB twin recomputes weights, thresholds
+    (HUGEINT) and the keyed-md5 row rule independently."""
+    return (textstats.temperature_mix(_docs(spark, sf_dir), 30_000,
+                                      tau=0.5)
+            .select("doc_id", "lang"))
+
+
 def q_winnow_fingerprints(spark, sf_dir):
     return (textstats.winnowing_fingerprints(_docs(spark, sf_dir))
             .select("id", F.size("fingerprints").alias("n_fp"),
@@ -1171,6 +1182,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count_bpe": q_token_count_bpe,
         "token_frequencies": q_token_frequencies,
         "stratified_sample": q_stratified_sample,
+        "temperature_mix": q_temperature_mix,
         "language_id": q_language_id,
         "language_id_model": q_language_id_model,
         "quality_features": q_quality_features,
@@ -1743,6 +1755,33 @@ def oracle_sql() -> dict[str, str]:
             WHERE (lang = 'en' AND bucket < {int(1.0 * 0x1000000)})
                OR (lang = 'es' AND bucket < {int(0.5 * 0x1000000)})
                OR (lang = 'zh' AND bucket < {int(0.1 * 0x1000000)})""",
+        "temperature_mix": f"""
+            WITH toks AS (
+                SELECT doc_id, lang, CAST({_NTOK} AS BIGINT) AS nt
+                FROM documents WHERE lang IS NOT NULL),
+            agg AS (
+                SELECT lang, CAST(sum(nt) AS HUGEINT) AS n
+                FROM toks GROUP BY lang),
+            wts AS (
+                SELECT lang, n,
+                       CAST(floor(sqrt(CAST(n AS DOUBLE))) AS HUGEINT) AS w
+                FROM agg),
+            tot AS (SELECT sum(w) AS wt FROM wts),
+            thr AS (
+                SELECT lang,
+                       CASE WHEN n = 0 OR wt = 0 THEN CAST(0 AS HUGEINT)
+                            ELSE least(CAST(16777216 AS HUGEINT),
+                                       (CAST(16777216 AS HUGEINT) * 30000
+                                        * w) // (wt * n))
+                       END AS t
+                FROM wts, tot),
+            b AS (
+                SELECT doc_id, lang,
+                       CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)
+                            || 'mix'), 1, 6)) AS BIGINT) AS bucket
+                FROM documents WHERE lang IS NOT NULL)
+            SELECT b.doc_id, b.lang FROM b
+            JOIN thr USING (lang) WHERE bucket < t""",
         "token_frequencies": r"""
             WITH toks AS (
                 SELECT doc_id, unnest(string_split_regex(lower(trim(text)),

@@ -53,7 +53,7 @@ SUITE = (
     "dedup_incremental", "tfidf_top_terms",
     "decontaminate", "repetition_features", "token_shards",
     "url_blocklist", "host_cap", "host_profile", "surprisal",
-    "quality_classifier", "corpus_stats",
+    "quality_classifier", "corpus_stats", "temperature_mix",
     "corpus_curate",
 )
 

@@ -489,6 +489,70 @@ def stratified_sample(df: DataFrame, fractions: dict[str, float],
     return df.filter(cond)
 
 
+def temperature_mix(df: DataFrame, budget_tokens: int, tau: float = 0.5,
+                    stratum_col: str = "lang", key_col: str = "doc_id",
+                    text_col: str = "text", salt: str = "mix") -> DataFrame:
+    """Temperature-flattened training mix: sample each stratum so the kept
+    token mass approximates ``budget_tokens`` split ∝ ``n_s^tau`` — the
+    multilingual-upsampling recipe of CCNet/XLM-R/LLaMA (tau < 1 lifts
+    low-resource strata relative to their raw frequency; tau=1 is
+    proportional, tau=0 is uniform across strata).
+
+    Every quantity is INTEGER-exact so the rule is engine-portable and
+    hash-checkable: weights are 1 / isqrt(n_s) / n_s for tau 0 / 0.5 / 1
+    (``floor(sqrt())`` — IEEE-correctly-rounded sqrt cannot misfloor below
+    ~2^40 token counts, and both engines use it), and the per-stratum keep
+    threshold over the 24-bit md5 bucket is
+    ``min(2^24, (2^24 * budget * w_s) div (W * n_s))`` in arbitrary-
+    precision arithmetic (Python int here, HUGEINT in the DuckDB twin).
+    Only those three tau values are accepted — a general float power
+    cannot be made bit-identical across engines, and these are the three
+    canonical settings.
+
+    Per-row selection is the keyed-md5 rule of
+    :func:`deterministic_sample`: reproducible at any parallelism, on
+    re-runs, and across engines.  Rows with a NULL stratum are dropped
+    (no meaningful n_s).  Expected kept tokens land under ``budget_tokens``
+    when some stratum clips at keep-all (its excess is NOT redistributed —
+    redistribution would make every threshold depend on the clip set and
+    the rule no longer a pure function of (stratum, counts)).
+
+    Scale shape: one map-side-combinable groupBy on the stratum (stratum
+    cardinality ~10^1-10^3 — languages or sources), a driver-side
+    threshold computation over that tiny table, and a broadcast equi-join
+    + narrow bucket filter back on the corpus.  Nothing corpus-sized
+    shuffles.
+    """
+    import math
+
+    if budget_tokens <= 0:
+        raise ValueError(f"budget_tokens must be positive: {budget_tokens}")
+    if tau not in (0.0, 0.5, 1.0):
+        raise ValueError(f"tau must be 0, 0.5 or 1.0, got {tau!r}")
+    counts = (df.filter(F.col(stratum_col).isNotNull())
+              .groupBy(stratum_col)
+              .agg(F.sum(F.coalesce(token_count(F.col(text_col)),
+                                    F.lit(0))).alias("_n"))
+              .collect())  # one row per stratum — tiny by construction
+    n_by = {r[stratum_col]: int(r["_n"]) for r in counts}
+    w_by = {s: (1 if tau == 0.0 else
+                (math.isqrt(n) if tau == 0.5 else n))
+            for s, n in n_by.items()}
+    w_total = sum(w_by.values())
+    rows = []
+    for s, n in sorted(n_by.items()):
+        thr = 0 if (n == 0 or w_total == 0) else min(
+            1 << 24, ((1 << 24) * budget_tokens * w_by[s]) // (w_total * n))
+        rows.append((s, thr))
+    spark = df.sparkSession
+    stype = df.schema[stratum_col].dataType.simpleString()
+    thr_df = spark.createDataFrame(
+        rows, f"{stratum_col} {stype}, _thr long")  # explicit: rows may be []
+    return (df.join(F.broadcast(thr_df), stratum_col)
+            .filter(_sample_bucket(key_col, salt) < F.col("_thr"))
+            .select(*df.columns))
+
+
 def _ws_token_array(text: Column) -> Column:
     """Lowercased whitespace token ARRAY — the same tokenization contract
     as :func:`_ws_tokens` (lower + trim + split ``\\s+`` + drop empties)

@@ -1312,6 +1312,67 @@ def test_sample_fraction_one_is_lossless(spark):
     assert textstats._sample_threshold(1.0) == 0x1000000 > 0xFFFFFF
 
 
+def test_temperature_mix_hand_computed(spark):
+    """Exact-integer thresholds on a 2-stratum corpus: lang a has 4x the
+    token mass of lang b, so at tau=0.5 b's keep FRACTION is 2x a's
+    (weights 2:1 over masses 4:1); at tau=1 fractions are equal; at
+    tau=0 b's is 4x a's.  Verified against an independent Python
+    recomputation of the rule, and the clip branch keeps every row."""
+    import hashlib
+    import math
+
+    rows = [(i, "t " * 40, "a") for i in range(40)] \
+        + [(100 + i, "t " * 40, "b") for i in range(10)]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+
+    def expect(budget, tau):
+        n = {"a": 40 * 40, "b": 10 * 40}
+        w = {s: (1 if tau == 0 else
+                 (math.isqrt(v) if tau == 0.5 else v))
+             for s, v in n.items()}
+        wt = sum(w.values())
+        keep = set()
+        for i, _, s in rows:
+            thr = min(1 << 24, ((1 << 24) * budget * w[s]) // (wt * n[s]))
+            bucket = int(hashlib.md5(f"{i}mix".encode()).hexdigest()[:6], 16)
+            if bucket < thr:
+                keep.add(i)
+        return keep
+
+    for budget, tau in ((800, 0.5), (800, 0.0), (800, 1.0), (10_000, 0.5)):
+        got = {r["doc_id"] for r in
+               textstats.temperature_mix(df, budget, tau=tau).collect()}
+        assert got == expect(budget, tau), (budget, tau)
+    # clip branch: a budget above the corpus keeps everything
+    assert textstats.temperature_mix(df, 10_000).count() == 50
+
+
+def test_temperature_mix_contract(spark):
+    df = spark.createDataFrame(
+        [(1, "x y z", "en"), (2, "x", None)], ["doc_id", "text", "lang"])
+    # NULL stratum dropped; original column order preserved
+    out = textstats.temperature_mix(df, 100)
+    assert out.columns == ["doc_id", "text", "lang"]
+    assert {r["doc_id"] for r in out.collect()} == {1}
+    with pytest.raises(ValueError):
+        textstats.temperature_mix(df, 0)
+    with pytest.raises(ValueError):
+        textstats.temperature_mix(df, 100, tau=0.7)
+    # empty input: no strata, no rows, no crash
+    assert textstats.temperature_mix(df.limit(0), 100).count() == 0
+
+
+def test_temperature_mix_partitioning_invariant(spark):
+    rows = [(i, "w " * (i % 13 + 1), ["en", "es", "zh"][i % 3])
+            for i in range(300)]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    ref = {r["doc_id"] for r in
+           textstats.temperature_mix(df, 500).collect()}
+    got = {r["doc_id"] for r in
+           textstats.temperature_mix(df.repartition(7), 500).collect()}
+    assert got == ref and 0 < len(ref) < 300
+
+
 def test_language_id_model_hook(spark):
     """The pluggable model slot: a fake fastText-style batch classifier is
     applied per Arrow batch; the default (no model) path equals the
