@@ -2273,15 +2273,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT a.user_id,
                    least(a.event_id, b.event_id) AS id_a,
                    greatest(a.event_id, b.event_id) AS id_b,
-                   CAST(abs(floor(epoch(b.ts)) - floor(epoch(a.ts))) AS BIGINT) AS gap_s
+                   CAST(abs(epoch_us(b.ts) - epoch_us(a.ts)) AS BIGINT)
+                       AS gap_us
             FROM errs a JOIN errs b
               ON a.user_id = b.user_id AND a.event_id < b.event_id
-             AND abs(floor(epoch(b.ts)) - floor(epoch(a.ts))) <= 1800""",
+             AND abs(epoch_us(b.ts) - epoch_us(a.ts)) <= 1800000000""",
         "events_sessionize": """
             WITH flagged AS (
                 SELECT user_id, event_id, ts,
                        CASE WHEN lag(ts) OVER w IS NULL
-                            OR floor(epoch(ts)) - floor(epoch(lag(ts) OVER w)) > 1800
+                            OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                               > 1800000000
                             THEN 1 ELSE 0 END AS boundary
                 FROM events
                 WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC)),

@@ -67,6 +67,21 @@ def asof_join(left: DataFrame, right: DataFrame, on: str = "user_id",
     return out
 
 
+def _ts_micros(c) -> "F.Column":
+    """Microseconds since epoch of a timestamp as pure WALL-CLOCK
+    arithmetic (days + hour + minute + exact decimal seconds).
+    ``unix_micros`` requires TIMESTAMP_LTZ, and casting the NTZ event
+    columns to LTZ would make gap computations depend on the session
+    timezone (a DST transition between two events would shift their gap
+    by an hour on some sessions and not others).  Matches DuckDB
+    ``epoch_us`` bit-for-bit on NTZ values."""
+    c = F.col(c) if isinstance(c, str) else c
+    return (F.unix_date(c.cast("date")).cast("bigint") * 86_400_000_000
+            + F.date_part(F.lit("HOUR"), c).cast("bigint") * 3_600_000_000
+            + F.date_part(F.lit("MINUTE"), c).cast("bigint") * 60_000_000
+            + (F.date_part(F.lit("SECOND"), c) * 1_000_000).cast("bigint"))
+
+
 def range_join_within(df: DataFrame, key: str = "user_id", ts: str = "ts",
                       id_col: str = "event_id",
                       delta_s: int = 60) -> DataFrame:
@@ -78,9 +93,16 @@ def range_join_within(df: DataFrame, key: str = "user_id", ts: str = "ts",
     each row against its own and the NEXT bucket — any pair within δ spans
     at most adjacent buckets, so the join keys stay short and shuffle-
     friendly while the exact δ filter runs on the (small) candidate set.
-    Returns (key, id_a, id_b, gap_s) with ``id_a < id_b``.
+    Returns (key, id_a, id_b, gap_us) with ``id_a < id_b``.
+
+    Arithmetic is MICROSECOND-exact (:func:`_ts_micros`): second-truncated
+    epochs would misclassify sub-second boundaries — events at
+    10:00:00.1 and 10:30:00.9 are 1800.8 s apart and must NOT pair at
+    δ=1800, but truncation reads the gap as exactly 1800.  ``gap_us`` is
+    the exact integer gap (engine-portable: DuckDB ``epoch_us``).
     """
-    bucket = F.floor(F.unix_timestamp(F.col(ts)) / delta_s)
+    delta_us = int(delta_s) * 1_000_000
+    bucket = F.floor(_ts_micros(ts) / delta_us)
     # one slim projection (key, id, ts, bucket) materialized once — the
     # union-of-two-joins below references it four times, which would
     # otherwise re-scan the source four times
@@ -98,12 +120,13 @@ def range_join_within(df: DataFrame, key: str = "user_id", ts: str = "ts",
     # is in the same or next bucket); canonicalize ids with least/greatest —
     # an id_a < id_b filter here would drop pairs whose later row has the
     # smaller id
-    gap = F.abs(F.unix_timestamp("ts_b") - F.unix_timestamp("ts_a"))
-    return (cands.filter((F.col("id_a") != F.col("id_b")) & (gap <= delta_s))
+    gap = F.abs(_ts_micros("ts_b") - _ts_micros("ts_a"))
+    return (cands.filter((F.col("id_a") != F.col("id_b"))
+                         & (gap <= delta_us))
             .select(F.col("k").alias(key),
                     F.least("id_a", "id_b").alias("id_lo"),
                     F.greatest("id_a", "id_b").alias("id_hi"),
-                    gap.cast("bigint").alias("gap_s"))
+                    gap.cast("bigint").alias("gap_us"))
             .withColumnsRenamed({"id_lo": "id_a", "id_hi": "id_b"})
             .distinct())
 
@@ -116,13 +139,17 @@ def sessionize(df: DataFrame, key: str = "user_id", ts: str = "ts",
     Pure window composition (lag → boundary flag → running sum), one
     shuffle on the key; ``session_id`` is ``(key, session_seq)`` with
     session_seq starting at 1 per key — deterministic and engine-portable
-    (DuckDB twin uses the identical window SQL).
+    (DuckDB twin uses the identical window SQL).  The gap test is
+    microsecond-exact (:func:`_ts_micros` — see :func:`range_join_within`):
+    a 1800.8 s gap at gap_s=1800 must start a new session, which
+    second-truncated epochs would miss.
     """
     w = Window.partitionBy(key).orderBy(F.col(ts).asc())
     prev_ts = F.lag(ts).over(w)
     boundary = F.when(
         prev_ts.isNull()
-        | ((F.unix_timestamp(F.col(ts)) - F.unix_timestamp(prev_ts)) > gap_s),
+        | ((_ts_micros(ts) - _ts_micros(prev_ts))
+           > int(gap_s) * 1_000_000),
         1).otherwise(0)
     return (df.withColumn("session_seq",
                           F.sum(boundary).over(

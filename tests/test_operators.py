@@ -400,9 +400,20 @@ def test_range_join_within(spark):
          (7, 1, dt(2026, 1, 1, 0, 2, 30)),   # 91s after 5 -> no pair
          (8, 2, dt(2026, 1, 1, 0, 0, 45))],  # other key
         "event_id long, user_id long, ts timestamp")
-    got = {(r["id_a"], r["id_b"]): r["gap_s"]
+    got = {(r["id_a"], r["id_b"]): r["gap_us"]
            for r in temporal.range_join_within(df, delta_s=60).collect()}
-    assert got == {(5, 9): 29}
+    assert got == {(5, 9): 29_000_000}
+    # microsecond-exact boundary: 60.4s apart must NOT pair at delta=60
+    # (second-truncated epochs would read the gap as exactly 60 and pair),
+    # while 59.9999s must
+    sub = spark.createDataFrame(
+        [(1, 1, dt(2026, 1, 1, 0, 0, 0, 600000)),
+         (2, 1, dt(2026, 1, 1, 0, 1, 1, 0)),          # +60.4s from 1
+         (3, 1, dt(2026, 1, 1, 0, 2, 0, 999900))],    # +59.9999s from 2
+        "event_id long, user_id long, ts timestamp")
+    got2 = {(r["id_a"], r["id_b"]): r["gap_us"]
+            for r in temporal.range_join_within(sub, delta_s=60).collect()}
+    assert got2 == {(2, 3): 59_999_900}
 
 
 def test_sessionize(spark):
@@ -413,11 +424,14 @@ def test_sessionize(spark):
     df = spark.createDataFrame(
         [(1, 1, dt(2026, 1, 1, 10, 0)), (2, 1, dt(2026, 1, 1, 10, 10)),
          (3, 1, dt(2026, 1, 1, 11, 30)),    # 80-min gap -> new session
-         (4, 2, dt(2026, 1, 1, 9, 0))],
+         (4, 2, dt(2026, 1, 1, 9, 0)),
+         # 1800.8s after event 3: a new session ONLY under microsecond-
+         # exact gaps (second truncation reads exactly 1800 = no boundary)
+         (5, 1, dt(2026, 1, 1, 12, 0, 0, 800000))],
         "event_id long, user_id long, ts timestamp")
     got = {r["event_id"]: r["session_seq"]
            for r in temporal.sessionize(df, gap_s=1800).collect()}
-    assert got == {1: 1, 2: 1, 3: 2, 4: 1}
+    assert got == {1: 1, 2: 1, 3: 2, 4: 1, 5: 3}
 
 
 def test_asof_join_tie_on_same_ts_is_deterministic(spark):
