@@ -1265,8 +1265,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # DuckDB oracles
 # ---------------------------------------------------------------------------
 
-_TOKENS_SQL = "len(regexp_split_to_array(trim(text), '\\s+'))"
-_NTOK = f"CASE WHEN length(trim(text)) = 0 THEN 0 ELSE {_TOKENS_SQL} END"
+# count of maximal non-whitespace runs — deliberately a DIFFERENT
+# formulation than the Spark side's split+filter (cross-check, not a
+# mirror): both must agree that boundary tabs/newlines contribute no
+# tokens and blank text counts 0
+_TOKENS_SQL = "len(regexp_extract_all(text, '\\S+'))"
+_NTOK = _TOKENS_SQL
 
 from ocr_spark.operators.textstats import STOPWORDS as _STOPWORDS  # noqa: E402
 

@@ -46,10 +46,17 @@ LANG_MARKERS: dict[str, tuple[str, ...]] = {
 
 
 def token_count(text: Column) -> Column:
-    """Number of whitespace-separated tokens (0 for empty/blank)."""
-    trimmed = F.trim(text)
-    return F.when(F.length(trimmed) == 0, F.lit(0)).otherwise(
-        F.size(F.split(trimmed, r"\s+"))).cast("bigint")
+    """Number of whitespace-separated tokens (0 for empty/blank; NULL
+    passes through).
+
+    Counts NON-EMPTY split pieces rather than trimming first: ``F.trim``
+    removes only ASCII spaces, so ``'\\n'`` would read as two empty
+    tokens and ``'\\na b'`` as three — every boundary tab/newline
+    inflated the count by one, violating the 0-for-blank contract.  The
+    DuckDB twin deliberately uses a DIFFERENT formulation (count of
+    maximal ``\\S+`` runs) so the rule is cross-checked, not mirrored."""
+    return F.size(F.filter(F.split(text, r"\s+"),
+                           lambda t: t != "")).cast("bigint")
 
 
 def _has_marker(text: Column, words: tuple[str, ...]) -> Column:

@@ -39,6 +39,19 @@ def test_token_count(spark, docs):
     assert got[8] == 0
 
 
+def test_token_count_boundary_whitespace(spark):
+    """Boundary tabs/newlines contribute NO tokens (F.trim strips only
+    ASCII spaces, so a trim-then-split formulation counted '\\n' as two
+    tokens and '\\na b' as three); NULL passes through as NULL."""
+    cases = [("", 0), ("   ", 0), ("\n", 0), ("\t\n ", 0),
+             ("\na b", 2), ("a b\n", 2), ("\ta\tb\t", 2),
+             ("a  \n  b", 2), (None, None)]
+    df = spark.createDataFrame(cases, "text string, want long")
+    for r in df.select(textstats.token_count(F.col("text")).alias("got"),
+                       "want").collect():
+        assert r["got"] == r["want"], (r["got"], r["want"])
+
+
 def test_language_id(spark, docs):
     got = {r["doc_id"]: r["lang"] for r in
            docs.select("doc_id", textstats.language_id(F.col("text")).alias("lang")).collect()}
