@@ -371,10 +371,32 @@ def q_doc_type_router(spark, sf_dir):
 
 
 def q_regex_extract_doc(spark, sf_dir):
+    """RE_DOC extraction over text with PLANTED doc-number shapes — the
+    corpus itself is digit-free word salad, so without planting the check
+    would compare 500 NULLs against 500 NULLs and any regex bug (wrong
+    digit count, dropped NIE branch, case laxity) would be invisible.
+    Strata: DNI hit, NIE hit, lowercase near-miss (must NOT match),
+    NIE-then-DNI (leftmost must win), and untouched no-match rows."""
+    d = F.col("doc_id")
+    letter = F.expr(
+        "substr('TRWAGMYFPDXBNJZSQVHLCKE', CAST(doc_id % 23 AS INT) + 1, 1)")
+    nieh = F.expr("substr('XYZ', CAST(doc_id % 3 AS INT) + 1, 1)")
+    num8 = F.lpad(((d * 37) % 100000000).cast("string"), 8, "0")
+    num7 = F.lpad(((d * 53) % 10000000).cast("string"), 7, "0")
+    synth = (F.when(d % 5 == 0, F.concat(F.lit("id "), num8, letter,
+                                         F.lit(" ")))
+             .when(d % 5 == 1, F.concat(F.lit("nie "), nieh, num7, letter,
+                                        F.lit(" ")))
+             .when(d % 5 == 2, F.concat(F.lit("bad "), num8,
+                                        F.lower(letter), F.lit(" ")))
+             .when(d % 5 == 3, F.concat(nieh, num7, letter, F.lit(" then "),
+                                        num8, letter, F.lit(" ")))
+             .otherwise(F.lit("")))
     return (_docs(spark, sf_dir)
             .select("doc_id",
                     F.nullif(F.regexp_extract(
-                        F.col("text"), native.RE_DOC, 1), F.lit("")).alias("doc_num")))
+                        F.concat(synth, F.col("text")), native.RE_DOC, 1),
+                        F.lit("")).alias("doc_num")))
 
 
 def q_corpus_rollup(spark, sf_dir):
@@ -2227,9 +2249,31 @@ def oracle_sql() -> dict[str, str]:
               END AS doc_type
             FROM documents""",
         "regex_extract_doc": r"""
+            WITH planted AS (
+                SELECT doc_id,
+                       substr('TRWAGMYFPDXBNJZSQVHLCKE',
+                              CAST(doc_id % 23 AS INTEGER) + 1, 1) AS lt,
+                       substr('XYZ', CAST(doc_id % 3 AS INTEGER) + 1, 1)
+                           AS nh,
+                       lpad(CAST((doc_id * 37) % 100000000 AS VARCHAR),
+                            8, '0') AS n8,
+                       lpad(CAST((doc_id * 53) % 10000000 AS VARCHAR),
+                            7, '0') AS n7,
+                       text
+                FROM documents),
+            built AS (
+                SELECT doc_id,
+                       CASE doc_id % 5
+                            WHEN 0 THEN 'id ' || n8 || lt || ' '
+                            WHEN 1 THEN 'nie ' || nh || n7 || lt || ' '
+                            WHEN 2 THEN 'bad ' || n8 || lower(lt) || ' '
+                            WHEN 3 THEN nh || n7 || lt || ' then '
+                                        || n8 || lt || ' '
+                            ELSE '' END || text AS text
+                FROM planted)
             SELECT doc_id,
                    nullif(regexp_extract(text, '(\d{8}[A-Z]|[XYZ]\d{7}[A-Z])', 1), '') AS doc_num
-            FROM documents""",
+            FROM built""",
         "corpus_rollup": """
             SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
                    CAST(sum(n_chars) AS BIGINT) AS sum_chars,
