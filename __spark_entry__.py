@@ -2175,14 +2175,17 @@ def oracle_sql() -> dict[str, str]:
         "engine_compare": f"""
             SELECT engine, mode, doc_type, CAST(count(*) AS BIGINT) AS n_docs,
                    CAST(sum(CAST(valido AS INT)) AS BIGINT) AS n_valido,
-                   CAST(floor(avg(confianza_global) * 100) AS BIGINT) AS avg_conf_x100,
-                   CAST(floor(avg(n_chars) * 10) AS BIGINT) AS avg_chars_x10
+                   CAST(sum(CAST(round(confianza_global * 100) AS BIGINT))
+                        // count(*) AS BIGINT) AS avg_conf_x100,
+                   CAST(sum(CAST(n_chars AS BIGINT)) * 10 // count(*)
+                        AS BIGINT) AS avg_chars_x10
             FROM parquet_scan('{_COMPARE_CELLS}/*.parquet')
             GROUP BY 1, 2, 3""",
         "engine_recommend": f"""
             WITH cmp AS (
                 SELECT engine, mode, doc_type,
-                       CAST(floor(avg(confianza_global) * 100) AS BIGINT)
+                       CAST(sum(CAST(round(confianza_global * 100)
+                                     AS BIGINT)) // count(*) AS BIGINT)
                            AS avg_conf_x100
                 FROM parquet_scan('{_COMPARE_CELLS}/*.parquet')
                 GROUP BY 1, 2, 3),

@@ -63,14 +63,25 @@ def extraction_cells(pages: DataFrame, run_date: date,
 
 def compare_rollup(cells: DataFrame) -> DataFrame:
     """Aggregate extraction cells into the per-(engine, mode, doc_type)
-    comparison matrix (floor-scaled bigints — engine-portable)."""
-    return (cells.groupBy("engine", "mode", "doc_type")
-            .agg(F.count("*").alias("n_docs"),
-                 F.sum(F.col("valido").cast("int")).alias("n_valido"),
-                 F.floor(F.avg("confianza_global") * 100)
-                 .cast("bigint").alias("avg_conf_x100"),
-                 F.floor(F.avg("n_chars") * 10)
-                 .cast("bigint").alias("avg_chars_x10")))
+    comparison matrix (integer-scaled bigints — engine-portable).
+
+    The means are INTEGER-exact: per-row cents (``round(conf*100)`` — a
+    pure function of the row) summed as bigints, then floor-divided by
+    the count.  ``floor(avg(double)*100)`` would be a partition-order-
+    dependent float sum whose floor can flip at an ulp boundary across
+    runs/parallelism — violating the rerun-digest guarantee this module
+    promises (and silently, since a twin that mirrored the same float
+    derivation could never flag it)."""
+    cents = F.round(F.col("confianza_global") * 100).cast("bigint")
+    agg = (cells.groupBy("engine", "mode", "doc_type")
+           .agg(F.count("*").alias("n_docs"),
+                F.sum(F.col("valido").cast("int")).alias("n_valido"),
+                F.sum(cents).alias("_conf_cents"),
+                F.sum(F.col("n_chars").cast("bigint")).alias("_chars")))
+    return agg.select(
+        "engine", "mode", "doc_type", "n_docs", "n_valido",
+        F.expr("_conf_cents DIV n_docs").alias("avg_conf_x100"),
+        F.expr("(_chars * 10) DIV n_docs").alias("avg_chars_x10"))
 
 
 def engine_compare(pages: DataFrame, run_date: date,
