@@ -299,15 +299,31 @@ def q_dni_check_letter(spark, sf_dir):
 
 
 def q_cif_control(spark, sf_dir):
-    body = F.lpad(((F.col("doc_id") * 7919) % 10000000).cast("string"), 7, "0")
-    cif = F.concat(F.lit("B"), body, F.lit("0"))
+    """CIF control across ALL THREE letter classes — digit-control
+    (A/B/E/H), letter-control (K/P/Q/S), and dual-accept (the rest,
+    alternating digit/letter form) — with a known-WRONG control asserted
+    invalid.  A single-class, correct-only probe would leave the
+    letter-control branch dead and let an accept-everything validator
+    pass."""
+    d = F.col("doc_id")
+    first = F.substring(F.lit("ABEHKPQSCDFGJLMNRUVW"),
+                        (d % 20 + 1).cast("int"), 1)
+    body = F.lpad(((d * 7919) % 10000000).cast("string"), 7, "0")
+    dig = native.cif_control_digit(F.concat(first, body, F.lit("0")))
+    letter = F.substring(F.lit("JABCDEFGHI"), (dig + 1).cast("int"), 1)
+    correct = (F.when(first.isin("A", "B", "E", "H"), dig.cast("string"))
+               .when(first.isin("K", "P", "Q", "S"), letter)
+               .otherwise(F.when(d % 2 == 0, dig.cast("string"))
+                          .otherwise(letter)))
+    wrong = ((dig + 1) % 10).cast("string")  # never equals dig or a letter
     return (_docs(spark, sf_dir)
-            .select("doc_id", cif.alias("cif_raw"),
-                    native.cif_control_digit(cif).cast("int").alias("control_digit"),
-                    native.cif_is_valid(
-                        F.concat(F.lit("B"), body,
-                                 native.cif_control_digit(cif).cast("string"))
-                    ).alias("valid_when_correct")))
+            .select("doc_id",
+                    F.concat(first, body, correct).alias("cif_raw"),
+                    dig.cast("int").alias("control_digit"),
+                    native.cif_is_valid(F.concat(first, body, correct))
+                    .alias("valid_when_correct"),
+                    native.cif_is_valid(F.concat(first, body, wrong))
+                    .alias("valid_when_wrong")))
 
 
 def q_plate_ocr_correct(spark, sf_dir):
@@ -2164,11 +2180,31 @@ def oracle_sql() -> dict[str, str]:
                           CAST(CAST(substr({doc}, 1, 8) AS BIGINT) % 23 AS INT) + 1,
                           1) AS is_valid
             FROM documents""",
+        # the twin independently recomputes the AEAT digit and the
+        # class-correct control form; the spec expectations are the
+        # constants true/false — a validator that accepts everything
+        # fails valid_when_wrong, one that rejects everything (or
+        # confuses the classes) fails valid_when_correct
         "cif_control": f"""
-            SELECT doc_id, 'B' || {body} || '0' AS cif_raw,
-                   CAST({control} AS INT) AS control_digit,
-                   true AS valid_when_correct
-            FROM documents""",
+            WITH base AS (
+                SELECT doc_id,
+                       substr('ABEHKPQSCDFGJLMNRUVW',
+                              CAST(doc_id % 20 AS INT) + 1, 1) AS fst,
+                       {body} AS body,
+                       CAST({control} AS INT) AS ctl
+                FROM documents)
+            SELECT doc_id,
+                   fst || body ||
+                   CASE WHEN fst IN ('A','B','E','H')
+                             OR (fst NOT IN ('K','P','Q','S')
+                                 AND doc_id % 2 = 0)
+                        THEN CAST(ctl AS VARCHAR)
+                        ELSE substr('JABCDEFGHI', ctl + 1, 1)
+                   END AS cif_raw,
+                   ctl AS control_digit,
+                   true AS valid_when_correct,
+                   false AS valid_when_wrong
+            FROM base""",
         # extraction cells are materialized to parquet by the Spark query
         # itself (deterministic sample + frozen run date), so both engines
         # aggregate the identical per-row extraction outcomes
