@@ -94,8 +94,22 @@ def q_token_count(spark, sf_dir):
 
 
 def q_language_id(spark, sf_dir):
+    """Heuristic language ID with PLANTED marker prefixes: the corpus
+    text alone only ever fires the en/und branches, leaving the CJK,
+    de/fr/es, and precedence rules untestable.  Strata plant each marker
+    set, a CJK char that must outrank latin markers, and a de+fr overlap
+    where branch order must pick de."""
+    d = F.col("doc_id")
+    synth = (F.when(d % 8 == 0, F.lit("der und das "))
+             .when(d % 8 == 1, F.lit("le les est "))
+             .when(d % 8 == 2, F.lit("el los que "))
+             .when(d % 8 == 3, F.lit("中 der the "))  # zh outranks all
+             .when(d % 8 == 4, F.lit("der le "))          # de before fr
+             .otherwise(F.lit("")))
     return (_docs(spark, sf_dir)
-            .select("doc_id", textstats.language_id(F.col("text")).alias("lang_guess")))
+            .select("doc_id",
+                    textstats.language_id(
+                        F.concat(synth, F.col("text"))).alias("lang_guess")))
 
 
 def q_language_id_model(spark, sf_dir):
@@ -1416,7 +1430,18 @@ def oracle_sql() -> dict[str, str]:
     oracles = {
         "token_count": f"SELECT doc_id, CAST({_NTOK} AS BIGINT) AS n_tokens "
                        "FROM documents ORDER BY doc_id",
-        "language_id": f"SELECT doc_id, {_LANG_SQL} AS lang_guess FROM documents",
+        "language_id": f"""
+            WITH built AS (
+                SELECT doc_id,
+                       CASE CAST(doc_id % 8 AS INT)
+                            WHEN 0 THEN 'der und das '
+                            WHEN 1 THEN 'le les est '
+                            WHEN 2 THEN 'el los que '
+                            WHEN 3 THEN '中 der the '
+                            WHEN 4 THEN 'der le '
+                            ELSE '' END || text AS text
+                FROM documents)
+            SELECT doc_id, {_LANG_SQL} AS lang_guess FROM built""",
         "language_id_model": """
             SELECT doc_id,
                    CASE WHEN length(text) % 2 = 0 THEN 'even' ELSE 'odd' END
