@@ -500,10 +500,30 @@ def q_events_asof(spark, sf_dir):
 
 def q_latest_event(spark, sf_dir):
     """Latest-snapshot resolution per user (the CDX-style latest-capture-
-    per-url rule on the events table)."""
+    per-url rule) with PLANTED same-(user, ts) ties — the events table
+    has zero identical timestamps, so without planting, the deterministic
+    tie-break (the only thing distinguishing the operator from an
+    arbitrary max-ts pick) never fires.  Each user's latest row is
+    duplicated at the SAME ts: user_id%3==0 with a HIGHER event_id (the
+    plant must win), user_id%3==1 with a LOWER one (the plant must
+    lose)."""
+    from pyspark.sql import Window
+
     from ocr_spark.operators import temporal
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-    return (temporal.latest_snapshot(ev, "user_id", "ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(),
+                                              F.col("event_id").desc())
+    tops = (ev.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1).drop("_rn"))
+    u = F.col("user_id")
+    planted = (tops.filter(u % 3 < 2)
+               .withColumn("event_id",
+                           F.when(u % 3 == 0,
+                                  F.col("event_id") + 10_000_000)
+                           .otherwise(F.col("event_id") - 10_000_000))
+               .withColumn("event_type", F.lit("tie")))
+    return (temporal.latest_snapshot(ev.unionByName(planted),
+                                     "user_id", "ts", "event_id")
             .select("user_id", "event_id", "event_type",
                     F.round(F.col("value") * 100).cast("bigint")
                     .alias("value_x100")))
@@ -2409,11 +2429,26 @@ def oracle_sql() -> dict[str, str]:
                    min(event_id) AS first_event, max(event_id) AS last_event
             FROM sess GROUP BY 1, 2""",
         "latest_event": """
-            WITH ranked AS (
+            WITH tops AS (
+                SELECT * FROM (
+                    SELECT *, row_number() OVER (
+                        PARTITION BY user_id
+                        ORDER BY ts DESC, event_id DESC) AS rk
+                    FROM events) WHERE rk = 1),
+            unioned AS (
+                SELECT user_id, event_id, event_type, ts, value FROM events
+                UNION ALL
+                SELECT user_id,
+                       CASE WHEN user_id % 3 = 0
+                            THEN event_id + 10000000
+                            ELSE event_id - 10000000 END AS event_id,
+                       'tie' AS event_type, ts, value
+                FROM tops WHERE user_id % 3 < 2),
+            ranked AS (
                 SELECT *, row_number() OVER (
                     PARTITION BY user_id
                     ORDER BY ts DESC, event_id DESC) AS rk
-                FROM events)
+                FROM unioned)
             SELECT user_id, event_id, event_type,
                    CAST(round(value * 100) AS BIGINT) AS value_x100
             FROM ranked WHERE rk = 1""",
