@@ -229,8 +229,16 @@ def q_dedup_substrings(spark, sf_dir):
 def q_corpus_stats(spark, sf_dir):
     """Per-language corpus audit rollup with EXACT integer discrete
     percentiles (p50/p90 doc length) — thresholds via integer div, so no
-    float multiplication ever decides a boundary (cross-engine safe)."""
-    return textstats.corpus_stats(_docs(spark, sf_dir))
+    float multiplication ever decides a boundary (cross-engine safe).
+    Every doc_id % 11 == 0 has its lang NULLIFIED: an audit table must
+    ROLL UP the unlabeled slice as its own row, not silently drop it at
+    the totals↔percentiles join (the corpus itself has no NULL langs, so
+    without planting, the null-safe join rule is untestable)."""
+    d = F.col("doc_id")
+    docs = (_docs(spark, sf_dir)
+            .withColumn("lang", F.when(d % 11 == 0, F.lit(None))
+                        .otherwise(F.col("lang"))))
+    return textstats.corpus_stats(docs)
 
 
 # spam phrase planted for the quality-classifier check: the word-salad
@@ -2138,7 +2146,9 @@ def oracle_sql() -> dict[str, str]:
         # histogram — same integer rule, disjoint shapes.
         "corpus_stats": f"""
             WITH base AS (
-                SELECT lang, CAST(length(text) AS BIGINT) AS len,
+                SELECT CASE WHEN doc_id % 11 = 0 THEN NULL ELSE lang END
+                           AS lang,
+                       CAST(length(text) AS BIGINT) AS len,
                        CAST({_NTOK} AS BIGINT) AS tok
                 FROM documents),
             tot AS (
@@ -2159,8 +2169,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT t.lang, t.n_docs, t.total_tokens, t.total_chars,
                    p50.len AS p50_chars, p90.len AS p90_chars
             FROM tot t
-            JOIN p50 ON t.lang = p50.lang
-            JOIN p90 ON t.lang = p90.lang""",
+            JOIN p50 ON t.lang IS NOT DISTINCT FROM p50.lang
+            JOIN p90 ON t.lang IS NOT DISTINCT FROM p90.lang""",
         "host_profile": """
             WITH hosts AS (
                 SELECT doc_id, length(text) AS nc,

@@ -1043,14 +1043,21 @@ def corpus_stats(df: DataFrame, stratum_col: str = "lang",
     w = (Window.partitionBy("stratum").orderBy("_len")
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     cum = hist.withColumn("_cum", F.sum("_c").over(w))
-    joined = cum.join(F.broadcast(totals.select("stratum", "n_docs")),
-                      "stratum")
+    # eqNullSafe joins: groupBy and window both treat NULL as its own
+    # stratum, but a plain equi-join would silently drop that row between
+    # the two aggregates — an audit table must SHOW the unlabeled slice,
+    # not lose it (the DuckDB twin joins IS NOT DISTINCT FROM)
+    joined = (cum.join(
+        F.broadcast(totals.select(F.col("stratum").alias("_ts"), "n_docs")),
+        F.col("stratum").eqNullSafe(F.col("_ts"))).drop("_ts"))
     picks = joined.groupBy("stratum").agg(*[
         F.min(F.when(
             F.col("_cum") >= F.expr(f"(n_docs * {int(p)} + 99) div 100"),
             F.col("_len"))).alias(f"p{p}_chars")
         for p in percentiles])
-    return (totals.join(picks, "stratum")
+    return (totals.join(picks.withColumnRenamed("stratum", "_ps"),
+                        F.col("stratum").eqNullSafe(F.col("_ps")))
+            .drop("_ps")
             .select(F.col("stratum").alias(stratum_col), "n_docs",
                     "total_tokens", "total_chars",
                     *[f"p{p}_chars" for p in percentiles]))

@@ -2435,6 +2435,19 @@ def test_corpus_stats_ties_and_single_doc(spark):
         == {(k, v["p50_chars"], v["p90_chars"]) for k, v in again.items()}
 
 
+def test_corpus_stats_null_stratum_is_reported(spark):
+    """A NULL stratum is a real slice of the corpus and must appear as
+    its own audit row — the totals↔percentiles equi-join would silently
+    drop it (NULL != NULL); the operator joins null-safe."""
+    rows = [(1, "aa bb", "en"), (2, "cc", None), (3, "dddd ee", None)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    got = {r["lang"]: r for r in textstats.corpus_stats(df).collect()}
+    assert set(got) == {"en", None}
+    assert got[None]["n_docs"] == 2
+    assert got[None]["total_tokens"] == 3
+    assert got[None]["p50_chars"] == 2 and got[None]["p90_chars"] == 7
+
+
 def test_dedup_substrings_differential_vs_python_reference(spark):
     """Differential fuzz: the distributed ExactSubstr pair vs an
     independent pure-Python reimplementation, over randomized small-vocab
