@@ -618,10 +618,20 @@ def q_canonical_urls(spark, sf_dir):
         (d % 97).cast("string"), F.lit(".Example.COM"),
         F.when(d % 4 == 0, F.lit(":80"))
         .when(d % 4 == 1, F.lit(":443")).otherwise(F.lit("")),
-        F.lit("/Docs/"), d.cast("string"),
-        F.when(d % 3 == 0, F.lit("/")).otherwise(F.lit("")),
+        # d%9==0: bare ROOT path — its trailing slash must be KEPT (the
+        # length>1 guard); otherwise a doc path whose trailing slash drops
+        F.when(d % 9 == 0, F.lit("/"))
+        .otherwise(F.concat(F.lit("/Docs/"), d.cast("string"),
+                            F.when(d % 3 == 0, F.lit("/"))
+                            .otherwise(F.lit("")))),
         F.when(d % 5 == 0, F.lit("?z=9&a=1")).otherwise(F.lit("")),
         F.when(d % 7 == 0, F.lit("#frag")).otherwise(F.lit("")))
+    # d%13==0: case-SENSITIVE userinfo that must survive verbatim while
+    # the host beside it still folds (RFC 3986 — the branch was
+    # previously never exercised by data)
+    messy = F.when(d % 13 == 0,
+                   F.regexp_replace(messy, "://", "://User:Pass@")) \
+        .otherwise(messy)
     return (_docs(spark, sf_dir)
             .select("doc_id", messy.alias("raw_url"),
                     urls.canonical_url(messy).alias("canonical"),
@@ -1911,19 +1921,28 @@ def oracle_sql() -> dict[str, str]:
                    s != text AS changed
             FROM scrubbed""",
         "canonical_urls": r"""
-            WITH raw AS (
+            WITH raw0 AS (
                 SELECT doc_id,
                        (CASE WHEN doc_id % 2 = 0 THEN 'HTTP://Host-'
                              ELSE 'https://host-' END)
                        || CAST(doc_id % 97 AS VARCHAR) || '.Example.COM'
                        || (CASE WHEN doc_id % 4 = 0 THEN ':80'
                                 WHEN doc_id % 4 = 1 THEN ':443' ELSE '' END)
-                       || '/Docs/' || CAST(doc_id AS VARCHAR)
-                       || (CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END)
+                       || (CASE WHEN doc_id % 9 = 0 THEN '/'
+                                ELSE '/Docs/' || CAST(doc_id AS VARCHAR)
+                                     || (CASE WHEN doc_id % 3 = 0
+                                              THEN '/' ELSE '' END) END)
                        || (CASE WHEN doc_id % 5 = 0 THEN '?z=9&a=1' ELSE '' END)
                        || (CASE WHEN doc_id % 7 = 0 THEN '#frag' ELSE '' END)
                            AS raw_url
                 FROM documents),
+            raw AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 13 = 0
+                            THEN regexp_replace(raw_url, '://',
+                                                '://User:Pass@')
+                            ELSE raw_url END AS raw_url
+                FROM raw0),
             comp AS (
                 SELECT doc_id, raw_url,
                        lower(regexp_extract(regexp_replace(raw_url, '#.*$', ''),
@@ -2316,6 +2335,12 @@ def oracle_sql() -> dict[str, str]:
                             - (doc_id % 6) * 5 - (doc_id % 5) * 20) * 0.85
                        + (doc_id % 101) * 0.15 + 0.5))) AS INT) AS confianza
             FROM documents""",
+        # the pivot formula (run_year%100 + 10, strict >) is restated here
+        # rather than independently derived: the rule ITSELF is a faithful
+        # port of the reference's dni_parser century pivot, whose spec
+        # conformance is gated by the byte-parity tests against the
+        # imported reference — this twin checks cross-engine consistency
+        # of the arithmetic, not the rule's conception
         "mrz_year_pivot": f"""
             SELECT doc_id,
                    CASE WHEN doc_id % 100 > {RUN_YEAR % 100 + 10} THEN '19' ELSE '20' END
