@@ -1078,6 +1078,15 @@ def q_token_shards(spark, sf_dir):
             .select("doc_id", "n_tokens", "shard_id"))
 
 
+def q_pack_sequences(spark, sf_dir):
+    """GPT-style packed-pretraining assignment: where each doc's tokens
+    land when the corpus concatenates in id order and cuts into
+    back-to-back 512-token sequences (docs span boundaries; seq_id +
+    seq_offset from the exact global prefix scan)."""
+    return (textstats.pack_sequences(_docs(spark, sf_dir), 512)
+            .select("doc_id", "n_tokens", "seq_id", "seq_offset"))
+
+
 def q_unit_conversions(spark, sf_dir):
     """Permís unit math (V10 CV→kW, C17 fiscal power, C16 ratio gate) as
     native expressions over synthesized values; floor-scaled ints so Spark
@@ -1347,6 +1356,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "repetition_features": q_repetition_features,
         "token_shards": q_token_shards,
+        "pack_sequences": q_pack_sequences,
         "corpus_curate": q_corpus_curate,
     }
 
@@ -1725,6 +1735,17 @@ def oracle_sql() -> dict[str, str]:
                         ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
                         AND 1 PRECEDING), 0) // 2000 AS BIGINT) AS shard_id
             FROM documents""",
+        "pack_sequences": f"""
+            WITH pre AS (
+                SELECT doc_id, CAST({_NTOK} AS BIGINT) AS n_tokens,
+                       coalesce(sum(CAST({_NTOK} AS BIGINT)) OVER (
+                            ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING), 0) AS before
+                FROM documents)
+            SELECT doc_id, n_tokens,
+                   CAST(before // 512 AS BIGINT) AS seq_id,
+                   CAST(before % 512 AS BIGINT) AS seq_offset
+            FROM pre""",
         "decontaminate": r"""
             WITH bt AS (
                 SELECT list_filter(string_split_regex(lower(trim(text)),

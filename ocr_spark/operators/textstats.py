@@ -738,6 +738,42 @@ def token_shards(df: DataFrame, budget_tokens: int,
     """
     if budget_tokens <= 0:
         raise ValueError(f"budget_tokens must be positive: {budget_tokens}")
+    return (_token_prefix_scan(df, id_col, text_col, partitions)
+            .select(id_col, "n_tokens",
+                    F.expr(f"_tokens_before DIV {int(budget_tokens)}")
+                    .alias("shard_id")))
+
+
+def pack_sequences(df: DataFrame, seq_tokens: int,
+                   id_col: str = "doc_id", text_col: str = "text",
+                   partitions: int | None = None) -> DataFrame:
+    """Fixed-length sequence PACKING assignment: where each document's
+    token stream lands when the corpus is concatenated in id order and
+    cut into back-to-back ``seq_tokens``-token training sequences (the
+    GPT-style packed-pretraining writer — no padding, documents span
+    sequence boundaries).
+
+    Returns ``(id, n_tokens, seq_id, seq_offset)``: the document's
+    tokens start at offset ``seq_offset`` of sequence ``seq_id`` and run
+    forward from there (spanning into following sequences when
+    ``seq_offset + n_tokens > seq_tokens``).  Derived entirely from the
+    exact global token prefix — same two-phase scan, scale shape, and
+    partitioning-invariance as :func:`token_shards`."""
+    if seq_tokens <= 0:
+        raise ValueError(f"seq_tokens must be positive: {seq_tokens}")
+    return (_token_prefix_scan(df, id_col, text_col, partitions)
+            .select(id_col, "n_tokens",
+                    F.expr(f"_tokens_before DIV {int(seq_tokens)}")
+                    .alias("seq_id"),
+                    F.expr(f"_tokens_before % {int(seq_tokens)}")
+                    .alias("seq_offset")))
+
+
+def _token_prefix_scan(df: DataFrame, id_col: str, text_col: str,
+                       partitions: int | None) -> DataFrame:
+    """``(id, n_tokens, _tokens_before)`` — the exact exclusive global
+    token-prefix sum in id order, via the two-phase scan described in
+    :func:`token_shards` (whose docstring is the design note)."""
     n_part = partitions or df.sparkSession.sparkContext.defaultParallelism
     # narrow projection FIRST: only (id, token-count) is ever shuffled or
     # crosses Arrow — document text stays in the scan.  localCheckpoint
@@ -780,10 +816,10 @@ def token_shards(df: DataFrame, budget_tokens: int,
             carry += int(tok.sum())
             yield pd.DataFrame({id_col: pdf[id_col],
                                 "n_tokens": tok,
-                                "shard_id": before // budget_tokens})
+                                "_tokens_before": before})
 
     return rp.mapInPandas(
-        gen, f"{id_col} {id_type}, n_tokens long, shard_id long")
+        gen, f"{id_col} {id_type}, n_tokens long, _tokens_before long")
 
 
 def _sample_bucket(key_col: str, salt: str) -> Column:

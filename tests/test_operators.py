@@ -1880,6 +1880,33 @@ def test_token_shards_rejects_bad_budget(spark):
     df = spark.createDataFrame([(1, "a")], ["doc_id", "text"])
     with pytest.raises(ValueError):
         textstats.token_shards(df, 0)
+    with pytest.raises(ValueError):
+        textstats.pack_sequences(df, 0)
+
+
+def test_pack_sequences_hand_computed(spark):
+    """Docs of 5/5/3/9 tokens packed into 8-token sequences: prefixes
+    [0,5,10,13] -> (seq 0 off 0), (seq 0 off 5 — spans into seq 1),
+    (seq 1 off 2), (seq 1 off 5 — spans into seq 2)."""
+    rows = [(0, "a " * 5), (1, "b " * 5), (2, "c " * 3), (3, "d " * 9)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: (r["n_tokens"], r["seq_id"], r["seq_offset"])
+           for r in textstats.pack_sequences(df, 8).collect()}
+    assert got == {0: (5, 0, 0), 1: (5, 0, 5),
+                   2: (3, 1, 2), 3: (9, 1, 5)}
+
+
+def test_pack_sequences_partitioning_invariant(spark):
+    rows = [(i, "tok " * (i % 17 + 1)) for i in range(83)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    ref = sorted(map(tuple, textstats.pack_sequences(
+        df, 25, partitions=1).collect()))
+    for p in (3, 7):
+        got = sorted(map(tuple, textstats.pack_sequences(
+            df, 25, partitions=p).collect()))
+        assert got == ref, f"partitions={p}"
+    # spanning docs exist (some seq_offset + n_tokens > 25)
+    assert any(r[3] + r[1] > 25 for r in ref)
 
 
 def test_stopword_count_formulas_agree(spark):
