@@ -264,14 +264,17 @@ def run_pipeline(spark: SparkSession, input_path: str, output_path: str,
     write_mode = "append" if resume else "overwrite"
     if resume:
         from pyspark.errors import AnalysisException
+
+        from ocr_spark.lineage import _is_path_not_found
         try:
             prior_q = spark.read.parquet(f"{output_path}/quarantine") \
                 .select("url").localCheckpoint(eager=True)
             quarantined = quarantined.join(prior_q, "url", "left_anti")
-        except AnalysisException:
-            pass  # no prior quarantine output (PATH_NOT_FOUND); any other
-            # failure must surface — silently skipping the anti-join would
-            # append duplicate quarantine rows
+        except AnalysisException as exc:
+            if not _is_path_not_found(exc):
+                raise  # any other failure must surface — silently
+                # skipping the anti-join would append duplicate rows
+            # no prior quarantine output: first run, nothing to dedup
 
     def _write(df: DataFrame, sub: str, partition_by: Optional[str] = None) -> None:
         writer = df.write.mode(write_mode)

@@ -115,9 +115,27 @@ def anti_join_done(pages: DataFrame, output_data_path: str) -> DataFrame:
     try:
         done = (spark.read.parquet(output_data_path).select("url")
                 .localCheckpoint(eager=True))
-    except AnalysisException:
-        return pages  # no prior output (PATH_NOT_FOUND) — nothing to
-        # resume from; any OTHER read failure must surface, because
-        # skipping the anti-join on a transient error would re-extract
-        # and duplicate already-committed rows
+    except AnalysisException as exc:
+        if not _is_path_not_found(exc):
+            raise  # any OTHER read failure must surface: skipping the
+            # anti-join (mispointed path without a url column, unreadable
+            # layout, transient store error) would re-extract and append
+            # rows already committed — silent duplication
+        return pages  # no prior output — nothing to resume from
     return pages.join(done, on="url", how="left_anti")
+
+
+def _is_path_not_found(exc) -> bool:
+    """True iff an AnalysisException means the read path does not exist —
+    the only error class the resume anti-joins may swallow."""
+    cls = None
+    get = getattr(exc, "getCondition", None) or getattr(
+        exc, "getErrorClass", None)
+    if get is not None:
+        try:
+            cls = get()
+        except Exception:
+            cls = None
+    if cls is not None:
+        return "PATH_NOT_FOUND" in cls
+    return "PATH_NOT_FOUND" in str(exc)

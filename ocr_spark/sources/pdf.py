@@ -60,7 +60,11 @@ _RE_TOKEN = re.compile(
     # class: the previous [^\]]* filler made every unclosed "[" re-scan
     # to EOF — a hostile "["-flood in a content stream was O(n^2), hours
     # at inflated-stream size
-    rb"|\[(?P<arr>(?:\\.|\((?:\\.|[^\\()])*\)|[^\][()])*)\]\s*TJ"
+    # the arr filler class must ALSO exclude backslash: with it included,
+    # every backslash has two parses (part of \\. or lone filler) and an
+    # unclosed "(" after a backslash flood forces exponential backtracking
+    # (measured ~1.6x per added char — 60 backslashes would be years)
+    rb"|\[(?P<arr>(?:\\.|\((?:\\.|[^\\()])*\)|[^\\\][()])*)\]\s*TJ"
     rb"|(?P<tok>\bBT\b|\bET\b|T\*|\bTd\b|\bTD\b)", re.S)
 _RE_ARR_LIT = re.compile(rb"\((?P<lit>(?:\\.|[^\\()])*)\)")
 
@@ -75,9 +79,12 @@ def _unescape(lit: bytes) -> bytes:
         c = lit[i:i + 1]
         if c == b"\\" and i + 1 < n:
             nxt = lit[i + 1:i + 2]
-            if nxt.isdigit():  # \ddd octal (1-3 digits)
+            if nxt in b"01234567":  # \ddd octal (1-3 OCTAL digits —
+                # isdigit() would accept \8/\9 and int(.., 8) raises,
+                # and an uncaught ValueError here is job-fatal: nothing
+                # between this and the fused UDF catches it)
                 j = i + 1
-                while j < min(i + 4, n) and lit[j:j + 1].isdigit():
+                while j < min(i + 4, n) and lit[j] in b"01234567":
                     j += 1
                 out.append(int(lit[i + 1:j], 8) & 0xFF)
                 i = j
@@ -110,8 +117,12 @@ def _decode_stream(raw: bytes, limit: int = MAX_STREAM_BYTES) -> bytes:
         return raw[:limit]
 
 
-def _stream_text(content: bytes) -> list[bytes]:
-    """Text lines of one content stream (line breaks on BT/Td/TD/T*/')."""
+def _stream_text_regex(content: bytes) -> list[bytes]:
+    """The original regex formulation of :func:`_stream_text` — kept as
+    the SEMANTICS TWIN for the differential test.  Do not use on
+    untrusted input: overlapping rescans of escaped-paren runs are
+    O(n^2) (each failed candidate re-walks the suffix from every later
+    ``(``), which the procedural scanner exists to avoid."""
     lines: list[bytearray] = [bytearray()]
     in_text = False
 
@@ -140,6 +151,144 @@ def _stream_text(content: bytes) -> list[bytes]:
         elif m.group("arr") is not None:
             for lit in _RE_ARR_LIT.finditer(m.group("arr")):
                 lines[-1] += _unescape(lit.group("lit"))
+    return [bytes(ln) for ln in lines if ln]
+
+
+_WORD = frozenset(
+    b"ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789_")
+_WS = frozenset(b" \t\r\n\f\v")
+
+
+def _stream_text(content: bytes) -> list[bytes]:
+    """Text lines of one content stream (line breaks on BT/Td/TD/T*/').
+
+    Single LEFT-TO-RIGHT procedural scan, guaranteed linear: every byte
+    is visited O(1) times because a failed candidate (unterminated
+    literal or array) resumes AT or AFTER the failure point, never back
+    at start+1 the way a regex ``finditer`` does.  The regex twin
+    (:func:`_stream_text_regex`) re-walks escaped-paren runs from every
+    later ``(`` — a hostile ``\\(``-flood inside one 64 MB inflated
+    stream is O(n^2) there (~minutes), linear here.  Semantics match the
+    twin on well-formed streams (differential-fuzzed); on MALFORMED
+    streams the scanner is the more conservative of the two (tokens
+    inside unterminated garbage are dropped rather than recovered)."""
+    lines: list[bytearray] = [bytearray()]
+    in_text = False
+    i, n = 0, len(content)
+
+    def newline() -> None:
+        if lines[-1]:
+            lines.append(bytearray())
+
+    def scan_lit(j: int) -> tuple:
+        # from '(' at j: ("ok", body, end_after_close) |
+        # ("restart", pos_of_inner_paren) — a bare '(' fails the outer
+        # candidate exactly like the regex body class [^\\()] |
+        # ("eof", n) — unterminated
+        k = j + 1
+        s = k
+        while k < n:
+            c = content[k]
+            if c == 0x5C:                          # backslash escape
+                k += 2
+                continue
+            if c == 0x29:                          # )
+                return ("ok", content[s:k], k + 1)
+            if c == 0x28:                          # bare ( — regex fails
+                return ("restart", k)
+            k += 1
+        return ("eof", n)
+
+    while i < n:
+        c = content[i]
+        if c == 0x28:                              # ( — string literal
+            res = scan_lit(i)
+            if res[0] == "restart":
+                i = res[1]
+                continue
+            if res[0] == "eof":
+                break   # unterminated to EOF: nothing after it closes
+            body, j = res[1], res[2]
+            while j < n and content[j] in _WS:     # \s* before the op
+                j += 1
+            after = None
+            two = content[j:j + 2]
+            if two in (b"Tj", b"TJ"):
+                after, j = two, j + 2
+            elif content[j:j + 1] == b"'":
+                after, j = b"'", j + 1
+            if in_text and after is not None:
+                if after == b"'":                  # ' = next line + show
+                    newline()
+                lines[-1] += _unescape(body)
+            i = j
+            continue
+        if c == 0x5B:                              # [ — TJ array
+            j = i + 1
+            lits: list[bytes] = []
+            failed_at = None
+            while j < n:
+                cc = content[j]
+                if cc == 0x5C:
+                    j += 2
+                    continue
+                if cc == 0x28:
+                    res = scan_lit(j)
+                    if res[0] != "ok":             # nested/unterminated
+                        failed_at = res[1] if res[0] == "restart" else n
+                        break
+                    lits.append(res[1])
+                    j = res[2]
+                    continue
+                if cc in (0x29, 0x5B):             # stray ) or [ — fail
+                    failed_at = j
+                    break
+                if cc == 0x5D:                     # ] — need \s* TJ
+                    k = j + 1
+                    while k < n and content[k] in _WS:
+                        k += 1
+                    if content[k:k + 2] == b"TJ":
+                        if in_text:
+                            for b_ in lits:
+                                lines[-1] += _unescape(b_)
+                        j = k + 2
+                    else:
+                        failed_at = j
+                    break
+                j += 1
+            else:
+                failed_at = n
+            if failed_at is not None:
+                # resume AT the failure point (linear); the regex twin
+                # would rescan the body for stray literals+ops — a
+                # malformed-input recovery not worth O(n^2)
+                i = max(failed_at, i + 1)
+                continue
+            i = j
+            continue
+        if c in (0x42, 0x45) and content[i:i + 2] in (b"BT", b"ET"):
+            if (i == 0 or content[i - 1] not in _WORD) and \
+                    (i + 2 >= n or content[i + 2] not in _WORD):
+                if content[i] == 0x42:
+                    in_text = True
+                    newline()
+                else:
+                    in_text = False
+                i += 2
+                continue
+        if c == 0x54:                              # T: T* / Td / TD
+            nxt = content[i + 1:i + 2]
+            if nxt == b"*":                        # regex T\* — no \b
+                newline()
+                i += 2
+                continue
+            if nxt in (b"d", b"D") and \
+                    (i == 0 or content[i - 1] not in _WORD) and \
+                    (i + 2 >= n or content[i + 2] not in _WORD):
+                newline()
+                i += 2
+                continue
+        i += 1
     return [bytes(ln) for ln in lines if ln]
 
 

@@ -90,6 +90,12 @@ def iter_warc_records(data: bytes) -> Iterator[tuple[dict[str, str], bytes]]:
             length = int(headers.get("content-length", ""))
         except ValueError:
             break
+        if length < 0:
+            # a negative length can move pos BACKWARD onto bytes inside
+            # the same header block and re-parse the identical record
+            # forever (verified: one 68-byte record yields infinitely) —
+            # malformed archive, stop cleanly like every other break
+            break
         payload = data[hdr_end + 4: hdr_end + 4 + length]
         yield headers, payload
         pos = hdr_end + 4 + length

@@ -86,11 +86,17 @@ def quality_rollup(extracted: DataFrame, window: str = "1 hour",
 def dedup_stream(extracted: DataFrame, watermark: str = "2 hours") -> DataFrame:
     """Exactly-once-per-url within the watermark horizon.
 
-    Built-in streaming dedup keeps url state until the watermark passes —
-    the bounded-state version of the batch job's anti-join resume (§4.3).
+    Uses ``dropDuplicatesWithinWatermark``: plain ``dropDuplicates`` only
+    evicts state when the EVENT-TIME column is part of the dedup key, so
+    keyed on url alone it would keep every url ever seen (unbounded state
+    growth until executor OOM on a continuous crawl) and suppress
+    re-crawls past the horizon forever.  The WithinWatermark form is the
+    bounded-state version of the batch job's anti-join resume (§4.3):
+    state per url is dropped once the watermark passes it, and a url
+    re-crawled after the horizon is admitted again.
     """
     return (extracted.withWatermark("warc_ts", watermark)
-            .dropDuplicates(["url"]))
+            .dropDuplicatesWithinWatermark(["url"]))
 
 
 HOST_PROFILE_SCHEMA = "host string, pages_seen bigint, n_valido bigint, n_tier2 bigint"
@@ -170,7 +176,11 @@ def run_streaming_pipeline(spark: SparkSession, input_path: str,
     # local-fs paths (this sandbox); a cluster deployment on HDFS/object
     # storage would do the same through the Hadoop FileSystem API
     if not os.path.isdir(f"{output_path}/_checkpoint"):
-        stale = [sub for sub in ("data", "quarantine", "lineage")
+        # lineage_summary included: the batch job writes it in the same
+        # layout, and leaving it behind would describe deleted rows (any
+        # audit reconciling summary against data would double-count)
+        stale = [sub for sub in ("data", "quarantine", "lineage",
+                                 "lineage_summary")
                  if os.path.isdir(f"{output_path}/{sub}")]
         if stale and not allow_reset:
             raise FileExistsError(
@@ -180,7 +190,11 @@ def run_streaming_pipeline(spark: SparkSession, input_path: str,
                 f"allow_reset=True to wipe and reprocess, or point the "
                 f"stream at an empty output path.")
         for sub in stale:
-            shutil.rmtree(f"{output_path}/{sub}", ignore_errors=True)
+            # no ignore_errors: a PARTIAL wipe that proceeded would leave
+            # stale batch_id partitions from the old numbering beside the
+            # fresh stream's rows — the exact duplicate-row hazard the
+            # FileExistsError guard above exists to prevent
+            shutil.rmtree(f"{output_path}/{sub}")
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         admitted, quarantined = job.admission_split(batch_df)

@@ -127,3 +127,52 @@ def test_pdf_marker_flood_linear():
     assert time.time() - t0 < 10.0
     # nested-literal semantics survive the non-backtracking array body
     assert p._stream_text(b"BT [(a[b) 5 (c)] TJ ET") == [b"a[bc"]
+
+
+def test_pdf_non_octal_escape_and_backslash_flood():
+    """\\8 and \\9 are NOT octal (the PDF spec's \\ddd is octal-only):
+    isdigit()-based scanning fed int(.., 8) a ValueError that nothing
+    between here and the fused UDF catches — job-fatal on one hostile
+    string.  And the TJ-array filler class must exclude backslash, or an
+    unclosed '(' after a backslash flood backtracks exponentially
+    (~1.6x per added char; 60 backslashes would be years)."""
+    import time
+
+    from ocr_spark.sources import pdf as p
+
+    # spec behavior: the backslash before a non-octal digit is dropped
+    assert p._unescape(rb"a\8b") == b"a8b"
+    assert p._unescape(rb"a\9b") == b"a9b"
+    assert p._unescape(rb"a\101b") == b"aAb"       # real octal still works
+    assert p._unescape(rb"a\0601") == b"a01"       # 3-digit max, then '1'
+    out = p.extract_pdf_text(b"stream\nBT (hello\\8world) Tj ET\nendstream")
+    assert "hello8world" in out
+    t0 = time.time()
+    p._stream_text(b"BT [" + b"\\" * 200 + b"(")
+    p._stream_text(b"BT [" + b"\\(" * 200_000)   # escaped-paren flood:
+    p._stream_text(b"BT " + b"(\\(" * 200_000)   # linear in the scanner,
+    assert time.time() - t0 < 5.0                 # quadratic in the twin
+    # escaped chars inside array bodies still parse
+    assert p._stream_text(rb"BT [(a\)b) (c)] TJ ET") == [b"a)bc"]
+
+
+def test_stream_text_matches_regex_twin():
+    """The linear procedural scanner must agree with the regex twin on
+    well-formed streams (the twin IS the semantics; it is quadratic on
+    escaped-paren floods, which is why the scanner exists)."""
+    import random
+
+    from ocr_spark.sources import pdf as p
+
+    rng = random.Random(0xBEEF)
+    frags = [b"BT ", b"ET ", b"Td ", b"TD ", b"T* ", b"(abc) Tj ",
+             b"(x\\)y) Tj ", b"(a[b) 5 (c) ", b"[(a) (b)] TJ ",
+             b"[(a\\)b) -2 (c)] TJ ", b"(lit) ", b"(nl) ' ",
+             b"/F1 10 Tf ", b"12 700 Td ", b"(esc\\\\d) Tj ",
+             b"(oct\\101) Tj ", b"q Q re W n ", b"(T* in lit) Tj ",
+             b"(BT ET) Tj ", b"[(m)(n)] TJ ", b"xTdx ", b"TJ ", b"Tj ",
+             b"' "]
+    for _ in range(800):
+        s = b"".join(rng.choice(frags)
+                     for _ in range(rng.randint(1, 30)))
+        assert p._stream_text(s) == p._stream_text_regex(s), s

@@ -346,3 +346,25 @@ def test_extract_then_curate_integration(spark, tmp_path):
     assert by_reason.get(None, 0) > 0          # something survives
     kept = verdicts.filter("keep")
     assert kept.filter("shard_id is null").count() == 0
+
+
+def test_resume_anti_join_surfaces_non_path_errors(spark, tmp_path):
+    """anti_join_done may swallow ONLY path-not-found: any other read
+    failure (here: a mispointed path whose parquet lacks a url column)
+    must raise — silently skipping the anti-join would re-extract and
+    append rows already committed."""
+    import pytest as _pytest
+    from pyspark.errors import AnalysisException
+
+    from ocr_spark import lineage as _lin
+
+    pages = spark.createDataFrame([("http://a", b"<p>x</p>")],
+                                  ["url", "html"])
+    # missing path: passthrough
+    assert _lin.anti_join_done(
+        pages, str(tmp_path / "nope")).count() == 1
+    # existing parquet WITHOUT a url column: must surface
+    bad = str(tmp_path / "bad")
+    spark.range(3).write.parquet(bad)
+    with _pytest.raises(AnalysisException):
+        _lin.anti_join_done(pages, bad).count()

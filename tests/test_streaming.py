@@ -121,3 +121,32 @@ def test_quality_rollup_watermark(spark, stream_input, tmp_path):
     assert rows, "no windows emitted"
     assert sum(r["n_docs"] for r in rows) == N_PAGES
     assert {r["doc_type"] for r in rows} == {"dni", "permiso_circulacion", "nif"}
+
+
+def test_dedup_stream_bounded_state(spark, stream_input, tmp_path):
+    """Streaming per-url dedup: duplicate urls across micro-batches are
+    suppressed.  Uses dropDuplicatesWithinWatermark — plain
+    dropDuplicates(['url']) would never evict state (the event-time
+    column is not in the key), growing unboundedly on a continuous
+    crawl."""
+    import shutil
+
+    dup_dir = tmp_path / "dup_in"
+    dup_dir.mkdir()
+    # the same two files twice -> every url appears in >= 2 batches
+    shutil.copy(f"{stream_input}/part0.parquet", dup_dir / "a.parquet")
+    shutil.copy(f"{stream_input}/part1.parquet", dup_dir / "b.parquet")
+    shutil.copy(f"{stream_input}/part0.parquet", dup_dir / "c.parquet")
+    shutil.copy(f"{stream_input}/part1.parquet", dup_dir / "d.parquet")
+    stream = streaming.read_pages_stream(spark, str(dup_dir),
+                                         max_files_per_trigger=1)
+    deduped = streaming.dedup_stream(stream.withColumn(
+        "warc_ts", stream["warc_ts"].cast("timestamp")))
+    q = (deduped.select("url").writeStream.outputMode("append")
+         .format("memory").queryName("dd")
+         .option("checkpointLocation", str(tmp_path / "ck_dd"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    urls = [r["url"] for r in spark.sql("select url from dd").collect()]
+    assert len(urls) == N_PAGES            # each url exactly once
+    assert len(set(urls)) == N_PAGES

@@ -56,6 +56,21 @@ def test_truncated_archive_stops_cleanly():
     assert len(list(warc.records_to_pages(resp + b"WARC/1.0\r\ngarbage"))) == 1
 
 
+def test_negative_content_length_terminates():
+    """A negative Content-Length can move the scan position BACKWARD onto
+    bytes inside the same header block — without the guard this exact
+    68-byte record re-parses itself forever (an infinite generator that
+    hangs the executor task)."""
+    rec = (b"WARC/1.0\r\nX: WARC/1.0\r\nWARC-Type: response\r\n"
+           b"Content-Length: -54\r\n\r\n")
+    assert list(warc.iter_warc_records(rec)) == []
+    # and a valid record FOLLOWED by the malformed one still yields once
+    resp = warc._format_record(
+        {"WARC-Type": "response", "WARC-Target-URI": "http://ok"},
+        b"HTTP/1.1 200 OK\r\n\r\nbody")
+    assert len(list(warc.records_to_pages(resp + rec))) == 1
+
+
 def test_read_warc_spark(spark, warc_dir):
     df = warc.read_warc(spark, warc_dir)
     rows = df.collect()
