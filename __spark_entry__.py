@@ -638,6 +638,37 @@ def q_canonical_urls(spark, sf_dir):
                     urls.host_of(messy).alias("host")))
 
 
+def q_meta_directives(spark, sf_dir):
+    """Crawl-directive extraction over synthesized pages: meta-robots
+    noindex in both attribute orders (one uppercase), an index-only
+    robots meta and a 'noindexing' token that must NOT match, and
+    rel=canonical links in both orders feeding the dedup key."""
+    from ocr_spark.operators import urls
+    d = F.col("doc_id")
+    meta = (F.when(d % 6 == 0, F.lit(
+        '<meta name="robots" content="noindex, follow">'))
+        .when(d % 6 == 1, F.lit(
+            "<meta content='NOINDEX,nofollow' name='robots'>"))
+        .when(d % 6 == 2, F.lit(
+            '<meta name="robots" content="index, noindexing">'))
+        .when(d % 6 == 3, F.concat(
+            F.lit('<link rel="canonical" href="https://canon.example/c'),
+            (d % 37).cast("string"), F.lit('">')))
+        .when(d % 6 == 4, F.concat(
+            F.lit('<link href="https://canon.example/d'),
+            (d % 37).cast("string"), F.lit('" rel="canonical">')))
+        .otherwise(F.lit("")))
+    url = F.concat(F.lit("https://host-"), (d % 23).cast("string"),
+                   F.lit(".example.com/p/"), d.cast("string"))
+    pages = (_docs(spark, sf_dir)
+             .select("doc_id", url.alias("url"),
+                     F.concat(F.lit("<html><head>"), meta,
+                              F.lit("</head><body>"), F.col("text"),
+                              F.lit("</body></html>")).alias("html")))
+    return (urls.meta_directives(pages)
+            .select("doc_id", "noindex", "canonical_url", "dedup_url"))
+
+
 def q_url_blocklist(spark, sf_dir):
     """UT1-style domain-blocklist annotation over synthesized hosts:
     apex suffix matches (every ``doc_id % 7 == 0`` host is under
@@ -1292,6 +1323,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_substrings": q_dedup_substrings,
         "corpus_clean": q_corpus_clean,
         "canonical_urls": q_canonical_urls,
+        "meta_directives": q_meta_directives,
         "url_blocklist": q_url_blocklist,
         "host_cap": q_host_cap,
         "host_profile": q_host_profile,
@@ -2010,6 +2042,46 @@ def oracle_sql() -> dict[str, str]:
         # independent formulation: label-boundary LIKE precedence ordered
         # longest-entry-first, host recomputed arithmetically (never
         # parsed) — shares no code path with the suffix-explode join
+        "meta_directives": r"""
+            WITH pages AS (
+                SELECT doc_id,
+                       'https://host-' || CAST(doc_id % 23 AS VARCHAR)
+                       || '.example.com/p/' || CAST(doc_id AS VARCHAR)
+                           AS url,
+                       '<html><head>' ||
+                       CASE CAST(doc_id % 6 AS INT)
+                            WHEN 0 THEN '<meta name="robots" content="noindex, follow">'
+                            WHEN 1 THEN '<meta content=''NOINDEX,nofollow'' name=''robots''>'
+                            WHEN 2 THEN '<meta name="robots" content="index, noindexing">'
+                            WHEN 3 THEN '<link rel="canonical" href="https://canon.example/c'
+                                        || CAST(doc_id % 37 AS VARCHAR) || '">'
+                            WHEN 4 THEN '<link href="https://canon.example/d'
+                                        || CAST(doc_id % 37 AS VARCHAR) || '" rel="canonical">'
+                            ELSE '' END
+                       || '</head><body>' || text || '</body></html>'
+                           AS html
+                FROM documents),
+            ext AS (
+                SELECT doc_id, url,
+                       lower(coalesce(
+                           nullif(regexp_extract(html,
+                               '(?is)<meta\b[^>]*\bname\s*=\s*[''"]robots[''"][^>]*\bcontent\s*=\s*[''"]([^''"]*)[''"]', 1), ''),
+                           nullif(regexp_extract(html,
+                               '(?is)<meta\b[^>]*\bcontent\s*=\s*[''"]([^''"]*)[''"][^>]*\bname\s*=\s*[''"]robots[''"]', 1), ''),
+                           '')) AS robots,
+                       coalesce(
+                           nullif(regexp_extract(html,
+                               '(?is)<link\b[^>]*\brel\s*=\s*[''"]canonical[''"][^>]*\bhref\s*=\s*[''"]([^''"]*)[''"]', 1), ''),
+                           nullif(regexp_extract(html,
+                               '(?is)<link\b[^>]*\bhref\s*=\s*[''"]([^''"]*)[''"][^>]*\brel\s*=\s*[''"]canonical[''"]', 1), ''))
+                           AS canonical_url
+                FROM pages)
+            SELECT doc_id,
+                   regexp_matches(robots, '(^|[,\s])noindex([,\s]|$)')
+                       AS noindex,
+                   canonical_url,
+                   coalesce(canonical_url, url) AS dedup_url
+            FROM ext""",
         "url_blocklist": """
             WITH hosts AS (
                 SELECT doc_id,

@@ -134,17 +134,37 @@ def preflight(pages: DataFrame) -> None:
             f"{PAGES_SCHEMA.simpleString()}")
 
 
-def admission_split(pages: DataFrame) -> tuple[DataFrame, DataFrame]:
+def admission_split(pages: DataFrame,
+                    respect_noindex: bool = False) -> tuple[DataFrame,
+                                                            DataFrame]:
     """(admitted, quarantined) — S2–S4 gates as native filters.
 
     Oversized html or rows with neither html nor text are quarantined with a
     reason instead of failing the job (the batch analog of HTTP 400).
+
+    ``respect_noindex`` (opt-in: it changes output row sets and digests)
+    additionally quarantines pages whose html carries a
+    ``<meta name="robots">`` listing ``noindex`` — the publisher opt-out
+    a compliant training-corpus ingest honors.  The check is one JVM
+    regexp over the already-scanned html column, BEFORE the Python
+    extraction stage spends anything on the page.
     """
     reason = (
         F.when(F.col("url").isNull(), F.lit("missing_url"))
         .when(F.col("html").isNull() & F.col("text").isNull(), F.lit("empty_payload"))
         .when(F.length("html") > MAX_HTML_BYTES, F.lit("oversize"))
     )
+    if respect_noindex:
+        from ocr_spark.operators.urls import (_ROBOTS_CONTENT_FIRST,
+                                              _ROBOTS_NAME_FIRST)
+        h = F.col("html").cast("string")
+        robots = F.lower(F.coalesce(
+            F.nullif(F.regexp_extract(h, _ROBOTS_NAME_FIRST, 1), F.lit("")),
+            F.nullif(F.regexp_extract(h, _ROBOTS_CONTENT_FIRST, 1),
+                     F.lit("")),
+            F.lit("")))
+        reason = reason.when(
+            robots.rlike(r"(^|[,\s])noindex([,\s]|$)"), F.lit("noindex"))
     tagged = pages.withColumn("_q_reason", reason)
     admitted = tagged.filter(F.col("_q_reason").isNull()).drop("_q_reason")
     quarantined = (tagged.filter(F.col("_q_reason").isNotNull())
@@ -177,6 +197,7 @@ def run_pipeline(spark: SparkSession, input_path: str, output_path: str,
                  input_df: Optional[DataFrame] = None,
                  storage_level: str = "MEMORY_AND_DISK",
                  canonicalize_urls: bool = False,
+                 respect_noindex: bool = False,
                  fuse_tiers: bool = True) -> dict:
     """Execute the full pipeline; returns run metrics (counts, digest, wall).
 
@@ -207,7 +228,8 @@ def run_pipeline(spark: SparkSession, input_path: str, output_path: str,
         # (opt-in — it changes the url column, hence every digest)
         from ocr_spark.operators.urls import canonical_url
         pages = pages.withColumn("url", canonical_url(F.col("url")))
-    admitted, quarantined = admission_split(pages)
+    admitted, quarantined = admission_split(
+        pages, respect_noindex=respect_noindex)
     if resume:
         admitted = lin.anti_join_done(admitted, f"{output_path}/data")
     admitted = spread_partitions(admitted, partitions, salt)
@@ -332,6 +354,9 @@ def main() -> None:
                     choices=["standard", "aggressive", "layout"])
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--no-tier2", action="store_true")
+    ap.add_argument("--respect-noindex", action="store_true",
+                    help="quarantine pages whose meta robots lists noindex "
+                         "(publisher opt-out; changes digests)")
     ap.add_argument("--canonicalize-urls", action="store_true",
                     help="normalize the url column (case/ports/fragments/"
                          "query order) before resume/dedup")
@@ -346,7 +371,8 @@ def main() -> None:
         partitions=args.partitions, salt=args.salt, mode=args.mode,
         resume=args.resume, tier2_enabled=not args.no_tier2,
         storage_level=args.storage_level,
-        canonicalize_urls=args.canonicalize_urls)
+        canonicalize_urls=args.canonicalize_urls,
+        respect_noindex=args.respect_noindex)
     print({k: summary[k] for k in ("run_id", "input_count", "extracted_count",
                                    "valid_count", "tier2_count", "digest", "wall_ms")})
 

@@ -163,6 +163,56 @@ def blocklist_filter(df: DataFrame, blocked: DataFrame,
             .drop("blocked_domain", "url_blocked"))
 
 
+_ROBOTS_NAME_FIRST = (r"(?is)<meta\b[^>]*\bname\s*=\s*['\"]robots['\"]"
+                      r"[^>]*\bcontent\s*=\s*['\"]([^'\"]*)['\"]")
+_ROBOTS_CONTENT_FIRST = (r"(?is)<meta\b[^>]*\bcontent\s*=\s*"
+                         r"['\"]([^'\"]*)['\"][^>]*\bname\s*=\s*"
+                         r"['\"]robots['\"]")
+_CANON_REL_FIRST = (r"(?is)<link\b[^>]*\brel\s*=\s*['\"]canonical['\"]"
+                    r"[^>]*\bhref\s*=\s*['\"]([^'\"]*)['\"]")
+_CANON_HREF_FIRST = (r"(?is)<link\b[^>]*\bhref\s*=\s*['\"]([^'\"]*)['\"]"
+                     r"[^>]*\brel\s*=\s*['\"]canonical['\"]")
+
+
+def meta_directives(df: DataFrame, html_col: str = "html",
+                    url_col: str = "url") -> DataFrame:
+    """Crawl-directive extraction — the respect-the-publisher gates a
+    training-corpus ingest applies before anything else:
+
+    * ``noindex`` (bool): the page carries ``<meta name="robots">`` whose
+      content lists the ``noindex`` token (either attribute order) —
+      the publisher asked not to be indexed; a compliant corpus drops it.
+    * ``canonical_url`` (string, null when absent): the
+      ``<link rel="canonical">`` target — the publisher's own statement
+      that this page duplicates another.
+    * ``dedup_url``: ``coalesce(canonical_url, url)`` — the key exact
+      dedup should group on, so the 50 pagination/tracking variants of
+      one article collapse to the canonical member without content
+      hashing.
+
+    Pure JVM ``regexp_extract`` over the html column (string or binary —
+    binary is UTF-8-cast; charset-exotic pages degrade to not-detected),
+    so the gate costs a narrow scan projection and can run BEFORE the
+    Python extraction stage.  Contract: QUOTED attribute values (single
+    or double), first match wins; unquoted values — vanishingly rare for
+    these two tags — are not detected.  The HTTP ``X-Robots-Tag`` header
+    form lives outside the page bytes and is the crawler's job."""
+    h = F.col(html_col).cast("string")
+    robots = F.lower(F.coalesce(
+        F.nullif(F.regexp_extract(h, _ROBOTS_NAME_FIRST, 1), F.lit("")),
+        F.nullif(F.regexp_extract(h, _ROBOTS_CONTENT_FIRST, 1), F.lit("")),
+        F.lit("")))
+    canonical = F.coalesce(
+        F.nullif(F.regexp_extract(h, _CANON_REL_FIRST, 1), F.lit("")),
+        F.nullif(F.regexp_extract(h, _CANON_HREF_FIRST, 1), F.lit("")))
+    return (df
+            .withColumn("noindex",
+                        robots.rlike(r"(^|[,\s])noindex([,\s]|$)"))
+            .withColumn("canonical_url", canonical)
+            .withColumn("dedup_url",
+                        F.coalesce(F.col("canonical_url"), F.col(url_col))))
+
+
 def host_profile(df: DataFrame, url_col: str = "url",
                  ok_col: str = "quality_ok",
                  text_col: str = "text") -> DataFrame:

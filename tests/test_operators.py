@@ -1983,6 +1983,39 @@ def test_blocklist_annotate_semantics(spark):
     assert got[11] == (None, False)             # '..' is not a DNS name
 
 
+def test_meta_directives(spark):
+    from ocr_spark.operators import urls
+    rows = [
+        (1, "http://a/1", '<head><meta name="robots" '
+                          'content="noindex, follow"></head>x'),
+        (2, "http://a/2", "<META CONTENT='NOINDEX,nofollow' "
+                          "NAME='robots'>"),          # order + case
+        (3, "http://a/3", '<meta name="robots" content="index, follow">'),
+        (4, "http://a/4", '<meta name="robots" content="noindexing">'),
+        (5, "http://a/5", '<link rel="canonical" href="http://c/5">'),
+        (6, "http://a/6", '<link href="http://c/6" rel="canonical">'),
+        (7, "http://a/7", '<meta name="robotsx" content="noindex">'),
+        (8, "http://a/8", "no directives at all"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "url", "html"])
+    got = {r["doc_id"]: (r["noindex"], r["canonical_url"], r["dedup_url"])
+           for r in urls.meta_directives(df).collect()}
+    assert got[1] == (True, None, "http://a/1")
+    assert got[2] == (True, None, "http://a/2")
+    assert got[3] == (False, None, "http://a/3")
+    assert got[4] == (False, None, "http://a/4")   # token, not substring
+    assert got[5] == (False, "http://c/5", "http://c/5")
+    assert got[6] == (False, "http://c/6", "http://c/6")
+    assert got[7] == (False, None, "http://a/7")   # robotsx != robots
+    assert got[8] == (False, None, "http://a/8")
+    # binary html column works too (the pages-table form)
+    bin_df = spark.createDataFrame(
+        [(9, "http://a/9",
+          bytearray(b'<meta name="robots" content="noindex">'))],
+        "doc_id long, url string, html binary")
+    assert urls.meta_directives(bin_df).collect()[0]["noindex"] is True
+
+
 def test_bare_host_root_dot(spark):
     from ocr_spark.operators import urls
     cases = [("https://Example.COM./x", "example.com"),

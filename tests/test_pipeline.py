@@ -156,6 +156,27 @@ def test_quarantine(spark, tmp_path):
     assert [r["url"] for r in admitted.collect()] == ["u-ok"]
 
 
+def test_respect_noindex_gate(spark):
+    """Opt-in publisher opt-out: meta-robots noindex pages quarantine
+    with their own reason; default behavior unchanged."""
+    rows = [
+        ("u-ni", None, b'<html><head><meta name="robots" content='
+                       b'"noindex"></head><body>x</body></html>', None, "es"),
+        ("u-ok", None, b"<html><body><pre>APELLIDOS</pre></body></html>",
+         None, "es"),
+    ]
+    schema = ("url string, warc_ts timestamp, html binary, "
+              "text string, lang string")
+    df = spark.createDataFrame(rows, schema=schema)
+    admitted, quarantined = admission_split(df, respect_noindex=True)
+    assert {r["url"]: r["reason"] for r in quarantined.collect()} \
+        == {"u-ni": "noindex"}
+    assert [r["url"] for r in admitted.collect()] == ["u-ok"]
+    # off by default: both admitted
+    a0, q0 = admission_split(df)
+    assert q0.count() == 0 and a0.count() == 2
+
+
 def test_resume_skips_done(spark, pages_path, tmp_path):
     out = str(tmp_path / "resume")
     run_pipeline(spark, pages_path, out, RUN_DATE, partitions=4)
