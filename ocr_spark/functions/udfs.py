@@ -101,7 +101,12 @@ def dni_parse_udf(run_date: date, engine: str = TIER1_ENGINE,
         rows = []
         for t, conf in zip(text, confidence):
             t = bound_parse_text(t or "")
-            conf = float(conf) if conf is not None else 0.0
+            # pd.notna, not `is not None`: Arrow delivers NULL doubles
+            # to pandas as NaN, and NaN would sail past the None check
+            # into needs_tier2 where `NaN < 50.0` is False — a
+            # null-confidence row reported tier1_acceptat instead of
+            # routed to the fallback tier
+            conf = float(conf) if pd.notna(conf) else 0.0
             datos, raw_mrz = dni.parse(t, run_date)
             if route:
                 needs, reason = dni.needs_tier2(datos, conf, t)
@@ -124,7 +129,12 @@ def permis_parse_udf(run_date: date, engine: str = TIER1_ENGINE,
         rows = []
         for t, conf in zip(text, confidence):
             t = bound_parse_text(t or "")
-            conf = float(conf) if conf is not None else 0.0
+            # pd.notna, not `is not None`: Arrow delivers NULL doubles
+            # to pandas as NaN, and NaN would sail past the None check
+            # into needs_tier2 where `NaN < 50.0` is False — a
+            # null-confidence row reported tier1_acceptat instead of
+            # routed to the fallback tier
+            conf = float(conf) if pd.notna(conf) else 0.0
             datos = permis.parse(t, run_date)
             if route:
                 needs, reason = permis.needs_tier2(datos, conf)
@@ -152,7 +162,12 @@ def nif_parse_udf(run_date: date, engine: str = TIER1_ENGINE,
         rows = []
         for t, conf in zip(text, confidence):
             t = bound_parse_text(t or "")
-            conf = float(conf) if conf is not None else 0.0
+            # pd.notna, not `is not None`: Arrow delivers NULL doubles
+            # to pandas as NaN, and NaN would sail past the None check
+            # into needs_tier2 where `NaN < 50.0` is False — a
+            # null-confidence row reported tier1_acceptat instead of
+            # routed to the fallback tier
+            conf = float(conf) if pd.notna(conf) else 0.0
             datos = nif.parse(t, run_date)
             response = nif.validate(datos, engine, conf, run_date)
             needs = route and conf < 50.0

@@ -226,7 +226,13 @@ def decode_html(data: bytes) -> str:
     if charset is not None:
         try:
             return data.decode(charset.decode("ascii"), errors="replace")
-        except LookupError:
+        except (LookupError, UnicodeError, ValueError):
+            # LookupError: unknown codec name.  UnicodeError/ValueError:
+            # a declared charset that IS a registered codec but not a
+            # byte decoder for arbitrary content — 'idna'/'punycode'
+            # raise even with errors='replace', and decode_html runs
+            # BEFORE any per-page try/except, so an uncaught error here
+            # is one hostile page killing the whole job
             pass
     return data.decode("latin-1", errors="replace")
 

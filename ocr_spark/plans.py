@@ -25,19 +25,45 @@ def formatted_plan(df: DataFrame) -> str:
                                             "formatted")
 
 
+def _split_top_level(body: str, opens: str, closes: str) -> list[str]:
+    """Split on commas at bracket depth 0 — a naive ``[^\\]]*`` capture
+    truncates at the FIRST closing bracket inside a nested entry (e.g.
+    ``In(lang, [es,ca])`` or ``spans:array<struct<...>>``), silently
+    DROPPING every entry after it; a pruning/pushdown assertion built on
+    the truncated list then passes when the property does not hold."""
+    parts: list[str] = []
+    depth = 0
+    cur: list[str] = []
+    for ch in body:
+        if ch in opens:
+            depth += 1
+        elif ch in closes:
+            depth -= 1
+        if ch == "," and depth == 0:
+            parts.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(ch)
+    if cur:
+        parts.append("".join(cur).strip())
+    return [p for p in parts if p]
+
+
 def pushed_filters(df: DataFrame) -> list[str]:
     """Filters pushed into a file-source scan (empty if none)."""
     out: list[str] = []
-    for m in re.finditer(r"PushedFilters: \[([^\]]*)\]", formatted_plan(df)):
-        out.extend(f.strip() for f in m.group(1).split(",") if f.strip())
+    for m in re.finditer(r"PushedFilters: \[(.*)\]", formatted_plan(df)):
+        out.extend(_split_top_level(m.group(1), "[(", "])"))
     return out
 
 
 def read_schema_columns(df: DataFrame) -> list[str]:
-    """Columns actually read by the scan (column pruning check)."""
+    """TOP-LEVEL columns actually read by the scan (column pruning
+    check); nested struct/array fields stay inside their column entry."""
     cols: list[str] = []
-    for m in re.finditer(r"ReadSchema: struct<([^>]*)>", formatted_plan(df)):
-        cols.extend(c.split(":")[0].strip() for c in m.group(1).split(",") if c)
+    for m in re.finditer(r"ReadSchema: struct<(.*)>", formatted_plan(df)):
+        for entry in _split_top_level(m.group(1), "<", ">"):
+            cols.append(entry.split(":", 1)[0].strip())
     return cols
 
 
@@ -46,10 +72,20 @@ def has_broadcast_join(df: DataFrame) -> bool:
 
 
 def has_partial_aggregation(df: DataFrame) -> bool:
-    """Map-side combine before the shuffle (HashAggregate partial pass)."""
-    plan = physical_plan(df)
-    return bool(re.search(r"HashAggregate.*partial", plan, re.I | re.S)) or \
-        plan.count("HashAggregate") >= 2
+    """Map-side combine before the shuffle (HashAggregate partial pass).
+
+    Matched PER HashAggregate NODE: a plan-wide ``HashAggregate.*partial``
+    DOTALL search would accept 'partial' anywhere later in the plan text
+    (AQE's 'PartialReducerPartitionSpec', an alias containing the word),
+    and a bare two-HashAggregate count accepts two unrelated final-mode
+    aggregates — either way the pin silently passes with NO map-side
+    combine, which is exactly the failure the helper exists to catch."""
+    for line in physical_plan(df).splitlines():
+        if "HashAggregate" in line and "partial_" in line:
+            return True
+    # formatted explain spells each node's functions out even when the
+    # one-line form truncates: "Functions [partial_count(...)]"
+    return bool(re.search(r"Functions \[partial_", formatted_plan(df)))
 
 
 def codegen_stage_count(df: DataFrame) -> int:

@@ -325,3 +325,15 @@ def test_spans_detect_field_shapes():
     assert {"doc_number", "cif", "plate", "date"} <= fields
     for s in spans:
         assert text[s["start"]:s["end"]]  # spans index the extracted text
+
+
+def test_decode_html_hostile_declared_charset():
+    """'idna'/'punycode' are registered codecs but not byte decoders —
+    they raise UnicodeError even with errors='replace', and decode_html
+    runs BEFORE any per-page try/except, so an uncaught error is one
+    hostile page killing the whole job.  Must degrade to latin-1."""
+    from ocr_spark.html_extract import decode_html
+    for cs in (b"idna", b"punycode", b"base64_codec", b"nonexistent-cs"):
+        page = (b'<meta charset="' + cs + b'">\xff\xfe high bytes')
+        out = decode_html(page)
+        assert isinstance(out, str) and "high bytes" in out

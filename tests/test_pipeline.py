@@ -389,3 +389,19 @@ def test_resume_anti_join_surfaces_non_path_errors(spark, tmp_path):
     spark.range(3).write.parquet(bad)
     with _pytest.raises(AnalysisException):
         _lin.anti_join_done(pages, bad).count()
+
+
+def test_parse_udfs_null_confidence_routes_to_tier2(spark):
+    """Arrow delivers NULL doubles to pandas UDFs as NaN, not None: a
+    None-only guard let NaN through, and `NaN < 50.0` is False — a
+    null-confidence row was reported tier1_acceptat instead of routed.
+    All three contract-surface parse UDFs must treat null as 0.0."""
+    from ocr_spark.functions import udfs as u
+
+    df = spark.createDataFrame(
+        [("APELLIDOS GARCIA", None)],
+        "text string, confidence double")
+    for factory in (u.dni_parse_udf, u.permis_parse_udf, u.nif_parse_udf):
+        fn = factory(RUN_DATE)
+        row = df.select(fn("text", "confidence").alias("r")).collect()[0]["r"]
+        assert row["needs_tier2"] is True, factory.__name__

@@ -274,3 +274,35 @@ def test_corpus_stats_histogram_not_corpus_sort(spark):
     # the Window must consume the aggregated histogram: it appears after
     # a HashAggregate in the plan tree, and no sort-merge join exists
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_plan_helpers_parse_nested_entries(spark, tmp_path):
+    """The helper parsers must survive nested brackets: a naive
+    first-closing-bracket capture drops every entry after a nested
+    struct (ReadSchema) or an In(col, [a,b]) filter (PushedFilters),
+    making pruning/pushdown pins silently pass."""
+    p = str(tmp_path / "nested.parquet")
+    df0 = spark.sql("""
+        SELECT id AS doc_id,
+               array(named_struct('field', 'f', 'start', 1, 'end', 2))
+                   AS spans,
+               CAST('h' AS BINARY) AS html,
+               CASE WHEN id % 2 = 0 THEN 'es' ELSE 'ca' END AS lang
+        FROM range(10)""")
+    df0.write.parquet(p)
+    # nested struct FIRST, plain columns after — the truncation victim
+    scan = spark.read.parquet(p).select("spans", "lang")
+    cols = plans.read_schema_columns(scan)
+    assert "spans" in cols and "lang" in cols
+    assert "html" not in cols                  # pruning actually pinned
+    assert "start" not in cols                 # no phantom inner fields
+    # In-filter (nested bracket) followed by another filter
+    flt = (spark.read.parquet(p)
+           .filter(F.col("lang").isin("es", "ca") & F.col("html").isNotNull()))
+    pf = " ".join(plans.pushed_filters(flt))
+    assert "In(lang" in pf and "IsNotNull(html)" in pf
+    # partial aggregation still detected by the per-node matcher
+    agg = spark.read.parquet(p).groupBy("lang").count()
+    assert plans.has_partial_aggregation(agg)
+    # and a plan with no aggregate at all must NOT pass
+    assert not plans.has_partial_aggregation(scan)
