@@ -338,14 +338,36 @@ def q_cif_control(spark, sf_dir):
                .otherwise(F.when(d % 2 == 0, dig.cast("string"))
                           .otherwise(letter)))
     wrong = ((dig + 1) % 10).cast("string")  # never equals dig or a letter
-    return (_docs(spark, sf_dir)
-            .select("doc_id",
-                    F.concat(first, body, correct).alias("cif_raw"),
-                    dig.cast("int").alias("control_digit"),
-                    native.cif_is_valid(F.concat(first, body, correct))
-                    .alias("valid_when_correct"),
-                    native.cif_is_valid(F.concat(first, body, wrong))
-                    .alias("valid_when_wrong")))
+    # materialize in stages: Catalyst's CollapseProject inlines `correct`
+    # (which embeds the whole Luhn digit tree) into every substring
+    # cif_is_valid takes of the concat, exploding the expression
+    # combinatorially — measured 7.7 s STEADY-STATE on 5k rows as one
+    # select, and still an ~8 s one-time codegen compile with a single
+    # barrier (three inlined Luhn copies).  Two tiny localCheckpoints
+    # (skinny 500-row frames) keep each compiled stage normal-sized:
+    # digit once, candidate strings from the digit COLUMN, validators
+    # over plain string columns.
+    digits = (_docs(spark, sf_dir)
+              .select("doc_id", first.alias("_first"), body.alias("_body"),
+                      dig.cast("int").alias("control_digit"))
+              .localCheckpoint(eager=False))
+    dcol = F.col("control_digit")
+    letter_c = F.substring(F.lit("JABCDEFGHI"), (dcol + 1).cast("int"), 1)
+    correct_c = (F.when(F.col("_first").isin("A", "B", "E", "H"),
+                        dcol.cast("string"))
+                 .when(F.col("_first").isin("K", "P", "Q", "S"), letter_c)
+                 .otherwise(F.when(F.col("doc_id") % 2 == 0,
+                                   dcol.cast("string")).otherwise(letter_c)))
+    strings = (digits.select(
+        "doc_id", "control_digit",
+        F.concat("_first", "_body", correct_c).alias("cif_raw"),
+        F.concat("_first", "_body",
+                 ((dcol + 1) % 10).cast("string")).alias("_cif_wrong"))
+        .localCheckpoint(eager=False))
+    return strings.select(
+        "doc_id", "cif_raw", "control_digit",
+        native.cif_is_valid(F.col("cif_raw")).alias("valid_when_correct"),
+        native.cif_is_valid(F.col("_cif_wrong")).alias("valid_when_wrong"))
 
 
 def q_plate_ocr_correct(spark, sf_dir):
