@@ -45,8 +45,13 @@ def extraction_cells(pages: DataFrame, run_date: date,
     driver's DuckDB oracle consumes it as a shared parquet input).
     """
     # materialize the sorted sample once — all four (tier, mode) configs
-    # reference it, and orderBy+limit is a global sort per reference
-    sample = pages.orderBy("url").limit(sample_rows).localCheckpoint(eager=False)
+    # reference it, and orderBy+limit is a global sort per reference.
+    # warc_ts in the sort: the data model keys rows by (url, warc_ts) —
+    # on a url with several captures, url alone leaves which capture
+    # lands inside the limit to partition layout, breaking the module's
+    # rerun-determinism contract
+    sample = (pages.orderBy("url", "warc_ts")
+              .limit(sample_rows).localCheckpoint(eager=False))
     parts = []
     for tier, engine in ((1, udfs.TIER1_ENGINE), (2, udfs.TIER2_ENGINE)):
         for mode in modes:
@@ -110,16 +115,20 @@ def engine_latency(pages: DataFrame, run_date: date,
     import time
 
     spark = pages.sparkSession
-    sample = pages.orderBy("url").limit(sample_rows).persist()
+    sample = pages.orderBy("url", "warc_ts").limit(sample_rows).persist()
     sample.count()  # materialize so each config times extraction only
     rows = []
-    for tier, engine in ((1, udfs.TIER1_ENGINE), (2, udfs.TIER2_ENGINE)):
-        for mode in modes:
-            t0 = time.monotonic()
-            n = _extract_config(sample, run_date, tier, mode).count()
-            rows.append((engine, mode, n,
-                         int((time.monotonic() - t0) * 1000)))
-    sample.unpersist()
+    try:
+        for tier, engine in ((1, udfs.TIER1_ENGINE), (2, udfs.TIER2_ENGINE)):
+            for mode in modes:
+                t0 = time.monotonic()
+                n = _extract_config(sample, run_date, tier, mode).count()
+                rows.append((engine, mode, n,
+                             int((time.monotonic() - t0) * 1000)))
+    finally:
+        # without the finally, one failing config leaks the persisted
+        # sample into executor storage for the application's lifetime
+        sample.unpersist()
     from ocr_spark.localrel import local_df
     return local_df(spark, rows,
                     "engine string, mode string, n_docs long, wall_ms long")

@@ -254,8 +254,9 @@ def resize_images(df: DataFrame, max_px: int = 512,
                 if not deterministic_fake:
                     raise NotImplementedError(
                         "non-BMP image codecs not present")
-                w = meta["width"] or max_px
-                h = meta["height"] or max_px
+                # meta is nullable in MEDIA_SCHEMA — guard like payload
+                w = (meta["width"] if meta is not None else None) or max_px
+                h = (meta["height"] if meta is not None else None) or max_px
                 scale = min(1.0, max_px / max(w, h, 1))
                 keep = max(1, int(len(payload) * scale * scale))
                 rows.append({"media_id": mid, "kind": kind,
@@ -287,7 +288,9 @@ def sample_frames(df: DataFrame, every_ms: int = 1000,
             rows = []
             for mid, payload, meta in zip(
                     pdf["media_id"], pdf["payload"], pdf["meta"]):
-                payload = bytes(payload or b"")
+                # P7 cap before any decode — the other operators truncate
+                # via media_features/resize; this one decodes directly
+                payload = bytes(payload or b"")[:MAX_PAYLOAD_BYTES]
                 avi = codecs.decode_avi_mjpeg(payload)
                 if avi is not None:
                     frames, fps = avi
@@ -330,8 +333,16 @@ def sample_frames(df: DataFrame, every_ms: int = 1000,
                 wav = codecs.decode_wav(payload)
                 if wav is not None:
                     pcm, rate = wav
+                    # rate is HEADER-DECLARED, hence attacker-controlled:
+                    # rate=1 makes win=1 and n=len(pcm) — one in-cap row
+                    # exploding into millions of output rows without the
+                    # MAX_SAMPLED_FRAMES cap every other branch applies;
+                    # rate=0 decodes fine but wave.setframerate(0) raises
+                    # on RE-encode, so clamp it for the clip headers
+                    rate = max(1, rate)
                     win = max(1, rate * every_ms // 1000)
-                    n = max(1, -(-len(pcm) // win))
+                    n = min(max(1, -(-len(pcm) // win)),
+                            MAX_SAMPLED_FRAMES)
                     for i in range(n):
                         clip = pcm[i * win:(i + 1) * win]
                         rows.append({"media_id": mid, "frame_idx": i,
@@ -340,7 +351,8 @@ def sample_frames(df: DataFrame, every_ms: int = 1000,
                     continue
                 if not deterministic_fake:
                     raise NotImplementedError("av codecs not present")
-                duration = meta["duration_ms"] or 0
+                duration = (meta["duration_ms"] if meta is not None
+                            else 0) or 0
                 n = (min(max(1, duration // every_ms), MAX_SAMPLED_FRAMES)
                      if duration else 1)
                 step = max(1, len(payload) // n)

@@ -49,8 +49,15 @@ def cosine_topk_bruteforce(corpus: DataFrame, queries: DataFrame, k: int = 5,
     SQL-expressible oracle form (DuckDB twin in ``oracle_sql``); the scale
     path is :func:`cosine_topk_matmul`.
     """
-    c = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")).alias("c")
-    q = queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("v")).alias("q")
+    # null embeddings excluded on BOTH sides so the SQL form stays
+    # row-identical with the matmul/IVF paths (whose numpy math cannot
+    # represent them; a null row is not a meaningful candidate anyway)
+    c = (corpus.filter(F.col(vec_col).isNotNull())
+         .select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+         .alias("c"))
+    q = (queries.filter(F.col(vec_col).isNotNull())
+         .select(F.col(id_col).alias("qid"), F.col(vec_col).alias("v"))
+         .alias("q"))
     scored = (c.join(F.broadcast(q), F.col("q.qid") != F.col("c.id"))
               .select(F.col("q.qid").alias("query_id"),
                       F.col("c.id").alias("vec_id"),
@@ -81,8 +88,14 @@ def cosine_topk_matmul(corpus: DataFrame, queries: DataFrame, k: int = 5,
     import numpy as np
     import pandas as pd
 
-    qrows = queries.select(F.col(id_col).alias("qid"),
-                           F.col(vec_col).alias("v")).collect()
+    qrows = (queries.filter(F.col(vec_col).isNotNull())
+             .select(F.col(id_col).alias("qid"),
+                     F.col(vec_col).alias("v")).collect())
+    if not qrows:
+        # an empty/all-null query set must return an empty frame like the
+        # SQL path — norm(axis=1) on a 1-D empty array raises AxisError
+        return queries.sparkSession.createDataFrame(
+            [], "query_id long, rank int, vec_id long, cosine double")
     qids = np.array([r["qid"] for r in qrows], dtype=np.int64)
     qmat = np.array([r["v"] for r in qrows], dtype=np.float64)
     qmat /= np.maximum(np.linalg.norm(qmat, axis=1, keepdims=True), 1e-30)
@@ -111,7 +124,11 @@ def cosine_topk_matmul(corpus: DataFrame, queries: DataFrame, k: int = 5,
                     out["cosine"].append(float(sims[qi, ci]))
             yield pd.DataFrame(out)
 
-    c = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    # a NULL embedding would build an object array and crash norm();
+    # the SQL twin scores such rows 0.0 via its null-den fallback, but a
+    # null vector is not a meaningful candidate either way — excluded
+    c = (corpus.filter(F.col(vec_col).isNotNull())
+         .select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")))
     cands = c.mapInPandas(local_topk,
                           "query_id long, vec_id long, cosine double")
     cands = cands.filter(F.col("query_id") != F.col("vec_id"))
@@ -160,6 +177,8 @@ def ivf_build(corpus: DataFrame, n_cells: int = 16, sample: int = 2048,
     both compile to TakeOrderedAndProject (per-partition top-k + merge,
     no full sort shuffle).
     """
+    corpus = corpus.filter(F.col(vec_col).isNotNull())  # null vectors are
+    # unindexable: np arithmetic in the sample/assign paths would crash
     bucket = F.conv(F.substring(
         F.md5(F.concat(F.col(id_col).cast("string"), F.lit("ivf"))), 1, 8),
         16, 10).cast("bigint")
@@ -225,7 +244,9 @@ def cosine_topk_ivf(assigned: DataFrame, centroids: np.ndarray,
     join is an equi-join on ``cell`` — with a bucketed/partitioned corpus
     this prunes to n_probe/n_cells of the data before any distance math.
     """
-    qrows = queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("v")).collect()
+    qrows = (queries.filter(F.col(vec_col).isNotNull())
+             .select(F.col(id_col).alias("qid"),
+                     F.col(vec_col).alias("v")).collect())
     probe_rows = []
     for row in qrows:
         arr = np.asarray(row["v"], dtype="float64")
@@ -238,8 +259,15 @@ def cosine_topk_ivf(assigned: DataFrame, centroids: np.ndarray,
     probes = local_df(spark, probe_rows,
                       "qid bigint, cell int, v array<double>").alias("q")
 
-    c = assigned.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
-                        "cell").alias("c")
+    # STATIC partition pruning: the probe cells are driver-known, and a
+    # broadcast equi-join alone inserts no dynamic pruning for the
+    # cell-partitioned layout — without this filter every probe scanned
+    # the FULL corpus (all cell= directories), voiding the module's
+    # n_probe/n_cells inverted-list claim (plan-pinned in tests)
+    needed = sorted({cell for _, cell, _ in probe_rows})
+    c = (assigned.filter(F.col("cell").isin(needed))
+         .select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
+                 "cell").alias("c"))
     scored = (c.join(F.broadcast(probes), "cell")
               .filter(F.col("q.qid") != F.col("c.id"))
               .select(F.col("q.qid").alias("query_id"),

@@ -65,7 +65,13 @@ def iso_from_dmy_slash(value: str) -> Optional[str]:
     dd, mm, yyyy = (int(g) for g in m.groups())
     if not (1 <= mm <= 12 and 1 <= dd <= 31):
         return None
-    return f"{yyyy}-{mm:02d}-{dd:02d}"
+    # {yyyy:04d}, NOT {yyyy}: the regex matches 4 DIGITS, so "0999"
+    # parses to 999 and an unpadded format yields "999-12-31" whose
+    # iso[:4] is "999-" — int() raises, and in the reference that is a
+    # per-request 500 while here it would be one garbled OCR date
+    # killing the whole batch (deliberate crash-vs-reject divergence:
+    # the padded form flows into the year-range gate and returns None)
+    return f"{yyyy:04d}-{mm:02d}-{dd:02d}"
 
 
 def iso_from_dmy(value: str) -> Optional[str]:
@@ -79,7 +85,7 @@ def iso_from_dmy(value: str) -> Optional[str]:
     dd, mm, yyyy = (int(g) for g in m.groups())
     if not (1 <= mm <= 12 and 1 <= dd <= 31):
         return None
-    return f"{yyyy}-{mm:02d}-{dd:02d}"
+    return f"{yyyy:04d}-{mm:02d}-{dd:02d}"  # 04d: see iso_from_dmy_slash
 
 
 def iso_in_year_range(value: str, min_year: int, max_year: int,
@@ -109,7 +115,7 @@ def iso_date_search(text: str) -> Optional[str]:
     dd, mm, yyyy = (int(g) for g in m.groups())
     if not (1 <= dd <= 31 and 1 <= mm <= 12 and 1970 <= yyyy <= 2050):
         return None
-    return f"{yyyy}-{mm:02d}-{dd:02d}"
+    return f"{yyyy:04d}-{mm:02d}-{dd:02d}"  # 04d: see iso_from_dmy_slash
 
 
 # --- proper-name cleaning ----------------------------------------------------
@@ -183,8 +189,13 @@ def correct_id_ocr(raw: str) -> str:
 # --- PII redaction (lineage/metrics only — never in data output) -------------
 
 def redact_id(doc: Optional[str]) -> str:
-    """``12345678A`` → ``1234****A``. Parity: ``app/utils/redact.py:10-17``."""
-    if not doc or len(doc) < 3:
+    """``12345678A`` → ``1234****A``. Parity: ``app/utils/redact.py:10-17``
+    for the well-formed 9-char DNI/NIE domain; deliberate divergence for
+    SHORT inputs (the reference's ``len < 3`` guard lets a 4-char
+    OCR-truncated id through ``doc[:4] + '****' + doc[-1]`` with every
+    character of the PII value visible in the 'redacted' log string —
+    a redactor must fail closed, so anything under 7 chars masks fully)."""
+    if not doc or len(doc) < 7:
         return "***"
     return doc[:4] + "****" + doc[-1]
 

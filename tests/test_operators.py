@@ -849,6 +849,14 @@ def test_ivf_persisted_index(spark, tmp_path):
     plan = plans.physical_plan(pruned)
     assert "PartitionFilters" in plan and "cell" in plan.split(
         "PartitionFilters", 1)[1].split("]", 1)[0], plan
+    # and the ACTUAL query path prunes too: a broadcast equi-join alone
+    # inserts no dynamic pruning for this layout, so cosine_topk_ivf must
+    # apply its driver-known probe cells as a static partition filter —
+    # without it every probe scanned the full corpus
+    qplan = plans.physical_plan(
+        similarity.cosine_topk_ivf(a2, c2, queries, k=3, n_probe=2))
+    pf = qplan.split("PartitionFilters", 1)[1].split("]", 1)[0]
+    assert "cell" in pf and ("IN" in pf or "in(" in pf.lower()), qplan
 
 
 def test_corpus_clean_reasons(spark):
@@ -2551,3 +2559,88 @@ def test_dedup_substrings_differential_vs_python_reference(spark):
                              r["n_tokens_removed"])
                for r in dedup.dedup_substrings(df, k=K).collect()}
         assert got == ref(rows), (trial, rows)
+
+
+# ---------------------------------------------------------- hardening r3 §46
+
+
+def test_iso_dates_sub1000_year_degrade_not_crash(spark):
+    """'31/12/0999' used to format as '999-12-31' whose iso[:4] = '999-'
+    crashed int() — in the reference a per-request 500, here one garbled
+    OCR date killing the batch.  Padded years flow into the range gate
+    and reject cleanly."""
+    from datetime import date as _date
+
+    from ocr_spark import textops
+    from ocr_spark.parsers import dni
+
+    assert textops.iso_from_dmy_slash("31/12/0999") == "0999-12-31"
+    assert textops.iso_in_year_range("31/12/0999", 1900, 2100) is None
+    datos, _ = dni.parse("FECHA DE NACIMIENTO\n31/12/0999",
+                         _date(2026, 8, 17))
+    assert datos.get("fecha_nacimiento") is None
+
+
+def test_redact_id_fails_closed_on_short_ids():
+    """A 3-5 char OCR-truncated id must mask FULLY: the reference form
+    emitted every input character ('123A' -> '123A****A')."""
+    from ocr_spark import textops
+
+    for short in ("123A", "12345", "123456", "ab"):
+        assert textops.redact_id(short) == "***", short
+    assert textops.redact_id("12345678A") == "1234****A"  # 9-char parity
+
+
+def test_sample_frames_hostile_wav_bounded(spark):
+    """A header-declared sample rate of 1 (or 0) must not explode one
+    row into len(pcm) output rows or crash the clip re-encode."""
+    import struct
+
+    import numpy as np
+
+    from ocr_spark.operators import codecs, multimodal
+
+    pcm = np.tile(np.array([0, 256], dtype=np.int16), 50_000)
+    for rate in (1, 0):
+        wav = codecs.encode_wav(pcm, max(rate, 1))
+        # rewrite the declared rate in the fmt chunk (bytes 24-27)
+        wav = wav[:24] + struct.pack("<I", rate) + wav[28:]
+        df = spark.createDataFrame(
+            [(1, "audio", bytearray(wav), None)],
+            "media_id long, kind string, payload binary, "
+            "meta struct<width:int,height:int,duration_ms:int>")
+        rows = multimodal.sample_frames(df, every_ms=250).collect()
+        assert 0 < len(rows) <= multimodal.MAX_SAMPLED_FRAMES, rate
+
+
+def test_media_operators_null_meta(spark):
+    """meta is nullable in the schema: undecodable payloads with NULL
+    meta must degrade, not TypeError the task."""
+    from ocr_spark.operators import multimodal
+
+    schema = ("media_id long, kind string, payload binary, "
+              "meta struct<width:int,height:int,duration_ms:int>")
+    img = spark.createDataFrame(
+        [(1, "image", bytearray(b"not-an-image"), None)], schema)
+    assert multimodal.resize_images(img).count() == 1
+    vid = spark.createDataFrame(
+        [(2, "video", bytearray(b"not-a-video"), None)], schema)
+    assert multimodal.sample_frames(vid).count() >= 1
+
+
+def test_similarity_null_and_empty_inputs(spark):
+    """NULL embeddings and empty query sets: the numpy paths must match
+    the SQL path's behavior (excluded / empty) instead of crashing."""
+    from ocr_spark.operators import similarity as sim
+
+    rows = [(i, [float(i), 1.0, 0.0]) for i in range(6)] + [(99, None)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = df.filter(F.col("vec_id") == 0)
+    bf = sim.cosine_topk_bruteforce(df, q, k=3).collect()
+    mm = sim.cosine_topk_matmul(df, q, k=3).collect()
+    assert sorted(map(tuple, bf)) == sorted(map(tuple, mm))
+    assert all(r["vec_id"] != 99 for r in bf)
+    empty = df.filter(F.col("vec_id") < 0)
+    assert sim.cosine_topk_matmul(df, empty, k=3).count() == 0
+    cents, assigned = sim.ivf_build(df, n_cells=2, sample=16)
+    assert assigned.filter(F.col("vec_id") == 99).count() == 0
