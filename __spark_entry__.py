@@ -985,6 +985,74 @@ def q_extract_nif(spark, sf_dir):
                     F.col("_r.response.datos.numero_nif").alias("numero_nif")))
 
 
+def q_extract_parity(spark, sf_dir):
+    """Driver-visible value parity for the fused extractors (VERDICT r3
+    Next-round #3): every document is parsed as every doc type by (a)
+    the production vectorized path — pandas UDF, Arrow batch → typed
+    struct — and (b) an INDEPENDENT row-at-a-time Python UDF built
+    directly over the ported parsers (per-row dict → pickle → JVM
+    struct).  Both structs render through the same JVM ``to_json`` and
+    only DISAGREEMENT rows are emitted; the DuckDB oracle is the empty
+    set, so any plumbing divergence (Arrow NULL handling, double
+    round-trip, router drift, struct field coercion) becomes a
+    driver-visible row/hash mismatch.  Parser-vs-reference value
+    correctness itself is byte-pinned by tests/test_parity_reference.py;
+    this query makes the Spark plumbing around D1–D21 / V1–V28 / N1–N13
+    driver-checkable."""
+    from ocr_spark.parsers import dni, nif, permis
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    conf = 95.0
+    engine = udfs.TIER1_ENGINE
+
+    def indep_dni(t):
+        t = udfs.bound_parse_text(t or "")
+        datos, raw_mrz = dni.parse(t, RUN_DATE)
+        needs, reason = dni.needs_tier2(datos, conf, t)
+        response = dni.validate(datos, raw_mrz, engine, conf, RUN_DATE)
+        return {"response": response, "needs_tier2": needs,
+                "tier2_reason": reason}
+
+    def indep_permis(t):
+        t = udfs.bound_parse_text(t or "")
+        datos = permis.parse(t, RUN_DATE)
+        needs, reason = permis.needs_tier2(datos, conf)
+        response = permis.validate(datos, engine, conf, RUN_DATE)
+        return {"response": response, "needs_tier2": needs,
+                "tier2_reason": reason}
+
+    def indep_nif(t):
+        t = udfs.bound_parse_text(t or "")
+        datos = nif.parse(t, RUN_DATE)
+        response = nif.validate(datos, engine, conf, RUN_DATE)
+        needs = conf < 50.0
+        return {"response": response, "needs_tier2": bool(needs),
+                "tier2_reason": "confidence_baixa" if needs
+                                else "tier1_acceptat"}
+
+    cases = [
+        ("dni", udfs.dni_parse_udf(RUN_DATE, engine=engine, route=True),
+         indep_dni, udfs.DNI_ROUTED_STRUCT),
+        ("permiso_circulacion",
+         udfs.permis_parse_udf(RUN_DATE, engine=engine, route=True),
+         indep_permis, udfs.PERMIS_ROUTED_STRUCT),
+        ("nif", udfs.nif_parse_udf(RUN_DATE, engine=engine, route=True),
+         indep_nif, udfs.NIF_ROUTED_STRUCT),
+    ]
+    out = None
+    for dtype, fused, indep, stype in cases:
+        row_udf = F.udf(indep, stype)
+        cmp = (docs
+               .withColumn("_a", fused(F.col("text"), F.lit(conf)))
+               .withColumn("_b", row_udf(F.col("text")))
+               .select("doc_id", F.lit(dtype).alias("doc_type"),
+                       F.to_json("_a").alias("fused_json"),
+                       F.to_json("_b").alias("indep_json"))
+               .filter(F.col("fused_json") != F.col("indep_json")))
+        out = cmp if out is None else out.unionByName(cmp)
+    return out.orderBy("doc_id", "doc_type")
+
+
 def q_media_features(spark, sf_dir):
     """Real decode evidence in the driver-visible rows: feature slots 0/1
     are decoded image dims (BMP) or sample-count/framerate (WAV)."""
@@ -1120,6 +1188,60 @@ def q_corpus_curate(spark, sf_dir):
     corpus = docs.unionByName(dups).unionByName(planted)
     bench = docs.filter(F.col("doc_id") % 97 == 3)
     return curate_mod.curate(corpus, bench=bench, budget_tokens=2000)
+
+
+def q_pipeline_curate(spark, sf_dir):
+    """Capstone COMPOSITION — the literal 100 TB story as one job
+    (VERDICT r3 Next-round #8): deterministic Common-Crawl-style pages →
+    the full extraction pipeline (admission → url-hash repartition →
+    fused dual-tier extract/route/parse/validate → doc_type-partitioned
+    sink + per-partition lineage) → the curation chain over the
+    EXTRACTED text (quality → repetition → lang gate → exact dedup →
+    PII scrub → 2000-token sharding).  Returns per-(keep, drop_reason)
+    accounting with two digests on every row: the extraction run's
+    XOR-of-xxhash64 output digest and an order-independent
+    XOR-of-xxhash64 digest over every curation verdict row — rows-only
+    by nature (extraction has no SQL form; the curation chain alone is
+    oracle-checked by ``corpus_curate``), deterministic at any
+    parallelism (pagegen is per-id deterministic, doc ids are
+    xxhash64(url), digests XOR-fold)."""
+    import shutil
+    import tempfile
+
+    from ocr_spark import curate as curate_mod, job, pagegen
+
+    wd = tempfile.mkdtemp(prefix="pipecur_")
+    try:
+        pages = pagegen.generate_df(spark, 480, partitions=8)
+        summary = job.run_pipeline(spark, "", f"{wd}/out", RUN_DATE,
+                                   partitions=8, input_df=pages,
+                                   canonicalize_urls=True)
+        data = spark.read.parquet(f"{wd}/out/data")
+        corpus = data.select(
+            F.xxhash64("url").alias("doc_id"),
+            F.coalesce(F.col("extracted_text"), F.lit("")).alias("text"))
+        verdicts = curate_mod.curate(corpus, budget_tokens=2000)
+        vdigest = verdicts.agg(F.bit_xor(F.xxhash64(
+            F.concat_ws("\x1f", F.col("doc_id"),
+                        F.col("keep").cast("string"),
+                        F.coalesce(F.col("drop_reason"), F.lit("-")),
+                        F.coalesce(F.col("n_tokens").cast("string"),
+                                   F.lit("-")),
+                        F.coalesce(F.col("shard_id").cast("string"),
+                                   F.lit("-")),
+                        F.coalesce(F.col("scrubbed_md5"), F.lit("-")))))
+            .alias("d")).first()["d"]
+        rollup = (verdicts.groupBy("keep", "drop_reason")
+                  .agg(F.count("*").alias("n_docs"),
+                       F.coalesce(F.sum("n_tokens"), F.lit(0))
+                       .alias("sum_tokens"))
+                  .withColumn("extract_digest", F.lit(summary["digest"]))
+                  .withColumn("curate_digest", F.lit(vdigest))
+                  .orderBy("keep", "drop_reason"))
+        # materialize BEFORE the tmp dir vanishes (same idiom as entry())
+        return spark.createDataFrame(rollup.toPandas(), rollup.schema)
+    finally:
+        shutil.rmtree(wd, ignore_errors=True)
 
 
 def q_token_shards(spark, sf_dir):
@@ -1328,80 +1450,26 @@ def q_engine_latency(spark, sf_dir):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # ORDER MATTERS: the driver's CORRECTNESS snapshot checks only the first
+    # 50 entries.  Round-4 rotation (VERDICT.md r3 "Next round" #1): the 22
+    # queries that never had a driver row in r01–r03 come FIRST, followed by
+    # three headline canaries and the round-4 additions; everything with an
+    # existing green driver row rotates to the back.  CORRECTNESS_r04 ∪
+    # CORRECTNESS_r03 then covers every registered query.
     return {
-        # text analysis
-        "token_count": q_token_count,
-        "token_count_bpe": q_token_count_bpe,
-        "token_frequencies": q_token_frequencies,
-        "stratified_sample": q_stratified_sample,
-        "temperature_mix": q_temperature_mix,
-        "language_id": q_language_id,
-        "language_id_model": q_language_id_model,
-        "quality_features": q_quality_features,
-        "fingerprint": q_fingerprint,
-        "winnow_fingerprints": q_winnow_fingerprints,
-        # dedup
-        "exact_duplicates": q_exact_duplicates,
-        "dedup_substrings": q_dedup_substrings,
-        "corpus_clean": q_corpus_clean,
-        "canonical_urls": q_canonical_urls,
-        "meta_directives": q_meta_directives,
-        "url_blocklist": q_url_blocklist,
-        "host_cap": q_host_cap,
-        "host_profile": q_host_profile,
-        "surprisal": q_surprisal,
-        "quality_classifier": q_quality_classifier,
-        "corpus_stats": q_corpus_stats,
-        "scrub_pii": q_scrub_pii,
-        "drop_repeated_lines": q_drop_repeated_lines,
-        "minhash_dedup_keep": q_minhash_dedup_keep,
-        "fingerprint_groups": q_fingerprint_groups,
-        "ngram_jaccard": q_ngram_jaccard,
-        "minhash_near_dups": q_minhash_near_dups,
-        "simhash_near_dups": q_simhash_near_dups,
-        "embedding_near_dups": q_embedding_near_dups,
-        "embedding_dedup_keep": q_embedding_dedup_keep,
-        # extraction scalar operators (native forms)
-        "dni_check_letter": q_dni_check_letter,
-        "cif_control": q_cif_control,
-        "plate_ocr_correct": q_plate_ocr_correct,
-        "id_ocr_correct": q_id_ocr_correct,
-        "iso_from_dmy": q_iso_from_dmy,
-        "confidence_score": q_confidence_score,
-        "mrz_year_pivot": q_mrz_year_pivot,
-        "doc_type_router": q_doc_type_router,
-        "regex_extract_doc": q_regex_extract_doc,
-        # full fused extraction (rows-only)
-        "extract_dni": q_extract_dni,
-        "extract_permis": q_extract_permis,
-        "extract_nif": q_extract_nif,
-        # relational infrastructure
-        "corpus_rollup": q_corpus_rollup,
-        "tpch_q1": q_tpch_q1,
-        "revenue_by_region": q_revenue_by_region,
-        "events_hourly": q_events_hourly,
-        "events_asof": q_events_asof,
-        "latest_event": q_latest_event,
-        "events_range_pairs": q_events_range_pairs,
-        "events_sessionize": q_events_sessionize,
-        # similarity / embeddings
+        # -- never driver-checked before round 4 (22) -----------------------
         "embedding_norms": q_embedding_norms,
         "embedding_topk": q_embedding_topk,
         "embedding_topk_matmul": q_embedding_topk_matmul,
         "embedding_ann_ivf": q_embedding_ann_ivf,
-        # multimodal plumbing
         "media_features": q_media_features,
         "frame_sample": q_frame_sample,
-        # engine-comparison harness (S10)
         "engine_compare": q_engine_compare,
         "engine_recommend": q_engine_recommend,
         "engine_latency": q_engine_latency,
-        # streaming ingest (rows-only)
         "stream_vs_batch": q_stream_vs_batch,
-        # sources
         "warc_source": q_warc_source,
         "pdf_extract": q_pdf_extract,
-        # extra oracle-checked kernels
         "dedup_keep_first": q_dedup_keep_first,
         "unit_conversions": q_unit_conversions,
         "dedup_incremental": q_dedup_incremental,
@@ -1412,6 +1480,63 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_shards": q_token_shards,
         "pack_sequences": q_pack_sequences,
         "corpus_curate": q_corpus_curate,
+        # -- canaries (headline oracles kept in every snapshot) -------------
+        "token_count": q_token_count,
+        "dni_check_letter": q_dni_check_letter,
+        "tpch_q1": q_tpch_q1,
+        # -- round-4: LSH retrieval upgraded rows-only → oracle-checked -----
+        "minhash_near_dups": q_minhash_near_dups,
+        "simhash_near_dups": q_simhash_near_dups,
+        "embedding_near_dups": q_embedding_near_dups,
+        # -- round-4 new queries ---------------------------------------------
+        "extract_parity": q_extract_parity,
+        "pipeline_curate": q_pipeline_curate,
+        # -- remaining first-50 slots: r3-green rows kept warm --------------
+        "token_count_bpe": q_token_count_bpe,
+        "token_frequencies": q_token_frequencies,
+        "stratified_sample": q_stratified_sample,
+        "temperature_mix": q_temperature_mix,
+        "language_id": q_language_id,
+        "language_id_model": q_language_id_model,
+        "quality_features": q_quality_features,
+        "fingerprint": q_fingerprint,
+        "winnow_fingerprints": q_winnow_fingerprints,
+        "exact_duplicates": q_exact_duplicates,
+        "dedup_substrings": q_dedup_substrings,
+        "corpus_clean": q_corpus_clean,
+        "canonical_urls": q_canonical_urls,
+        "meta_directives": q_meta_directives,
+        "url_blocklist": q_url_blocklist,
+        "host_cap": q_host_cap,
+        "host_profile": q_host_profile,
+        "surprisal": q_surprisal,
+        "quality_classifier": q_quality_classifier,
+        # -------------------- driver snapshot cap (50) ---------------------
+        "corpus_stats": q_corpus_stats,
+        "scrub_pii": q_scrub_pii,
+        "drop_repeated_lines": q_drop_repeated_lines,
+        "minhash_dedup_keep": q_minhash_dedup_keep,
+        "fingerprint_groups": q_fingerprint_groups,
+        "ngram_jaccard": q_ngram_jaccard,
+        "embedding_dedup_keep": q_embedding_dedup_keep,
+        "cif_control": q_cif_control,
+        "plate_ocr_correct": q_plate_ocr_correct,
+        "id_ocr_correct": q_id_ocr_correct,
+        "iso_from_dmy": q_iso_from_dmy,
+        "confidence_score": q_confidence_score,
+        "mrz_year_pivot": q_mrz_year_pivot,
+        "doc_type_router": q_doc_type_router,
+        "regex_extract_doc": q_regex_extract_doc,
+        "extract_dni": q_extract_dni,
+        "extract_permis": q_extract_permis,
+        "extract_nif": q_extract_nif,
+        "corpus_rollup": q_corpus_rollup,
+        "revenue_by_region": q_revenue_by_region,
+        "events_hourly": q_events_hourly,
+        "events_asof": q_events_asof,
+        "latest_event": q_latest_event,
+        "events_range_pairs": q_events_range_pairs,
+        "events_sessionize": q_events_sessionize,
     }
 
 
@@ -2461,6 +2586,16 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN doc_id % 100 > {RUN_YEAR % 100 + 10} THEN '19' ELSE '20' END
                    || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') AS year4
             FROM documents""",
+        # parity query: the Spark side emits ONLY disagreement rows
+        # between its two independent extraction plumbings, so the twin
+        # is the empty relation with the same schema — any divergence
+        # becomes a rows/hash mismatch the driver can see
+        "extract_parity": """
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   CAST(NULL AS VARCHAR) AS doc_type,
+                   CAST(NULL AS VARCHAR) AS fused_json,
+                   CAST(NULL AS VARCHAR) AS indep_json
+            FROM documents WHERE false""",
         "doc_type_router": """
             SELECT doc_id,
               CASE WHEN doc_id % 4 = 0 THEN 'permiso_circulacion'
