@@ -813,35 +813,75 @@ def q_ngram_jaccard(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
-# queries — rows-only (no clean SQL form; driver records weaker check)
+# queries — LSH retrieval, oracle-checked against exact all-pairs twins
+# (VERDICT r3 Next-round #2: the exact verify step guarantees no false
+# positives, so Spark-result == DuckDB-all-pairs equality IS a recall proof
+# at the query threshold)
 # ---------------------------------------------------------------------------
 
+def _minhash_plant(docs):
+    """Planted near-dup family for the minhash oracle: every 25th doc with
+    ≥12 whitespace tokens re-inserted under doc_id+60M with ONE appended
+    token — shingle Jaccard |G|/(|G|+1) ≥ 10/11 ≈ 0.91, safely above the
+    0.85 query threshold where banded recall is ≈1 (miss probability
+    (1−0.85⁴)³² ≈ 6e-11/pair).  Expressed only through lower/trim/split
+    so the DuckDB twin rebuilds the identical corpus."""
+    ntok = F.size(F.split(F.lower(F.trim(F.col("text"))), r"\s+"))
+    return (docs.filter((F.col("doc_id") % 25 == 0) & (ntok >= 12))
+            .select((F.col("doc_id") + 60_000_000).alias("doc_id"),
+                    F.concat(F.col("text"), F.lit(" zzqx")).alias("text")))
+
+
 def q_minhash_near_dups(spark, sf_dir):
-    return dedup.near_duplicates_minhash(_docs(spark, sf_dir), threshold=0.5)
+    """MinHash-LSH retrieval (banded (band,key) equi-join → exact-Jaccard
+    verify) at threshold 0.85, oracle-checked for BOTH precision and
+    recall against DuckDB's exact all-pairs word-3-gram Jaccard over the
+    same planted corpus."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    corpus = docs.unionByName(_minhash_plant(docs))
+    return dedup.near_duplicates_minhash(corpus, threshold=0.85)
 
 
 def q_simhash_near_dups(spark, sf_dir):
-    return dedup.near_duplicates_simhash(_docs(spark, sf_dir), max_hamming=3)
+    """SimHash Hamming-≤3 retrieval, oracle-checked against a DuckDB twin
+    that recomputes the FULL simhash from scratch (md5-based token hash →
+    per-bit sign aggregation → all-pairs ``bit_count(xor)``) — completely
+    independent of the pigeonhole banding, whose ≤3-distance completeness
+    is thereby machine-verified, not just proven on paper.  Plants: every
+    40th doc re-inserted verbatim under +70M (hamming 0) and every 40th
+    (offset 20) with one appended token under +71M (hamming usually 1–3;
+    whatever it lands at, both engines compute it from the same corpus)."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    exact = docs.filter(F.col("doc_id") % 40 == 0).select(
+        (F.col("doc_id") + 70_000_000).alias("doc_id"), "text")
+    near = docs.filter(F.col("doc_id") % 40 == 20).select(
+        (F.col("doc_id") + 71_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zz")).alias("text"))
+    corpus = docs.unionByName(exact).unionByName(near)
+    return dedup.near_duplicates_simhash(corpus, max_hamming=3)
 
 
 def q_embedding_near_dups(spark, sf_dir):
-    """Cosine near-dups with TWO planted families (at small sf no natural
-    pairs clear 0.9, so planting makes the driver row count discriminate):
+    """Cosine near-dups at threshold 0.95 with TWO planted families, both
+    expressible in plain array SQL so the DuckDB twin rebuilds the
+    identical corpus and the result is checked by exact all-pairs cosine
+    (natural max cosine in the table is ≈0.51 — plants fully control the
+    answer set):
 
-    * colinear — every 100th vector re-inserted scaled ×2 under
-      vec_id+10M (cosine exactly 1.0; trivially collides in any LSH);
-    * non-colinear at cosine ≈ 0.92 — every 100th vector (offset 50)
-      rotated toward a seeded random orthogonal direction and re-inserted
-      under vec_id+20M.  These pairs flip sign bits and are exactly what
-      a single-key hyperplane LSH misses (~8% recall); the banded 8×8
-      path finds them, so their presence in the row count is the driver-
-      visible recall evidence.
+    * colinear — every 100th vector ×2 under vec_id+10M (cosine 1.0,
+      sign pattern identical → collides in every band deterministically);
+    * non-colinear at cosine ≈ 0.989 — every 100th vector (offset 50)
+      with 0.15 added to coordinate 0 under vec_id+20M (unit-norm table).
+      These flip sign bits — the family a single-key hyperplane LSH
+      misses — while the banded 8×8 path finds them with miss
+      probability ≈1e-4/pair (the 0.90-cosine recall *curve* is pinned
+      by tests/test_operators.py's ≥0.9-recall-vs-brute pytest).
 
-    The rotated plants are computed driver-side over the tiny sampled
-    slice (n/100 rows, sorted by vec_id, fixed seed) — deterministic at
-    any parallelism."""
-    import numpy as np
-
+    The LSH retrieval runs at an inner threshold 0.94; the emitted cosine
+    is then RECOMPUTED with the Catalyst sequential fold (same arithmetic
+    shape as the hash-green embedding_topk oracle) and final-filtered at
+    0.95, so the value the driver hashes is bit-comparable with DuckDB's
+    ``list_sum`` fold rather than the einsum verify's summation order."""
     emb = (spark.read.parquet(f"{sf_dir}/embeddings.parquet")
            .select("vec_id", "embedding"))
     colinear = (emb.filter(F.col("vec_id") % 100 == 0)
@@ -849,28 +889,29 @@ def q_embedding_near_dups(spark, sf_dir):
                         F.transform("embedding",
                                     lambda x: x * F.lit(2.0).cast("float"))
                         .alias("embedding")))
-    sample = (emb.filter(F.col("vec_id") % 100 == 50)
-              .orderBy("vec_id").collect())
-    rng = np.random.RandomState(92)
-    alpha = float(np.arccos(0.92))
-    rotated_rows = []
-    for row in sample:
-        u = np.asarray(row["embedding"], dtype="float64")
-        nu = np.linalg.norm(u)
-        if nu == 0:
-            continue
-        uhat = u / nu
-        w = rng.normal(size=len(u))
-        w -= (w @ uhat) * uhat
-        w /= np.linalg.norm(w)
-        v = nu * (np.cos(alpha) * uhat + np.sin(alpha) * w)
-        rotated_rows.append((row["vec_id"] + 20_000_000,
-                             [float(x) for x in v]))
-    from ocr_spark.localrel import local_df
-    rotated = local_df(spark, rotated_rows,
-                       "vec_id bigint, embedding array<float>")
-    corpus = emb.unionByName(colinear).unionByName(rotated)
-    return dedup.near_duplicates_embedding(corpus, threshold=0.9)
+    perturbed = (emb.filter(F.col("vec_id") % 100 == 50)
+                 .select((F.col("vec_id") + 20_000_000).alias("vec_id"),
+                         F.expr(
+                             "CAST(concat(array(CAST(CAST(embedding[0] AS "
+                             "DOUBLE) + 0.15D AS FLOAT)), "
+                             "slice(embedding, 2, size(embedding) - 1)) "
+                             "AS array<float>)").alias("embedding")))
+    corpus = emb.unionByName(colinear).unionByName(perturbed)
+    pairs = (dedup.near_duplicates_embedding(corpus, threshold=0.94)
+             .select("id_a", "id_b"))
+    va = corpus.select(F.col("vec_id").alias("id_a"),
+                       F.col("embedding").alias("v_a"))
+    vb = corpus.select(F.col("vec_id").alias("id_b"),
+                       F.col("embedding").alias("v_b"))
+    dot = F.expr("aggregate(zip_with(v_a, v_b, (x, y) -> "
+                 "CAST(x AS DOUBLE) * y), 0D, (acc, x) -> acc + x)")
+    nrm = ("sqrt(aggregate(transform({0}, x -> CAST(x AS DOUBLE) * x), 0D, "
+           "(acc, x) -> acc + x))")
+    cosine = dot / (F.expr(nrm.format("v_a")) * F.expr(nrm.format("v_b")))
+    return (pairs.join(va, "id_a").join(vb, "id_b")
+            .withColumn("_c", cosine)
+            .filter(F.col("_c") >= 0.95)
+            .select("id_a", "id_b", F.round("_c", 6).alias("cosine")))
 
 
 def _ivf_index_path(sf_dir: str) -> str:
@@ -2485,6 +2526,111 @@ def oracle_sql() -> dict[str, str]:
                    CAST(length(coalesce(a.ct, '')) AS BIGINT) AS n_chars_clean
             FROM docs2 d LEFT JOIN agg a ON d.doc_id = a.id""",
         "ngram_jaccard": _NGRAM_SQL,
+        # exact all-pairs twins for the three LSH retrieval queries: the
+        # Spark side's verify step guarantees no false positives, so
+        # equality with the brute-force answer set IS the recall proof at
+        # the query threshold (VERDICT r3 Next-round #2).  Each twin
+        # rebuilds the SAME planted corpus from the documents/embeddings
+        # views with the SQL-expressible plant rules.
+        "minhash_near_dups": r"""
+            WITH corpus AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 60000000, text || ' zzqx' FROM documents
+              WHERE doc_id % 25 = 0
+                AND len(regexp_split_to_array(lower(trim(text)), '\s+')) >= 12
+            ), toks AS (
+              SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+              FROM corpus
+            ), grams AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(
+                         generate_series(0, greatest(len(t) - 3, 0)),
+                         i -> array_to_string(t[i+1:i+3], ' '))) AS g
+              FROM toks
+            ), sizes AS (
+              SELECT doc_id, len(g) AS n_grams FROM grams
+            ), exploded AS (
+              SELECT doc_id, unnest(g) AS gram FROM grams
+            ), inter AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+              FROM exploded a JOIN exploded b USING (gram)
+              WHERE a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            )
+            SELECT id_a, id_b,
+                   round(inter * 1.0 / (sa.n_grams + sb.n_grams - inter), 6)
+                       AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = id_a
+            JOIN sizes sb ON sb.doc_id = id_b
+            WHERE inter * 1.0 / (sa.n_grams + sb.n_grams - inter) >= 0.85""",
+        # full from-scratch SimHash recompute: md5-based token hash
+        # (md5_number_upper == little-endian first 8 md5 bytes — the
+        # Python side's _hash64_md5), per-bit sign aggregation over ALL
+        # tokens (duplicates included), all-pairs bit_count(xor) ≤ 3 —
+        # zero reliance on the Spark side's pigeonhole banding
+        "simhash_near_dups": r"""
+            WITH corpus AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 70000000, text FROM documents
+              WHERE doc_id % 40 = 0
+              UNION ALL
+              SELECT doc_id + 71000000, text || ' zz' FROM documents
+              WHERE doc_id % 40 = 20
+            ), toks AS (
+              SELECT doc_id,
+                     unnest(regexp_split_to_array(lower(trim(text)), '\s+'))
+                         AS tok
+              FROM corpus
+            ), hashes AS (
+              SELECT doc_id, md5_number_upper(tok) AS h
+              FROM toks WHERE tok <> ''
+            ), bits AS (
+              SELECT doc_id, bs.b AS b,
+                     CASE WHEN sum(CASE WHEN (h >> bs.b) & 1 = 1
+                                        THEN 1 ELSE -1 END) > 0
+                          THEN 1::UBIGINT ELSE 0::UBIGINT END AS bit
+              FROM hashes, (SELECT unnest(generate_series(0, 63)) AS b) bs
+              GROUP BY doc_id, bs.b
+            ), sims AS (
+              SELECT c.doc_id,
+                     COALESCE(s.sim, 0::UBIGINT) AS sim
+              FROM corpus c LEFT JOIN (
+                  SELECT doc_id, CAST(sum(bit << b) AS UBIGINT) AS sim
+                  FROM bits GROUP BY doc_id) s USING (doc_id)
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(bit_count(xor(a.sim, b.sim)) AS INT) AS hamming
+            FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.sim, b.sim)) <= 3""",
+        "embedding_near_dups": """
+            WITH base AS (
+              SELECT vec_id, embedding FROM embeddings
+            ), corpus AS (
+              SELECT vec_id, embedding FROM base
+              UNION ALL
+              SELECT vec_id + 10000000,
+                     list_transform(embedding, x -> CAST(x * 2.0 AS FLOAT))
+              FROM base WHERE vec_id % 100 = 0
+              UNION ALL
+              SELECT vec_id + 20000000,
+                     list_prepend(CAST(embedding[1]::DOUBLE + 0.15 AS FLOAT),
+                                  embedding[2:])
+              FROM base WHERE vec_id % 100 = 50
+            ), scored AS (
+              SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                     list_sum(list_transform(range(1, len(a.embedding) + 1),
+                         i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))
+                     / (sqrt(list_sum(list_transform(a.embedding,
+                            x -> x::DOUBLE * x::DOUBLE)))
+                        * sqrt(list_sum(list_transform(b.embedding,
+                            x -> x::DOUBLE * x::DOUBLE)))) AS cosine
+              FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+            )
+            SELECT id_a, id_b, round(cosine, 6) AS cosine
+            FROM scored WHERE cosine >= 0.95""",
         "dni_check_letter": f"""
             SELECT doc_id, {doc} AS doc_num,
                    substr('{_DNI_TABLE}',

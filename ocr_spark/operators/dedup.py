@@ -99,6 +99,16 @@ def _hash64(s: str) -> int:
         hashlib.blake2b(s.encode("utf-8"), digest_size=8).digest(), "big")
 
 
+def _hash64_md5(s: str) -> int:
+    """64-bit token hash = little-endian first 8 md5 bytes — chosen so an
+    independent SQL engine can recompute it (DuckDB ``md5_number_upper``),
+    making the SimHash pair set exact-oracle-checkable.  Any uniform
+    64-bit hash is equally correct for SimHash; this one is the only one
+    both engines share."""
+    return int.from_bytes(hashlib.md5(s.encode("utf-8")).digest()[:8],
+                          "little")
+
+
 def _gram_coef(width: int) -> np.ndarray:
     """Position coefficients for the w-gram combine (odd → invertible mod
     2^64, so token order matters: "a b c" and "c b a" hash differently).
@@ -394,7 +404,7 @@ def simhash64(df: DataFrame, id_col: str = "doc_id",
                 out.append(0)
                 continue
             hs = np.fromiter(
-                (cache.get(tok) or cache.setdefault(tok, _hash64(tok))
+                (cache.get(tok) or cache.setdefault(tok, _hash64_md5(tok))
                  for tok in tokens),
                 dtype=np.uint64, count=len(tokens))
             # vectorized sign aggregation: n_tokens × 64 bit matrix
