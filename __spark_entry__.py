@@ -332,12 +332,6 @@ def q_cif_control(spark, sf_dir):
                         (d % 20 + 1).cast("int"), 1)
     body = F.lpad(((d * 7919) % 10000000).cast("string"), 7, "0")
     dig = native.cif_control_digit(F.concat(first, body, F.lit("0")))
-    letter = F.substring(F.lit("JABCDEFGHI"), (dig + 1).cast("int"), 1)
-    correct = (F.when(first.isin("A", "B", "E", "H"), dig.cast("string"))
-               .when(first.isin("K", "P", "Q", "S"), letter)
-               .otherwise(F.when(d % 2 == 0, dig.cast("string"))
-                          .otherwise(letter)))
-    wrong = ((dig + 1) % 10).cast("string")  # never equals dig or a letter
     # materialize in stages: Catalyst's CollapseProject inlines `correct`
     # (which embeds the whole Luhn digit tree) into every substring
     # cif_is_valid takes of the concat, exploding the expression
@@ -914,10 +908,35 @@ def q_embedding_near_dups(spark, sf_dir):
             .select("id_a", "id_b", F.round("_c", 6).alias("cosine")))
 
 
+def _data_fingerprint(path: str) -> str:
+    """Cheap content fingerprint of a parquet file/dir — (relpath, size,
+    mtime_ns) of every part file.  Folded into artifact-path digests so a
+    REGENERATED dataset at the same path can never be served a stale
+    persisted index built from the old contents."""
+    import os
+
+    parts = []
+    if os.path.isdir(path):
+        for root, _dirs, files in os.walk(path):
+            for f in sorted(files):
+                st = os.stat(os.path.join(root, f))
+                parts.append(f"{os.path.relpath(os.path.join(root, f), path)}"
+                             f":{st.st_size}:{st.st_mtime_ns}")
+    elif os.path.exists(path):
+        st = os.stat(path)
+        parts.append(f"{os.path.basename(path)}:{st.st_size}:{st.st_mtime_ns}")
+    return ";".join(parts)
+
+
 def _ivf_index_path(sf_dir: str) -> str:
     """Digest-keyed persisted-IVF location for ``q_embedding_ann_ivf`` —
-    exposed so bench.py can clear it and measure a true cold build."""
-    digest = _code_digest(similarity, extra=f"{sf_dir}:ncells=8")
+    exposed so bench.py can clear it and measure a true cold build.  The
+    digest covers the similarity module source AND a content fingerprint
+    of the embeddings dataset (size+mtime of every part), so regenerating
+    the testdata in place mints a new path instead of silently serving an
+    index built from the old rows."""
+    fp = _data_fingerprint(f"{sf_dir}/embeddings.parquet")
+    digest = _code_digest(similarity, extra=f"{sf_dir}:ncells=8:{fp}")
     return f"/tmp/ocr_spark_ivf_{_getpass.getuser()}_{digest}"
 
 
@@ -1419,19 +1438,34 @@ def _code_digest(*modules, extra: str = "") -> str:
     return hashlib.md5(code.encode()).hexdigest()[:12]
 
 
-def _prune_stale_siblings(path: str) -> None:
+def _prune_stale_siblings(path: str, min_age_s: float = 6 * 3600) -> None:
     """Remove older digest-keyed artifact dirs sharing this path's prefix
     (everything before the trailing _<digest>) — each code revision mints
-    a new digest and the old dirs become unreachable forever."""
+    a new digest and the old dirs become unreachable forever.
+
+    Only siblings untouched for ``min_age_s`` are removed: a harness
+    process built from a DIFFERENT code revision may be actively reading
+    its own digest-keyed dir right now, and rmtree'ing it mid-read would
+    fail that run.  Six hours comfortably exceeds any single harness
+    invocation while still garbage-collecting abandoned revisions."""
     import glob
+    import os
     import shutil
+    import time
 
     prefix = path.rsplit("_", 1)[0]
+    now = time.time()
     for stale in glob.glob(prefix + "_*"):
         # skip the live path AND any in-flight `<path>.build.<pid>`
         # scratch of a concurrent builder — deleting a scratch mid-save
         # would let its os.rename publish a partial index
-        if stale != path and not stale.startswith(path + "."):
+        if stale == path or stale.startswith(path + "."):
+            continue
+        try:
+            age = now - os.stat(stale).st_mtime
+        except OSError:
+            continue  # raced with another pruner — already gone
+        if age >= min_age_s:
             shutil.rmtree(stale, ignore_errors=True)
 
 

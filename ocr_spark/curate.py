@@ -109,7 +109,12 @@ def curate(df: DataFrame, bench: Optional[DataFrame] = None,
     :func:`textstats.quality_classifier_model`) + ``min_logodds_x1000``
     turn on the GPT-3-style classifier gate: docs scoring BELOW the
     threshold (milli-bits/token of seed-vs-background log-odds) drop as
-    ``classifier_rejected``.
+    ``classifier_rejected``.  Score-less documents — too short to
+    produce any gram/token under either model — are EXEMPT from both
+    score gates by design: their NULL score makes the ``score > lit``
+    comparison NULL, so they can never drop as ``high_surprisal`` or
+    ``classifier_rejected`` (degenerate shortness is the min-token
+    quality gate's job, which runs first).
 
     ``substr_dedup_k`` turns on the ExactSubstr REWRITE stage
     (RefinedWeb's exact-substring removal after document-level dedup):

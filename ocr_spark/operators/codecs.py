@@ -587,6 +587,13 @@ def _decode_jpeg_inner(b: bytes) -> np.ndarray | None:
     h, w, comps = frame
     if len(scan) != len(comps):
         return None
+    # a baseline SOS must cover the frame components in frame order —
+    # positional pairing below assumes it.  A nonconforming file with
+    # reordered scan components would otherwise decode with swapped
+    # Huffman-table assignments (garbage pixels); degrade to None like
+    # every other malformed input instead.
+    if any(scan[i][0] != comps[i][0] for i in range(len(comps))):
+        return None
 
     # entropy-coded segment: unstuff FF00, collect restart boundaries
     ecs, resets, _ = _scan_ecs(b, pos)
