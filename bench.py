@@ -54,7 +54,7 @@ SUITE = (
     "decontaminate", "repetition_features", "token_shards",
     "url_blocklist", "host_cap", "host_profile", "surprisal",
     "quality_classifier", "corpus_stats", "temperature_mix",
-    "corpus_curate",
+    "corpus_curate", "pipeline_curate",
 )
 
 

@@ -39,6 +39,49 @@ def test_sample_query_runs(spark):
     assert df.count() > 0
 
 
+def test_extract_parity_not_vacuous(spark):
+    """extract_parity's oracle is the EMPTY relation, so an accidentally
+    always-false comparison would pass forever.  Positive control: the
+    un-filtered two-path comparison must produce one row per (doc, type)
+    with non-empty, EQUAL json on both sides — proving the filter
+    compares real payloads — and the registered query must return 0
+    disagreement rows."""
+    from pyspark.sql import functions as F
+
+    from ocr_spark.functions import udfs
+
+    sf = "/root/testdata/sf0.001"
+    docs = entrymod._docs(spark, sf).select("doc_id", "text").limit(40)
+    fused = udfs.dni_parse_udf(entrymod.RUN_DATE, engine=udfs.TIER1_ENGINE,
+                               route=True)
+    both = (docs.withColumn("_a", fused(F.col("text"), F.lit(95.0)))
+            .select(F.to_json("_a").alias("j")).collect())
+    assert len(both) == 40
+    assert all(r["j"] and len(r["j"]) > 20 for r in both), \
+        "fused path produced empty json — parity filter would be vacuous"
+    assert entrymod.q_extract_parity(spark, sf).count() == 0
+
+
+def test_extract_parity_detects_divergence(spark):
+    """The parity machinery CAN fire: run the same fused UDF with two
+    different confidences (a genuine semantic divergence — the router
+    and confianza fields change) through the exact to_json-inequality
+    comparison the query uses, and assert disagreement rows surface."""
+    from pyspark.sql import functions as F
+
+    from ocr_spark.functions import udfs
+
+    sf = "/root/testdata/sf0.001"
+    docs = entrymod._docs(spark, sf).select("doc_id", "text").limit(10)
+    fused = udfs.dni_parse_udf(entrymod.RUN_DATE, engine=udfs.TIER1_ENGINE,
+                               route=True)
+    cmp = (docs.withColumn("_a", fused(F.col("text"), F.lit(95.0)))
+           .withColumn("_b", fused(F.col("text"), F.lit(10.0)))
+           .select(F.to_json("_a").alias("a"), F.to_json("_b").alias("b"))
+           .filter(F.col("a") != F.col("b")))
+    assert cmp.count() > 0, "to_json comparison failed to flag divergence"
+
+
 def test_ivf_artifact_hygiene(spark):
     """The digest-keyed IVF artifact dir must be concurrency- and
     crash-safe (review-found classes): (1) sibling pruning may NEVER
