@@ -293,12 +293,52 @@ _ATTR_CONTINUE = frozenset("abcdefghijklmnopqrstuvwxyz=/"
 # 20k-example differential fuzz in tests/test_html_extract.py gates this).
 # Outcome kinds: "s" start tag, "se" self-closing (start+end), "d" the
 # whole slice is data (bogus tag), "e" end tag, "n" no handler (bogus
-# comment / ``</>``).
-_START_CACHE: dict[str, tuple[str, str]] = {}
-_END_CACHE: dict[str, tuple[str, str]] = {}
+# comment / ``</>``).  The third tuple slot is the tag's precomputed
+# collector CLASS (``_tag_class``) so the replay path dispatches on one
+# int instead of re-walking the frozenset memberships per occurrence.
+_START_CACHE: dict[str, tuple[str, str, int]] = {}
+_END_CACHE: dict[str, tuple[str, str, int]] = {}
 _CACHE_MAX = 100_000        # ~10 MB ceiling per executor process
 _CACHE_KEY_MAX = 256        # unique-attr tags (hrefs, ids) don't repeat —
 #                             don't let them churn the cache
+
+# Collector tag classes — a pure reindexing of the membership tests in
+# _BlockCollector.handle_starttag/handle_endtag (the sets are disjoint:
+# a/br/pre belong to none of the others, _BOILERPLATE_TAGS and _MAIN_TAGS
+# are disjoint subsets of _BLOCK_TAGS).
+_C_NOOP, _C_SKIP, _C_A, _C_BR, _C_PRE, _C_BLOCK, _C_BOILER, _C_MAIN = range(8)
+
+# Flushed-block memo (per-process, shared across documents).  Boilerplate
+# blocks — nav items, footers, shared host chrome — repeat VERBATIM across
+# a host's pages, so the whitespace-collapse regex + strip + NamedTuple
+# construction re-derive the identical immutable Block billions of times
+# at crawl scale.  Keyed on the exact (raw_text, link_chars, boiler, main)
+# tuple; Block is immutable, so sharing one instance across documents is
+# safe.  ``None``-ish whitespace-only results are cached as _NO_BLOCK.
+# ~20 MB ceiling per executor at the caps below.
+_NO_BLOCK = Block("", 0, 0, False, False)
+_BLOCK_CACHE: dict[tuple, Block] = {}
+_BLOCK_CACHE_MAX = 100_000
+_BLOCK_KEY_MAX = 512        # unique long paragraphs don't repeat — don't
+#                             let them churn the cache
+
+
+def _tag_class(tag: str) -> int:
+    if tag in _SKIP_SUBTREE:
+        return _C_SKIP
+    if tag == "a":
+        return _C_A
+    if tag == "br":
+        return _C_BR
+    if tag == "pre":
+        return _C_PRE
+    if tag in _BLOCK_TAGS:
+        if tag in _BOILERPLATE_TAGS:
+            return _C_BOILER
+        if tag in _MAIN_TAGS:
+            return _C_MAIN
+        return _C_BLOCK
+    return _C_NOOP
 
 
 def _fast_scan(text: str, col: _BlockCollector) -> None:
@@ -307,6 +347,99 @@ def _fast_scan(text: str, col: _BlockCollector) -> None:
     find = text.find
     start_cache_get = _START_CACHE.get
     end_cache_get = _END_CACHE.get
+
+    # Collector state hoisted into locals — the per-tag bound-method call
+    # plus 3-4 frozenset probes plus self-attribute loads/stores were ~35%
+    # of end-to-end extraction CPU.  The inline dispatch below is an exact
+    # transliteration of _BlockCollector.handle_starttag/handle_endtag/
+    # handle_data keyed on the precomputed ``_tag_class`` int (gated by the
+    # same 20k-example differential fuzz as the scanner itself).  blocks
+    # and _buf are the collector's OWN list objects (mutated in place);
+    # the int counters are written back at every normal exit, so callers'
+    # ``col._flush()`` and the html.parser fallback see identical state.
+    blocks = col.blocks
+    buf = col._buf
+    buf_append = buf.append
+    skip_depth = col._skip_depth
+    a_depth = col._a_depth
+    pre_depth = col._pre_depth
+    boiler_depth = col._boiler_depth
+    main_depth = col._main_depth
+    link_chars = col._link_chars
+    ws_sub = _RE_WS.sub
+
+    block_cache_get = _BLOCK_CACHE.get
+
+    def flush() -> None:
+        # exact inline of _BlockCollector._flush (guarded by `if buf:` at
+        # call sites — an empty-buf flush is a no-op that must NOT reset
+        # link_chars, same as the method's early return), plus the
+        # repeated-boilerplate Block memo (see _BLOCK_CACHE)
+        nonlocal link_chars
+        if not buf:
+            return
+        raw = "".join(buf)
+        del buf[:]
+        lc = link_chars
+        link_chars = 0
+        if pre_depth:
+            if raw:
+                blocks.append(Block(raw, len(raw), min(lc, len(raw)),
+                                    True, boiler_depth > 0, main_depth > 0))
+            return
+        key = (raw, lc, boiler_depth > 0, main_depth > 0)
+        blk = block_cache_get(key)
+        if blk is None:
+            t = ws_sub(" ", raw).strip()
+            blk = (Block(t, len(t), min(lc, len(t)), False,
+                         boiler_depth > 0, main_depth > 0)
+                   if t else _NO_BLOCK)
+            if len(raw) <= _BLOCK_KEY_MAX and len(_BLOCK_CACHE) < _BLOCK_CACHE_MAX:
+                _BLOCK_CACHE[key] = blk
+        if blk is not _NO_BLOCK:
+            blocks.append(blk)
+
+    def handle_start(tag: str) -> None:
+        # _BlockCollector.handle_starttag, uncached/slow-path form
+        nonlocal skip_depth, a_depth, pre_depth, boiler_depth, main_depth
+        if tag in _SKIP_SUBTREE:
+            skip_depth += 1
+            return
+        if skip_depth:
+            return
+        if tag == "a":
+            a_depth += 1
+        if tag == "br":
+            buf_append("\n" if pre_depth else " ")
+        if tag == "pre":
+            flush()
+            pre_depth += 1
+        elif tag in _BLOCK_TAGS:
+            flush()
+            if tag in _BOILERPLATE_TAGS:
+                boiler_depth += 1
+            if tag in _MAIN_TAGS:
+                main_depth += 1
+
+    def handle_end(tag: str) -> None:
+        # _BlockCollector.handle_endtag, uncached/slow-path form
+        nonlocal skip_depth, a_depth, pre_depth, boiler_depth, main_depth
+        if tag in _SKIP_SUBTREE:
+            skip_depth = skip_depth - 1 if skip_depth > 0 else 0
+            return
+        if skip_depth:
+            return
+        if tag == "a":
+            a_depth = a_depth - 1 if a_depth > 0 else 0
+        if tag == "pre":
+            flush()
+            pre_depth = pre_depth - 1 if pre_depth > 0 else 0
+        elif tag in _BLOCK_TAGS:
+            flush()
+            if tag in _BOILERPLATE_TAGS:
+                boiler_depth = boiler_depth - 1 if boiler_depth > 0 else 0
+            if tag in _MAIN_TAGS:
+                main_depth = main_depth - 1 if main_depth > 0 else 0
 
     # EOF-scan memos (per document).  Absence of these needles is monotone:
     # every search here starts at a non-decreasing position, so a search
@@ -332,8 +465,16 @@ def _fast_scan(text: str, col: _BlockCollector) -> None:
     scan_budget = 4 * n + 1_000_000
 
     def emit(chunk: str) -> None:
-        if chunk:
-            col.handle_data(unescape(chunk) if "&" in chunk else chunk)
+        # inline of handle_data behind goahead's convert_charrefs decode
+        nonlocal link_chars
+        if not chunk:
+            return
+        data = unescape(chunk) if "&" in chunk else chunk
+        if skip_depth or not data:
+            return
+        buf_append(data)
+        if a_depth:
+            link_chars += len(data)
 
     def recover(lt: int) -> int:
         """goahead's invalid-tag resync at EOF (end=1): when parse_*tag
@@ -383,29 +524,58 @@ def _fast_scan(text: str, col: _BlockCollector) -> None:
             hit = end_cache_get(sl) if sl is not None else None
             if hit is not None:
                 if hit[0] == "e":
-                    col.handle_endtag(hit[1])
+                    # inline handle_endtag keyed on the cached class
+                    cls = hit[2]
+                    if cls == _C_BLOCK:
+                        if not skip_depth and buf:
+                            flush()
+                    elif cls == _C_A:
+                        if not skip_depth and a_depth:
+                            a_depth -= 1
+                    elif cls == _C_SKIP:
+                        if skip_depth:
+                            skip_depth -= 1
+                    elif cls == _C_BOILER:
+                        if not skip_depth:
+                            if buf:
+                                flush()
+                            if boiler_depth:
+                                boiler_depth -= 1
+                    elif cls == _C_MAIN:
+                        if not skip_depth:
+                            if buf:
+                                flush()
+                            if main_depth:
+                                main_depth -= 1
+                    elif cls == _C_PRE:
+                        if not skip_depth:
+                            if buf:
+                                flush()
+                            if pre_depth:
+                                pre_depth -= 1
+                    # _C_BR / _C_NOOP end tags have no collector effect
                 pos = gt_any + 1
                 continue
             m = _RE_ENDTAGFIND.match(text, lt)  # </ \s* name \s* >
             if m:
                 name = m.group(1).lower()
-                col.handle_endtag(name)
+                handle_end(name)
                 pos = m.end()
-                outcome = ("e", name)
+                outcome = ("e", name, _tag_class(name))
             else:
                 nm = _RE_TAGNAME.match(text, lt + 2)
                 if nm:
                     gt = find(">", nm.end())
                     name = nm.group(1).lower()
-                    col.handle_endtag(name)
+                    handle_end(name)
                     pos = gt + 1  # gt >= 0 because gt_any existed
-                    outcome = ("e", name)
+                    outcome = ("e", name, _tag_class(name))
                 elif text.startswith("</>", lt):
                     pos = lt + 3
-                    outcome = ("n", "")
+                    outcome = ("n", "", _C_NOOP)
                 else:  # bogus comment: skip to ">"
                     pos = gt_any + 1
-                    outcome = ("n", "")
+                    outcome = ("n", "", _C_NOOP)
             if pos <= lt:  # defensive: always advance
                 pos = gt_any + 1
                 outcome = None
@@ -481,23 +651,57 @@ def _fast_scan(text: str, col: _BlockCollector) -> None:
             if sl is not None:
                 hit = start_cache_get(sl)
                 if hit is not None:
-                    kind, tag = hit
+                    kind = hit[0]
                     if kind == "s":
-                        col.handle_starttag(tag, ())
+                        # inline handle_starttag keyed on the cached class,
+                        # ordered by corpus frequency (a, then blocks)
+                        cls = hit[2]
+                        if cls == _C_A:
+                            if not skip_depth:
+                                a_depth += 1
+                        elif cls == _C_BLOCK:
+                            if not skip_depth and buf:
+                                flush()
+                        elif cls == _C_BOILER:
+                            if not skip_depth:
+                                if buf:
+                                    flush()
+                                boiler_depth += 1
+                        elif cls == _C_MAIN:
+                            if not skip_depth:
+                                if buf:
+                                    flush()
+                                main_depth += 1
+                        elif cls == _C_SKIP:
+                            skip_depth += 1
+                        elif cls == _C_BR:
+                            if not skip_depth:
+                                buf_append("\n" if pre_depth else " ")
+                        elif cls == _C_PRE:
+                            if not skip_depth:
+                                if buf:
+                                    flush()
+                                pre_depth += 1
+                        # _C_NOOP start tags have no collector effect
                         pos = gt_naive + 1
+                        tag = hit[1]
                         if tag in _CDATA_TAGS:
                             em = _RE_CDATA_END[tag].search(text, pos)
                             if em is None:
                                 pos = n
                                 break
-                            col.handle_endtag(tag)
+                            handle_end(tag)
                             pos = em.end()
                     elif kind == "se":
-                        col.handle_starttag(tag, ())
-                        col.handle_endtag(tag)
+                        tag = hit[1]
+                        handle_start(tag)
+                        handle_end(tag)
                         pos = gt_naive + 1
                     else:  # "d": bogus tag — raw data, no charref decode
-                        col.handle_data(sl)
+                        if not skip_depth and sl:
+                            buf_append(sl)
+                            if a_depth:
+                                link_chars += len(sl)
                         pos = gt_naive + 1
                     continue
             # mirror of check_for_whole_start_tag + parse_starttag
@@ -506,7 +710,7 @@ def _fast_scan(text: str, col: _BlockCollector) -> None:
             scan_work += j - lt
             if scan_work > scan_budget:
                 emit(text[lt:])
-                return
+                break
             after = text[j: j + 1]
             if after == ">":
                 endpos = j + 1
@@ -551,21 +755,25 @@ def _fast_scan(text: str, col: _BlockCollector) -> None:
                 # bogus input: the whole tag text becomes data — RAW, no
                 # charref conversion (parse_starttag calls handle_data
                 # directly, bypassing the convert_charrefs path)
-                col.handle_data(text[lt:endpos])
+                chunk = text[lt:endpos]
+                if not skip_depth and chunk:
+                    buf_append(chunk)
+                    if a_depth:
+                        link_chars += len(chunk)
                 pos = endpos
                 if cacheable:
-                    _START_CACHE[sl] = ("d", "")
+                    _START_CACHE[sl] = ("d", "", _C_NOOP)
                 continue
-            col.handle_starttag(tag, ())
+            handle_start(tag)
             if end == "/>":
-                col.handle_endtag(tag)
+                handle_end(tag)
                 pos = endpos
                 if cacheable:
-                    _START_CACHE[sl] = ("se", tag)
+                    _START_CACHE[sl] = ("se", tag, _tag_class(tag))
                 continue
             pos = endpos
             if cacheable:
-                _START_CACHE[sl] = ("s", tag)
+                _START_CACHE[sl] = ("s", tag, _tag_class(tag))
             if tag in _CDATA_TAGS:
                 # raw-text element: scan for the FULL end tag, mirroring
                 # html.parser.set_cdata_mode's r"</\s*script\s*>" — so
@@ -576,12 +784,21 @@ def _fast_scan(text: str, col: _BlockCollector) -> None:
                 if em is None:
                     pos = n
                     break
-                col.handle_endtag(tag)
+                handle_end(tag)
                 pos = em.end()
         else:
             # stray "<" is literal text
             emit("<")
             pos = lt + 1
+
+    # write the hoisted counters back so col._flush() (every caller) and
+    # any later feed through the collector see the exact post-scan state
+    col._skip_depth = skip_depth
+    col._a_depth = a_depth
+    col._pre_depth = pre_depth
+    col._boiler_depth = boiler_depth
+    col._main_depth = main_depth
+    col._link_chars = link_chars
 
 
 def _segment(data: bytes) -> list[Block]:
