@@ -2598,7 +2598,11 @@ def oracle_sql() -> dict[str, str]:
             FROM inter
             JOIN sizes sa ON sa.doc_id = id_a
             JOIN sizes sb ON sb.doc_id = id_b
-            WHERE inter * 1.0 / (sa.n_grams + sb.n_grams - inter) >= 0.85""",
+            -- filter on the ROUNDED value, matching the Spark side's
+            -- `F.round(jaccard, 6) >= threshold` (a pair within 5e-7 of
+            -- the threshold must classify identically in both engines)
+            WHERE round(inter * 1.0 / (sa.n_grams + sb.n_grams - inter), 6)
+                  >= 0.85""",
         # full from-scratch SimHash recompute: md5-based token hash
         # (md5_number_upper == little-endian first 8 md5 bytes — the
         # Python side's _hash64_md5), per-bit sign aggregation over ALL

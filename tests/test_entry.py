@@ -87,24 +87,34 @@ def test_ivf_artifact_hygiene(spark):
     crash-safe (review-found classes): (1) sibling pruning may NEVER
     remove an in-flight `<path>.build.<pid>` scratch of the live digest
     — deleting one mid-save lets its rename publish a partial index;
-    (2) a partial dir under the CURRENT digest (e.g. a killed writer)
-    must trigger a rebuild, not be trusted as a complete index."""
+    (2) pruning is AGE-GATED (round-4 ADVICE fix): a recently-touched
+    sibling digest may belong to a concurrently running harness built
+    from a different code revision and must survive, while an aged-out
+    one is garbage-collected; (3) a partial dir under the CURRENT digest
+    (e.g. a killed writer) must trigger a rebuild, not be trusted as a
+    complete index."""
     import os
     import shutil
+    import time
 
     idx_path = entrymod._ivf_index_path("/root/testdata/sf0.001")
     prefix = idx_path.rsplit("_", 1)[0]
-    stale = prefix + "_deadbeef0000"
+    aged = prefix + "_deadbeef0000"
+    fresh = prefix + "_cafecafe0000"
     scratch = f"{idx_path}.build.99999"
-    for d in (stale, scratch):
+    for d in (aged, fresh, scratch):
         os.makedirs(d, exist_ok=True)
+    old = time.time() - 7 * 3600  # past the 6 h idle threshold
+    os.utime(aged, (old, old))
     try:
         entrymod._prune_stale_siblings(idx_path)
-        assert not os.path.isdir(stale)          # stale digest pruned
+        assert not os.path.isdir(aged)           # aged-out digest pruned
+        assert os.path.isdir(fresh)              # possibly-live sibling kept
         assert os.path.isdir(scratch)            # live scratch untouched
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
-        shutil.rmtree(stale, ignore_errors=True)
+        shutil.rmtree(aged, ignore_errors=True)
+        shutil.rmtree(fresh, ignore_errors=True)
 
     # partial dir: centroids written, 'assigned' (the completion marker,
     # written last by ivf_save) missing -> the query must rebuild and
