@@ -274,25 +274,33 @@ def q_quality_classifier(spark, sf_dir):
 
 
 def q_minhash_dedup_keep(spark, sf_dir):
-    """Near-dup cluster resolution end-to-end: plant a 3-doc near-dup chain
-    (doc 0 verbatim under id 20M, doc 0 with one token swapped under 20M+1),
-    run MinHash → LSH → verify → connected components → keeper-per-cluster,
-    and return the surviving planted ids (exactly {0} of the cluster) plus
-    corpus-size accounting."""
+    """Near-dup cluster resolution end-to-end, oracle-checked (upgraded
+    from the r3 rows-only summary): plant a 3-doc chain off every 50th
+    ≥12-token doc — a verbatim copy under +80M (Jaccard 1.0) and one
+    appended token under +81M (J = |G|/(|G|+1) ≥ 10/11) — run MinHash →
+    banded LSH → exact-Jaccard verify → connected components → min-id
+    keeper, and emit the surviving doc_id set.  The DuckDB twin
+    recomputes exact all-pairs word-3-gram Jaccard ≥ 0.85 over the
+    identical corpus (plants expressed via lower/trim/split/concat only)
+    and resolves components with a recursive min-label CTE, so BOTH the
+    LSH recall and the cluster/keeper rule are machine-checked by set
+    equality.  The kept set depends only on the component partition,
+    never on individual edges: the planted triangle stays connected
+    unless two independent bandings miss (≈1e-32), and any natural pair
+    ≥0.85 has per-pair miss probability ≈6e-11 — deterministic given the
+    fixed hash seeds, and already hash-proven by `minhash_near_dups` on
+    the same corpus base."""
     docs = _docs(spark, sf_dir).select("doc_id", "text")
-    base = docs.filter(F.col("doc_id") == 0).select("text").first()["text"]
-    mutated = " ".join(
-        ["spark" if i == 3 else t for i, t in enumerate(base.split())])
-    from ocr_spark.localrel import local_df
-    planted = local_df(spark, [(20_000_000, base), (20_000_001, mutated)],
-                       "doc_id bigint, text string")
-    corpus = docs.unionByName(planted)
-    kept = dedup.dedup_near_minhash(corpus, threshold=0.5)
-    return (kept.agg(
-        F.count("*").alias("n_kept"),
-        F.sum((F.col("doc_id") >= 20_000_000).cast("int"))
-        .alias("planted_kept"),
-        F.sum((F.col("doc_id") == 0).cast("int")).alias("keeper_is_doc0")))
+    ntok = F.size(F.split(F.lower(F.trim(F.col("text"))), r"\s+"))
+    eligible = docs.filter((F.col("doc_id") % 50 == 0) & (ntok >= 12))
+    verbatim = eligible.select(
+        (F.col("doc_id") + 80_000_000).alias("doc_id"), "text")
+    appended = eligible.select(
+        (F.col("doc_id") + 81_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zzqx")).alias("text"))
+    corpus = docs.unionByName(verbatim).unionByName(appended)
+    kept = dedup.dedup_near_minhash(corpus, threshold=0.85)
+    return kept.select("doc_id")
 
 
 def q_fingerprint_groups(spark, sf_dir):
@@ -941,39 +949,38 @@ def _ivf_index_path(sf_dir: str) -> str:
 
 
 def q_embedding_dedup_keep(spark, sf_dir):
-    """Semantic-dedup end-to-end (the embedding analog of
-    minhash_dedup_keep): plant a 3-vector near-dup chain off vector 0 —
-    a ×2 scaled copy (cosine 1.0) under 40M and a rotation at cosine
-    0.93 under 40M+1 — run banded-LSH pairs → connected components →
-    min-id keeper, and return corpus accounting: the whole planted
-    cluster must resolve to keeper vec_id 0."""
-    import numpy as np
-
-    from ocr_spark.localrel import local_df
-
+    """Semantic-dedup end-to-end, oracle-checked (upgraded from the r3
+    rows-only summary; the embedding analog of minhash_dedup_keep): plant
+    a 3-vector chain off every 100th vector — a ×2 colinear copy under
+    +30M (cosine 1.0, identical sign pattern → collides in every band)
+    and coordinate-0 +0.15 under +31M (cosine ≈0.989 on the unit-norm
+    table, sign-flipping i.e. non-colinear) — run banded hyperplane LSH →
+    exact-cosine verify → connected components → min-id keeper, and emit
+    the surviving vec_id set.  The DuckDB twin recomputes exact all-pairs
+    cosine ≥ 0.95 over the identical array-SQL corpus and resolves
+    components with a recursive min-label CTE.  Natural max cosine in the
+    table is ≈0.51, so plants fully control the answer set; the kept set
+    depends only on the component partition, and the planted triangle
+    stays connected unless BOTH ≈0.989 edges are missed (≈1e-8, fixed
+    hyperplane seed → deterministic).  Summation-order float divergence
+    is irrelevant here: only set membership is emitted and no pair lies
+    within rounding distance of the 0.95 threshold."""
     emb = (spark.read.parquet(f"{sf_dir}/embeddings.parquet")
            .select("vec_id", "embedding"))
-    base = np.asarray(
-        emb.filter(F.col("vec_id") == 0).first()["embedding"], dtype="float64")
-    nu = np.linalg.norm(base)
-    uhat = base / nu
-    rng = np.random.RandomState(93)
-    w = rng.normal(size=len(base))
-    w -= (w @ uhat) * uhat
-    w /= np.linalg.norm(w)
-    alpha = float(np.arccos(0.93))
-    rot = nu * (np.cos(alpha) * uhat + np.sin(alpha) * w)
-    planted = local_df(
-        spark,
-        [(40_000_000, [float(x) for x in base * 2.0]),
-         (40_000_001, [float(x) for x in rot])],
-        "vec_id bigint, embedding array<float>")
-    kept = dedup.dedup_near_embedding(emb.unionByName(planted), threshold=0.9)
-    return kept.agg(
-        F.count("*").alias("n_kept"),
-        F.sum((F.col("vec_id") >= 40_000_000).cast("int"))
-        .alias("planted_kept"),
-        F.sum((F.col("vec_id") == 0).cast("int")).alias("keeper_is_vec0"))
+    base100 = emb.filter(F.col("vec_id") % 100 == 0)
+    colinear = base100.select(
+        (F.col("vec_id") + 30_000_000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(2.0).cast("float"))
+        .alias("embedding"))
+    perturbed = base100.select(
+        (F.col("vec_id") + 31_000_000).alias("vec_id"),
+        F.expr(
+            "CAST(concat(array(CAST(CAST(embedding[0] AS DOUBLE) + 0.15D "
+            "AS FLOAT)), slice(embedding, 2, size(embedding) - 1)) "
+            "AS array<float>)").alias("embedding"))
+    corpus = emb.unionByName(colinear).unionByName(perturbed)
+    kept = dedup.dedup_near_embedding(corpus, threshold=0.95)
+    return kept.select("vec_id")
 
 
 def q_embedding_ann_ivf(spark, sf_dir):
@@ -1566,6 +1573,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- round-4 new queries ---------------------------------------------
         "extract_parity": q_extract_parity,
         "pipeline_curate": q_pipeline_curate,
+        # -- round-4: keeper queries upgraded rows-only → oracle-checked
+        #    (exact all-pairs twin + recursive-CTE connected components) ----
+        "minhash_dedup_keep": q_minhash_dedup_keep,
+        "embedding_dedup_keep": q_embedding_dedup_keep,
         # -- remaining first-50 slots: r3-green rows kept warm --------------
         "token_count_bpe": q_token_count_bpe,
         "token_frequencies": q_token_frequencies,
@@ -1584,16 +1595,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_blocklist": q_url_blocklist,
         "host_cap": q_host_cap,
         "host_profile": q_host_profile,
+        # -------------------- driver snapshot cap (50) ---------------------
+        # (surprisal / quality_classifier rotate behind the cap to make
+        # room for the upgraded keeper oracles — both have green r03 rows,
+        # so CORRECTNESS_r04 ∪ CORRECTNESS_r03 still covers every query)
         "surprisal": q_surprisal,
         "quality_classifier": q_quality_classifier,
-        # -------------------- driver snapshot cap (50) ---------------------
         "corpus_stats": q_corpus_stats,
         "scrub_pii": q_scrub_pii,
         "drop_repeated_lines": q_drop_repeated_lines,
-        "minhash_dedup_keep": q_minhash_dedup_keep,
         "fingerprint_groups": q_fingerprint_groups,
         "ngram_jaccard": q_ngram_jaccard,
-        "embedding_dedup_keep": q_embedding_dedup_keep,
         "cif_control": q_cif_control,
         "plate_ocr_correct": q_plate_ocr_correct,
         "id_ocr_correct": q_id_ocr_correct,
@@ -2669,6 +2681,107 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT id_a, id_b, round(cosine, 6) AS cosine
             FROM scored WHERE cosine >= 0.95""",
+        # keeper twin: exact all-pairs word-3-gram Jaccard ≥ 0.85 over the
+        # planted-chain corpus, then connected components via a recursive
+        # min-label CTE (each node's reach-set accumulates every label in
+        # its component; min = the component's minimum id — the same
+        # keeper rule as duplicate_clusters), kept = component minima +
+        # all unclustered docs
+        "minhash_dedup_keep": r"""
+            WITH RECURSIVE corpus AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 80000000, text FROM documents
+              WHERE doc_id % 50 = 0
+                AND len(regexp_split_to_array(lower(trim(text)), '\s+')) >= 12
+              UNION ALL
+              SELECT doc_id + 81000000, text || ' zzqx' FROM documents
+              WHERE doc_id % 50 = 0
+                AND len(regexp_split_to_array(lower(trim(text)), '\s+')) >= 12
+            ), toks AS (
+              SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+              FROM corpus
+            ), grams AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(
+                         generate_series(0, greatest(len(t) - 3, 0)),
+                         i -> array_to_string(t[i+1:i+3], ' '))) AS g
+              FROM toks
+            ), sizes AS (
+              SELECT doc_id, len(g) AS n_grams FROM grams
+            ), exploded AS (
+              SELECT doc_id, unnest(g) AS gram FROM grams
+            ), inter AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+              FROM exploded a JOIN exploded b USING (gram)
+              WHERE a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            ), pairs AS (
+              SELECT id_a, id_b
+              FROM inter
+              JOIN sizes sa ON sa.doc_id = id_a
+              JOIN sizes sb ON sb.doc_id = id_b
+              -- rounded-value filter, matching the Spark verify's
+              -- `F.round(jaccard, 6) >= threshold`
+              WHERE round(inter * 1.0 / (sa.n_grams + sb.n_grams - inter), 6)
+                    >= 0.85
+            ), edges AS (
+              SELECT id_a AS src, id_b AS dst FROM pairs
+              UNION ALL
+              SELECT id_b, id_a FROM pairs
+            ), reach(id, label) AS (
+              SELECT src, src FROM edges
+              UNION
+              SELECT e.src, r.label FROM edges e JOIN reach r ON r.id = e.dst
+            ), cc AS (
+              SELECT id, min(label) AS cluster_id FROM reach GROUP BY id
+            )
+            SELECT c.doc_id FROM corpus c
+            LEFT JOIN cc ON cc.id = c.doc_id
+            WHERE cc.id IS NULL OR c.doc_id = cc.cluster_id""",
+        # same twin shape over exact all-pairs cosine ≥ 0.95 (array-SQL
+        # plants rebuild the identical corpus; natural max cosine ≈0.51)
+        "embedding_dedup_keep": """
+            WITH RECURSIVE base AS (
+              SELECT vec_id, embedding FROM embeddings
+            ), corpus AS (
+              SELECT vec_id, embedding FROM base
+              UNION ALL
+              SELECT vec_id + 30000000,
+                     list_transform(embedding, x -> CAST(x * 2.0 AS FLOAT))
+              FROM base WHERE vec_id % 100 = 0
+              UNION ALL
+              SELECT vec_id + 31000000,
+                     list_prepend(CAST(embedding[1]::DOUBLE + 0.15 AS FLOAT),
+                                  embedding[2:])
+              FROM base WHERE vec_id % 100 = 0
+            ), scored AS (
+              SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                     list_sum(list_transform(range(1, len(a.embedding) + 1),
+                         i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))
+                     / (sqrt(list_sum(list_transform(a.embedding,
+                            x -> x::DOUBLE * x::DOUBLE)))
+                        * sqrt(list_sum(list_transform(b.embedding,
+                            x -> x::DOUBLE * x::DOUBLE)))) AS cosine
+              FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+            ), pairs AS (
+              -- rounded-value filter, matching the verify stage's
+              -- `F.round(cosine, 6) >= threshold`
+              SELECT id_a, id_b FROM scored WHERE round(cosine, 6) >= 0.95
+            ), edges AS (
+              SELECT id_a AS src, id_b AS dst FROM pairs
+              UNION ALL
+              SELECT id_b, id_a FROM pairs
+            ), reach(id, label) AS (
+              SELECT src, src FROM edges
+              UNION
+              SELECT e.src, r.label FROM edges e JOIN reach r ON r.id = e.dst
+            ), cc AS (
+              SELECT id, min(label) AS cluster_id FROM reach GROUP BY id
+            )
+            SELECT c.vec_id FROM corpus c
+            LEFT JOIN cc ON cc.id = c.vec_id
+            WHERE cc.id IS NULL OR c.vec_id = cc.cluster_id""",
         "dni_check_letter": f"""
             SELECT doc_id, {doc} AS doc_num,
                    substr('{_DNI_TABLE}',
