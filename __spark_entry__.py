@@ -182,10 +182,51 @@ def q_winnow_fingerprints(spark, sf_dir):
 
 
 def q_frame_sample(spark, sf_dir):
+    """Frame/window sampling, oracle-checked (upgraded from the r3
+    rows-only listing): ``sample_frames`` demuxes AVI / composites GIF
+    ticks / windows WAV PCM, and this query then DECODES each emitted
+    clip and reports its dims (image clips) or sample-count+rate (audio
+    clips).  Every expected row is a closed-form function of
+    ``media_id`` — tick count max(1, duration//5000 ms), ts 5000·idx,
+    AVI frames 24×16, GIF 20×12, WAV windows 8000·(1+i%5) samples at
+    8000 Hz, opaque-stub slices NULL — so the DuckDB twin predicts the
+    complete result from the id formula while Spark must produce
+    decodable clips with the right timeline.  Probe order mirrors
+    media_feature_vector: GIF before generic image (decode_image would
+    consume a GIF's first frame)."""
+    import pandas as pd
+
     media = multimodal.synthetic_media(spark, rows=48)
-    return (multimodal.sample_frames(media, every_ms=5000)
-            .select("media_id", "frame_idx", "ts_ms",
-                    F.length("frame").alias("n_bytes")))
+    frames = multimodal.sample_frames(media, every_ms=5000)
+
+    def probe(batches):
+        from ocr_spark.operators import codecs
+        for pdf in batches:
+            out = []
+            for mid, idx, ts, frame in zip(
+                    pdf["media_id"], pdf["frame_idx"], pdf["ts_ms"],
+                    pdf["frame"]):
+                b = bytes(frame) if frame is not None else b""
+                w = h = ns = rate = None
+                gif = codecs.decode_gif(b)
+                if gif is not None:
+                    h, w = (int(gif[0][0].shape[0]), int(gif[0][0].shape[1]))
+                else:
+                    img = codecs.decode_image(b)
+                    if img is not None:
+                        h, w = int(img[0].shape[0]), int(img[0].shape[1])
+                    else:
+                        wav = codecs.decode_wav(b)
+                        if wav is not None:
+                            ns, rate = int(wav[0].size), int(wav[1])
+                out.append((int(mid), int(idx), int(ts), w, h, ns, rate))
+            yield pd.DataFrame(out, columns=["media_id", "frame_idx",
+                                             "ts_ms", "frame_w", "frame_h",
+                                             "n_samples", "rate"])
+
+    return frames.mapInPandas(
+        probe, "media_id long, frame_idx int, ts_ms int, frame_w int, "
+               "frame_h int, n_samples int, rate int")
 
 
 def q_exact_duplicates(spark, sf_dir):
@@ -1121,13 +1162,26 @@ def q_extract_parity(spark, sf_dir):
 
 
 def q_media_features(spark, sf_dir):
-    """Real decode evidence in the driver-visible rows: feature slots 0/1
-    are decoded image dims (BMP) or sample-count/framerate (WAV)."""
+    """Media decode, oracle-checked (upgraded from the r3 rows-only
+    listing): the synthetic generator builds every payload from closed-
+    form parameters of ``media_id`` — image dims 48+(i%5)·16 ×
+    32+(i%7)·8, WAV sample count 8000·(1+i%5) at rate 8000, AVI frames
+    24×16, animated GIF 20×12 — so the DuckDB twin predicts feature
+    slots 0/1 (decoded dims / sample-count+rate) and the ``decoded``
+    flag purely from the id formula, while Spark must recover them by
+    genuinely parsing BMP/PNG/baseline-JPEG/progressive-JPEG/WAV/
+    MJPEG-AVI/GIF bytes.  Only the environment-stubbed opaque-video rows
+    ((i%3)=2 ∧ (i//3)%3=2) are exempt: decoded=false, features NULLed
+    (the stub's fake vector is seeded noise, deliberately not
+    SQL-predictable)."""
     media = multimodal.synthetic_media(spark, rows=64)
-    return (multimodal.extract_media_features(media, deterministic_fake=True)
-            .select("media_id", "kind", "n_bytes", "sha_prefix", "decoded",
-                    F.element_at("features", 1).cast("bigint").alias("feat0"),
-                    F.element_at("features", 2).cast("bigint").alias("feat1")))
+    feats = multimodal.extract_media_features(media, deterministic_fake=True)
+    return feats.select(
+        "media_id", "kind", "decoded",
+        F.when(F.col("decoded"),
+               F.element_at("features", 1).cast("bigint")).alias("feat0"),
+        F.when(F.col("decoded"),
+               F.element_at("features", 2).cast("bigint")).alias("feat1"))
 
 
 def q_dedup_keep_first(spark, sf_dir):
@@ -1348,8 +1402,13 @@ def q_unit_conversions(spark, sf_dir):
 
 
 def q_pdf_extract(spark, sf_dir):
-    """PDF acquisition tier: synthesize one PDF per document text, extract
-    through tier 1, verify byte-identity (rows-only)."""
+    """PDF acquisition tier, oracle-checked (upgraded from the r3
+    rows-only self-reported flag): synthesize one PDF per document text,
+    run the tier-1 extractor over the PDF bytes, and emit the EXTRACTED
+    TEXT itself.  The DuckDB twin is simply the source documents table,
+    so a hash match proves byte-identical round-trip through PDF
+    synthesis → FlateDecode → extraction for every row — the driver now
+    witnesses the equality instead of trusting an in-query boolean."""
     import pandas as pd
 
     from ocr_spark import html_extract
@@ -1360,33 +1419,49 @@ def q_pdf_extract(spark, sf_dir):
             rows = []
             for doc_id, text in zip(pdf_batch["doc_id"], pdf_batch["text"]):
                 blob = pdf.make_pdf(text or "")
-                extracted, conf = html_extract.extract_tier1(blob)
-                rows.append((int(doc_id), len(blob),
-                             extracted == (text or ""), float(conf)))
-            yield pd.DataFrame(rows, columns=["doc_id", "pdf_bytes",
-                                              "roundtrip_ok", "confidence"])
+                extracted, _conf = html_extract.extract_tier1(blob)
+                rows.append((int(doc_id), extracted))
+            yield pd.DataFrame(rows, columns=["doc_id", "extracted_text"])
 
     return (_docs(spark, sf_dir).select("doc_id", "text")
-            .mapInPandas(gen, "doc_id long, pdf_bytes int, "
-                              "roundtrip_ok boolean, confidence double")
-            .orderBy("doc_id"))
+            .mapInPandas(gen, "doc_id long, extracted_text string"))
 
 
 def q_warc_source(spark, sf_dir):
-    """WARC connector round-trip: write a deterministic archive, read it
-    back through the Spark source, return per-url payload sizes."""
+    """WARC connector round-trip, oracle-checked (upgraded from the r3
+    rows-only size listing): generate 64 pages, record each page's ground
+    truth — url, byte length, and md5 of the ORIGINAL html bytes — to a
+    digest-keyed parquet side channel BEFORE any encoding, write the
+    pages into a gzipped WARC, read the archive back through the Spark
+    source, and emit (url, n_bytes, html_md5) computed from the DECODED
+    bytes.  The DuckDB twin reads the pre-encode truth rows (the
+    engine_compare side-channel pattern: path keyed by the producing
+    code's digest, regenerated in-query every run), so a hash match
+    proves the WARC write→read cycle is lossless in url association,
+    payload length, and content digest."""
+    import hashlib
     import os
     import tempfile
+
+    import pandas as pd
 
     from ocr_spark import pagegen
     from ocr_spark.sources import warc
 
+    _prune_stale_siblings(_WARC_TRUTH)
+    pages = [pagegen.page_for(i) for i in range(64)]
+    truth = pd.DataFrame(
+        [(p["url"], len(p["html"]), hashlib.md5(p["html"]).hexdigest())
+         for p in pages],
+        columns=["url", "n_bytes", "html_md5"])
+    (spark.createDataFrame(truth)
+     .withColumn("n_bytes", F.col("n_bytes").cast("int"))
+     .coalesce(1).write.mode("overwrite").parquet(_WARC_TRUTH))
     d = tempfile.mkdtemp(prefix="warc_q_")
-    warc.write_warc(os.path.join(d, "crawl-00.warc.gz"),
-                    (pagegen.page_for(i) for i in range(64)))
+    warc.write_warc(os.path.join(d, "crawl-00.warc.gz"), pages)
     return (warc.read_warc(spark, d)
-            .select("url", F.length("html").alias("n_bytes"))
-            .orderBy("url"))
+            .select("url", F.length("html").cast("int").alias("n_bytes"),
+                    F.md5("html").alias("html_md5")))
 
 
 def q_stream_vs_batch(spark, sf_dir):
@@ -1502,6 +1577,20 @@ def _compare_cells_path() -> str:
 
 
 _COMPARE_CELLS = _compare_cells_path()
+
+
+def _warc_truth_path() -> str:
+    """Digest-keyed side-channel for q_warc_source's pre-encode ground
+    truth — keyed by the page generator + WARC codec sources, so a change
+    to either mints a fresh path (same staleness rule as the compare
+    cells)."""
+    from ocr_spark import pagegen as _pg
+    from ocr_spark.sources import warc as _warc
+    return (f"/tmp/ocr_spark_warc_truth_{_getpass.getuser()}_"
+            f"{_code_digest(_pg, _warc)}")
+
+
+_WARC_TRUTH = _warc_truth_path()
 
 
 def _compare_cells(spark):
@@ -2816,6 +2905,79 @@ def oracle_sql() -> dict[str, str]:
                    true AS valid_when_correct,
                    false AS valid_when_wrong
             FROM base""",
+        # the twin predicts decode results purely from synthetic_media's
+        # id formulas (dims / sample counts / container rotation); Spark
+        # must recover the same numbers by real codec work
+        "media_features": """
+            WITH ids AS (
+              SELECT unnest(generate_series(0, 63)) AS media_id
+            )
+            SELECT media_id,
+                   CASE CAST(media_id % 3 AS INT)
+                        WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                        ELSE 'video' END AS kind,
+                   NOT (media_id % 3 = 2 AND (media_id // 3) % 3 = 2)
+                       AS decoded,
+                   CASE WHEN media_id % 3 = 0 THEN 48 + (media_id % 5) * 16
+                        WHEN media_id % 3 = 1 THEN 8000 * (1 + media_id % 5)
+                        WHEN (media_id // 3) % 3 = 0 THEN 24
+                        WHEN (media_id // 3) % 3 = 1 THEN 20
+                   END AS feat0,
+                   CASE WHEN media_id % 3 = 0 THEN 32 + (media_id % 7) * 8
+                        WHEN media_id % 3 = 1 THEN 8000
+                        WHEN (media_id // 3) % 3 = 0 THEN 16
+                        WHEN (media_id // 3) % 3 = 1 THEN 12
+                   END AS feat1
+            FROM ids""",
+        # complete expected frame timeline + per-clip decode results from
+        # the id formulas: tick count, ts, dims / samples+rate
+        "frame_sample": """
+            WITH ids AS (
+              SELECT unnest(generate_series(0, 47)) AS media_id
+            ), counts AS (
+              SELECT media_id,
+                     CASE
+                       WHEN media_id % 3 = 1 THEN 1
+                       WHEN (media_id // 3) % 3 IN (0, 1) THEN 1
+                       WHEN media_id % 30 = 0 THEN 1
+                       ELSE greatest(1, (1000 * (media_id % 30)) // 5000)
+                     END AS n
+              FROM ids WHERE media_id % 3 IN (1, 2)
+            ), ticks AS (
+              SELECT media_id,
+                     unnest(generate_series(0, CAST(n - 1 AS INT))) AS i
+              FROM counts
+            )
+            SELECT media_id, CAST(i AS INT) AS frame_idx,
+                   CAST(i * 5000 AS INT) AS ts_ms,
+                   CAST(CASE WHEN media_id % 3 = 2
+                                  AND (media_id // 3) % 3 = 0 THEN 24
+                             WHEN media_id % 3 = 2
+                                  AND (media_id // 3) % 3 = 1 THEN 20
+                        END AS INT) AS frame_w,
+                   CAST(CASE WHEN media_id % 3 = 2
+                                  AND (media_id // 3) % 3 = 0 THEN 16
+                             WHEN media_id % 3 = 2
+                                  AND (media_id // 3) % 3 = 1 THEN 12
+                        END AS INT) AS frame_h,
+                   CAST(CASE WHEN media_id % 3 = 1
+                             THEN 8000 * (1 + media_id % 5)
+                        END AS INT) AS n_samples,
+                   CAST(CASE WHEN media_id % 3 = 1 THEN 8000
+                        END AS INT) AS rate
+            FROM ticks""",
+        # the twin is the SOURCE table: equality proves the synthesize →
+        # FlateDecode → extract cycle returned every document's text
+        # byte-identically
+        "pdf_extract": """
+            SELECT doc_id, coalesce(text, '') AS extracted_text
+            FROM documents""",
+        # pre-encode ground truth staged by the Spark query itself
+        # (engine_compare side-channel pattern); equality proves the WARC
+        # write→read cycle lossless in url, length, and content digest
+        "warc_source": f"""
+            SELECT url, n_bytes, html_md5
+            FROM parquet_scan('{_WARC_TRUTH}/*.parquet')""",
         # extraction cells are materialized to parquet by the Spark query
         # itself (deterministic sample + frozen run date), so both engines
         # aggregate the identical per-row extraction outcomes
