@@ -1214,40 +1214,43 @@ def q_dedup_incremental(spark, sf_dir):
 
 
 def q_near_dedup_incremental(spark, sf_dir):
-    """Near-dup dedup of a crawl increment against compact MinHash history
-    (signatures only — no history text): history = sigs of docs < 250; the
-    batch is every doc ≥ 250 plus a planted near-dup of history doc 0 (one
-    token swapped, id 50M — must vanish via the signature-estimated
-    cross-batch check) and a planted within-batch near-dup pair (ids
-    51M/51M+1 — resolves to the min id via the exact-Jaccard path).
-    Rows-only by nature (MinHash UDF has no SQL form); the planted
-    accounting columns are the evidence."""
+    """Near-dup dedup of a crawl increment against MinHash history, now
+    ORACLE-CHECKED through the r4 exact recent tier: history = docs <
+    250 (signatures for banding + the same docs as ``recent_texts``, so
+    every cross-batch candidate is verified by EXACT shingle Jaccard —
+    full recent coverage makes the whole operator SQL-expressible).
+    Plants, all lower/trim/split/concat-expressible: cross-batch chains
+    off every 50th ≥12-token HISTORY doc (verbatim +50M at J=1, one
+    appended token +52M at J ≥ 10/11 — both must vanish against
+    history), and within-batch triangles off every 50th ≥12-token BATCH
+    doc (verbatim +53M, appended +54M — resolve to the min-id base).
+    The DuckDB twin recomputes exact all-pairs word-3-gram Jaccard ≥
+    0.85 over the identical corpus, drops batch docs with any qualifying
+    history edge, and resolves the survivors' components with the
+    recursive min-label CTE.  The signature-ESTIMATE path (older,
+    text-free history) keeps its own pytest-asserted ±0.10 error
+    envelope and its dedicated recent-vs-estimate pytest — this query's
+    claim is the exact tier + the pipeline around it."""
     docs = _docs(spark, sf_dir).select("doc_id", "text")
-    history = dedup.minhash_signatures(docs.filter(F.col("doc_id") < 250))
-    base0 = docs.filter(F.col("doc_id") == 0).select("text").first()["text"]
-    synth = ("adaptive execution rebalances skewed shuffle partitions at "
-             "runtime while columnar readers prune row groups and executor "
-             "threads stream compressed pages through vectorized kernels")
-
-    def mut(s):
-        return " ".join("spark" if i == 3 else t
-                        for i, t in enumerate(s.split()))
-
-    from ocr_spark.localrel import local_df
-    planted = local_df(spark,
-                       [(50_000_000, mut(base0)),
-                        (51_000_000, synth), (51_000_001, mut(synth))],
-                       "doc_id bigint, text string")
-    batch = docs.filter(F.col("doc_id") >= 250).unionByName(planted)
-    kept = dedup.near_dedup_incremental(batch, history, threshold=0.5)
-    return kept.agg(
-        F.count("*").alias("n_kept"),
-        F.sum((F.col("doc_id") == 50_000_000).cast("int"))
-        .alias("cross_planted_kept"),
-        F.sum((F.col("doc_id") == 51_000_000).cast("int"))
-        .alias("within_keeper_kept"),
-        F.sum((F.col("doc_id") == 51_000_001).cast("int"))
-        .alias("within_dup_kept"))
+    hist_texts = docs.filter(F.col("doc_id") < 250)
+    history = dedup.minhash_signatures(hist_texts)
+    ntok = F.size(F.split(F.lower(F.trim(F.col("text"))), r"\s+"))
+    eh = hist_texts.filter((F.col("doc_id") % 50 == 0) & (ntok >= 12))
+    eb = docs.filter((F.col("doc_id") >= 250) & (F.col("doc_id") % 50 == 0)
+                     & (ntok >= 12))
+    appended = F.concat(F.col("text"), F.lit(" zzqx")).alias("text")
+    batch = (docs.filter(F.col("doc_id") >= 250)
+             .unionByName(eh.select(
+                 (F.col("doc_id") + 50_000_000).alias("doc_id"), "text"))
+             .unionByName(eh.select(
+                 (F.col("doc_id") + 52_000_000).alias("doc_id"), appended))
+             .unionByName(eb.select(
+                 (F.col("doc_id") + 53_000_000).alias("doc_id"), "text"))
+             .unionByName(eb.select(
+                 (F.col("doc_id") + 54_000_000).alias("doc_id"), appended)))
+    kept = dedup.near_dedup_incremental(batch, history, threshold=0.85,
+                                        recent_texts=hist_texts)
+    return kept.select("doc_id")
 
 
 def q_tfidf_top_terms(spark, sf_dir):
@@ -2871,6 +2874,87 @@ def oracle_sql() -> dict[str, str]:
             SELECT c.vec_id FROM corpus c
             LEFT JOIN cc ON cc.id = c.vec_id
             WHERE cc.id IS NULL OR c.vec_id = cc.cluster_id""",
+        # incremental near-dedup twin: exact all-pairs gram Jaccard over
+        # history ∪ batch, per-row cross-batch drop (any qualifying
+        # history edge), then recursive-CTE components + min-id keeper
+        # over the surviving batch docs
+        "near_dedup_incremental": r"""
+            WITH RECURSIVE hist AS (
+              SELECT doc_id, text FROM documents WHERE doc_id < 250
+            ), eligible_h AS (
+              SELECT doc_id, text FROM hist
+              WHERE doc_id % 50 = 0
+                AND len(regexp_split_to_array(lower(trim(text)), '\s+')) >= 12
+            ), eligible_b AS (
+              SELECT doc_id, text FROM documents
+              WHERE doc_id >= 250 AND doc_id % 50 = 0
+                AND len(regexp_split_to_array(lower(trim(text)), '\s+')) >= 12
+            ), batch AS (
+              SELECT doc_id, text FROM documents WHERE doc_id >= 250
+              UNION ALL
+              SELECT doc_id + 50000000, text FROM eligible_h
+              UNION ALL
+              SELECT doc_id + 52000000, text || ' zzqx' FROM eligible_h
+              UNION ALL
+              SELECT doc_id + 53000000, text FROM eligible_b
+              UNION ALL
+              SELECT doc_id + 54000000, text || ' zzqx' FROM eligible_b
+            ), all_docs AS (
+              SELECT doc_id, text, true AS is_batch FROM batch
+              UNION ALL
+              SELECT doc_id, text, false FROM hist
+            ), toks AS (
+              SELECT doc_id, is_batch,
+                     regexp_split_to_array(lower(trim(text)), '\s+') AS t
+              FROM all_docs
+            ), grams AS (
+              SELECT doc_id, is_batch,
+                     list_distinct(list_transform(
+                         generate_series(0, greatest(len(t) - 3, 0)),
+                         i -> array_to_string(t[i+1:i+3], ' '))) AS g
+              FROM toks
+            ), sizes AS (
+              SELECT doc_id, is_batch, len(g) AS n_grams FROM grams
+            ), exploded AS (
+              SELECT doc_id, unnest(g) AS gram FROM grams
+            ), inter AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+              FROM exploded a JOIN exploded b USING (gram)
+              WHERE a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            ), jac AS (
+              SELECT id_a, id_b, sa.is_batch AS ba, sb.is_batch AS bb
+              FROM inter
+              JOIN sizes sa ON sa.doc_id = id_a
+              JOIN sizes sb ON sb.doc_id = id_b
+              WHERE round(inter * 1.0 / (sa.n_grams + sb.n_grams - inter), 6)
+                    >= 0.85
+            ), cross_dup AS (
+              SELECT id_a AS doc_id FROM jac WHERE ba AND NOT bb
+              UNION
+              SELECT id_b FROM jac WHERE bb AND NOT ba
+            ), fresh AS (
+              SELECT doc_id FROM batch
+              WHERE doc_id NOT IN (SELECT doc_id FROM cross_dup)
+            ), pairs AS (
+              SELECT id_a, id_b FROM jac
+              WHERE ba AND bb
+                AND id_a IN (SELECT doc_id FROM fresh)
+                AND id_b IN (SELECT doc_id FROM fresh)
+            ), edges AS (
+              SELECT id_a AS src, id_b AS dst FROM pairs
+              UNION ALL
+              SELECT id_b, id_a FROM pairs
+            ), reach(id, label) AS (
+              SELECT src, src FROM edges
+              UNION
+              SELECT e.src, r.label FROM edges e JOIN reach r ON r.id = e.dst
+            ), cc AS (
+              SELECT id, min(label) AS cluster_id FROM reach GROUP BY id
+            )
+            SELECT f.doc_id FROM fresh f
+            LEFT JOIN cc ON cc.id = f.doc_id
+            WHERE cc.id IS NULL OR f.doc_id = cc.cluster_id""",
         "dni_check_letter": f"""
             SELECT doc_id, {doc} AS doc_num,
                    substr('{_DNI_TABLE}',

@@ -354,18 +354,11 @@ def near_duplicates_minhash(df: DataFrame, id_col: str = "doc_id",
                                    threshold, shingle_width)
 
 
-def _verify_candidate_pairs(df: DataFrame, cands: DataFrame, id_col: str,
-                            text_col: str, threshold: float,
-                            shingle_width: int) -> DataFrame:
-    """Exact-shingle-Jaccard verification of LSH candidate ``(id_a,
-    id_b)`` pairs against the texts in *df* — the shared verify stage of
-    :func:`near_duplicates_minhash` and :func:`near_dedup_incremental`.
-    Re-reads only candidate texts; returns (id_a, id_b, jaccard ≥
-    threshold)."""
-    texts = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
-    paired = (cands
-              .join(texts.withColumnsRenamed({"id": "id_a", "text": "text_a"}), "id_a")
-              .join(texts.withColumnsRenamed({"id": "id_b", "text": "text_b"}), "id_b"))
+def _shingle_jaccard_udf(shingle_width: int):
+    """Arrow-batched exact shingle-Jaccard of two text columns — the ONE
+    exact-verify kernel, shared by :func:`_verify_candidate_pairs` and
+    :func:`near_dedup_incremental`'s recent-tier cross-batch check so the
+    two paths can never drift."""
 
     @pandas_udf(T.DoubleType())
     def _jaccard(ta: pd.Series, tb: pd.Series) -> pd.Series:
@@ -378,6 +371,22 @@ def _verify_candidate_pairs(df: DataFrame, cands: DataFrame, id_col: str,
             out.append(len(sa & sb) / union if union else 0.0)
         return pd.Series(out)
 
+    return _jaccard
+
+
+def _verify_candidate_pairs(df: DataFrame, cands: DataFrame, id_col: str,
+                            text_col: str, threshold: float,
+                            shingle_width: int) -> DataFrame:
+    """Exact-shingle-Jaccard verification of LSH candidate ``(id_a,
+    id_b)`` pairs against the texts in *df* — the shared verify stage of
+    :func:`near_duplicates_minhash` and :func:`near_dedup_incremental`.
+    Re-reads only candidate texts; returns (id_a, id_b, jaccard ≥
+    threshold)."""
+    texts = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
+    paired = (cands
+              .join(texts.withColumnsRenamed({"id": "id_a", "text": "text_a"}), "id_a")
+              .join(texts.withColumnsRenamed({"id": "id_b", "text": "text_b"}), "id_b"))
+    _jaccard = _shingle_jaccard_udf(shingle_width)
     return (paired
             .withColumn("jaccard", F.round(_jaccard("text_a", "text_b"), 6))
             .filter(F.col("jaccard") >= threshold)
@@ -695,7 +704,8 @@ def near_dedup_incremental(new_df: DataFrame, history_sigs: DataFrame,
                            id_col: str = "doc_id", text_col: str = "text",
                            k: int = 128, bands: int = 32,
                            threshold: float = 0.7,
-                           shingle_width: int = 3) -> DataFrame:
+                           shingle_width: int = 3,
+                           recent_texts: DataFrame | None = None) -> DataFrame:
     """Near-dup dedup of a new crawl increment against the admitted
     corpus's compact MinHash history AND within itself — the semantic
     analog of :func:`dedup_incremental`.
@@ -718,7 +728,18 @@ def near_dedup_incremental(new_df: DataFrame, history_sigs: DataFrame,
        estimates sit within ±0.10 of exact-constructed Jaccard at
        0.70/0.77/0.83/0.93, pairs ≥3σ from the threshold classify
        correctly, and pairs inside the ±0.10 band may flip either way —
-       the disclosed precision trade of a text-free history;
+       the disclosed precision trade of a text-free history.
+       **Opt-in exact tier**: pass ``recent_texts`` — an (``id_col``,
+       ``text_col``) frame for the newest slice of the admitted corpus
+       (e.g. the last few increments, where near-dup pressure
+       concentrates) — and candidates whose history doc is in that tier
+       are verified by EXACT shingle Jaccard (the same kernel as the
+       within-batch pass) instead of the estimate; only candidates
+       against older, text-free history keep the estimate.  Scale shape:
+       the exact tier adds one candidate-bounded equi-join against the
+       recent texts (the candidate set, not the corpus, moves), so
+       keeping ~days of text alongside the signature history buys exact
+       classification exactly where threshold-adjacent pairs live;
     4. batch rows estimated ≥ ``threshold`` against ANY history doc are
        dropped (``left_anti``);
     5. the survivors are near-deduped within the batch — candidates from
@@ -747,6 +768,26 @@ def near_dedup_incremental(new_df: DataFrame, history_sigs: DataFrame,
             .select(F.col("b.id").alias("batch_id"),
                     F.col("h.id").alias("hist_id"))
             .distinct())
+    exact_dups = None
+    if recent_texts is not None:
+        # candidate rows split by history tier: text-carrying recent docs
+        # verify exactly, everything older falls back to the estimate.
+        # Checkpoint the candidate frame — both branches consume it and
+        # it is the whole banding pipeline upstream.
+        cand = cand.localCheckpoint(eager=False)
+        recent = recent_texts.select(F.col(id_col).alias("hist_id"),
+                                     F.col(text_col).alias("hist_text"))
+        recent_ids = recent.select("hist_id")
+        bt = new_df.select(F.col(id_col).alias("batch_id"),
+                           F.col(text_col).alias("batch_text"))
+        _jaccard = _shingle_jaccard_udf(shingle_width)
+        exact_dups = (cand.join(recent_ids, "hist_id", "left_semi")
+                      .join(bt, "batch_id").join(recent, "hist_id")
+                      .withColumn("j", F.round(
+                          _jaccard("batch_text", "hist_text"), 6))
+                      .filter(F.col("j") >= threshold)
+                      .select("batch_id"))
+        cand = cand.join(recent_ids, "hist_id", "left_anti")
     est = (F.size(F.filter(F.zip_with("bsig", "hsig",
                                       lambda x, y: x == y),
                            lambda v: v))
@@ -758,7 +799,10 @@ def near_dedup_incremental(new_df: DataFrame, history_sigs: DataFrame,
                                          F.col("sig").alias("hsig")),
                      "hist_id")
                .filter(est >= F.lit(threshold))
-               .select("batch_id").distinct())
+               .select("batch_id"))
+    if exact_dups is not None:
+        dup_ids = dup_ids.unionByName(exact_dups)
+    dup_ids = dup_ids.distinct()
     fresh = new_df.join(dup_ids.withColumnRenamed("batch_id", id_col),
                         id_col, "left_anti")
     fresh_sigs = bsigs.join(dup_ids.withColumnRenamed("batch_id", "id"),

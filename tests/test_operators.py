@@ -1030,6 +1030,54 @@ def test_near_dedup_incremental_estimate_precision(spark):
     assert 103 not in kept, "J=0.932 pair (far above 0.8) must drop"
 
 
+def test_near_dedup_incremental_recent_tier_exact(spark):
+    """The r4 opt-in ``recent_texts`` tier replaces the cross-batch
+    signature ESTIMATE with exact shingle Jaccard for candidates whose
+    history doc carries text.  Same constructed pairs as the precision
+    test (exact J 0.700/0.771/0.828/0.932 vs threshold 0.8):
+
+    * full recent coverage → ALL four classify exactly, including the
+      two inside the estimate's ±0.10 band (0.771 keeps, 0.828 drops) —
+      the classifications the signature estimate cannot promise;
+    * partial coverage (only the near-threshold docs recent) → the
+      covered pairs still classify exactly while the text-free far pairs
+      classify through the estimate path, proving the two tiers compose
+      in one call.
+    """
+    g = 85
+
+    def mk(tag, c):
+        shared = [f"p{tag}{i}" for i in range(c + 2)]
+        hist = shared + [f"h{tag}{i}" for i in range(g - c)]
+        batch = shared + [f"b{tag}{i}" for i in range(g - c)]
+        return " ".join(hist), " ".join(batch)
+
+    cases = [mk("fb", 70), mk("nb", 74), mk("na", 77), mk("fa", 82)]
+    hist_rows = [(i, h) for i, (h, _b) in enumerate(cases)]
+    batch_rows = [(100 + i, b) for i, (_h, b) in enumerate(cases)]
+    hist_texts = spark.createDataFrame(hist_rows, ["doc_id", "text"])
+    history = dedup.minhash_signatures(hist_texts)
+    batch = spark.createDataFrame(batch_rows, ["doc_id", "text"])
+
+    kept = {r["doc_id"] for r in
+            dedup.near_dedup_incremental(
+                batch, history, threshold=0.8,
+                recent_texts=hist_texts).collect()}
+    assert kept == {100, 101}, \
+        f"exact tier must keep J=0.700/0.771 and drop 0.828/0.932: {kept}"
+
+    # partial coverage: near-threshold docs (1, 2) recent, far docs old
+    recent_partial = hist_texts.filter(F.col("doc_id").isin(1, 2))
+    kept2 = {r["doc_id"] for r in
+             dedup.near_dedup_incremental(
+                 batch, history, threshold=0.8,
+                 recent_texts=recent_partial).collect()}
+    assert 101 in kept2 and 102 not in kept2, \
+        "covered near-threshold pairs must classify exactly"
+    assert 100 in kept2 and 103 not in kept2, \
+        "text-free far pairs must classify via the estimate path"
+
+
 def test_near_dedup_incremental_single_signature_pass(spark, monkeypatch):
     """The batch text is shingled+hashed through Python exactly once (the
     checkpointed signature pass): the within-batch stage must derive its
