@@ -1058,6 +1058,23 @@ def q_embedding_ann_ivf(spark, sf_dir):
             # concurrent builder won the rename — its complete index wins
             shutil.rmtree(scratch, ignore_errors=True)
     centroids, assigned = similarity.ivf_load(spark, idx_path)
+    # stage the LOADED index for the DuckDB twin (oracle-checked since
+    # r4): cell assignments + centroids at a code-digest-keyed side
+    # channel, regenerated every run (engine_compare pattern).  The twin
+    # independently recomputes the probe path — nearest-3 cells by
+    # squared L2 to the staged centroids (ties to the lower cell, the
+    # argsort-stable rule), then EXACT cosine top-5 among the probed
+    # cells' members with the same fold/tie discipline as the hash-green
+    # embedding_topk oracle — so the probe selection, partition-pruned
+    # membership, ranking, and self-exclusion are all machine-checked.
+    # k-means construction itself stays pytest-bounded (recall test).
+    _prune_stale_siblings(_IVF_TRUTH)
+    (assigned.select("vec_id", "cell").coalesce(1)
+     .write.mode("overwrite").parquet(f"{_IVF_TRUTH}/cells"))
+    from ocr_spark.localrel import local_df
+    cent_rows = [(i, [float(x) for x in c]) for i, c in enumerate(centroids)]
+    (local_df(spark, cent_rows, "cell int, centroid array<double>")
+     .coalesce(1).write.mode("overwrite").parquet(f"{_IVF_TRUTH}/centroids"))
     queries = emb.filter(F.col("vec_id") < 5)
     return similarity.cosine_topk_ivf(assigned, centroids, queries, k=5, n_probe=3)
 
@@ -1580,6 +1597,19 @@ def _compare_cells_path() -> str:
 
 
 _COMPARE_CELLS = _compare_cells_path()
+
+
+def _ivf_truth_path() -> str:
+    """Code-digest-keyed side channel where q_embedding_ann_ivf stages the
+    LOADED index (cells + centroids) for its DuckDB twin.  Regenerated
+    in-query every run, so it always mirrors the index the query actually
+    probed (same single-active-revision assumption as the compare
+    cells)."""
+    return (f"/tmp/ocr_spark_ivf_truth_{_getpass.getuser()}_"
+            f"{_code_digest(similarity)}")
+
+
+_IVF_TRUTH = _ivf_truth_path()
 
 
 def _warc_truth_path() -> str:
@@ -3316,6 +3346,62 @@ def oracle_sql() -> dict[str, str]:
             SELECT query_id, CAST(rank AS INT) AS rank, vec_id,
                    round(cosine, 6) AS cosine
             FROM ranked WHERE rank <= 5""",
+        # IVF probe-path twin over the index STAGED by the query itself:
+        # nearest-3 cells by squared L2 to the staged centroids (ties →
+        # lower cell, the argsort-stable rule), exact cosine top-5 among
+        # the probed cells' members, self excluded — same fold and
+        # (cosine DESC, vec_id ASC) tie discipline as the hash-green
+        # embedding_topk oracle.  k-means construction stays
+        # pytest-bounded; this checks probe selection, membership,
+        # ranking, and pruning arithmetic.
+        "embedding_ann_ivf": """
+            WITH cents AS (
+              SELECT cell, centroid
+              FROM parquet_scan('{IVF_TRUTH}/centroids/*.parquet')
+            ), cells AS (
+              SELECT vec_id, cell
+              FROM parquet_scan('{IVF_TRUTH}/cells/*.parquet')
+            ), queries AS (
+              SELECT vec_id AS qid, embedding FROM embeddings
+              WHERE vec_id < 5
+            ), probed AS (
+              SELECT qid, cell FROM (
+                SELECT q.qid, c.cell,
+                       row_number() OVER (PARTITION BY q.qid ORDER BY
+                           list_sum(list_transform(
+                               range(1, len(c.centroid) + 1),
+                               i -> (c.centroid[i]
+                                     - CAST(q.embedding[i] AS DOUBLE))
+                                    * (c.centroid[i]
+                                       - CAST(q.embedding[i] AS DOUBLE))))
+                           ASC, c.cell ASC) AS pr
+                FROM queries q, cents c)
+              WHERE pr <= 3
+            ), scored AS (
+              SELECT m.qid AS query_id, cl.vec_id,
+                     list_sum(list_transform(range(1, len(q.embedding) + 1),
+                         i -> CAST(q.embedding[i] AS DOUBLE)
+                              * CAST(e.embedding[i] AS DOUBLE)))
+                     / (sqrt(list_sum(list_transform(q.embedding,
+                            x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                        * sqrt(list_sum(list_transform(e.embedding,
+                            x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+                         AS cosine
+              FROM probed m
+              JOIN cells cl USING (cell)
+              JOIN queries q ON q.qid = m.qid
+              JOIN embeddings e ON e.vec_id = cl.vec_id
+              WHERE cl.vec_id != m.qid
+            ), ranked AS (
+              SELECT query_id, vec_id, cosine,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY cosine DESC, vec_id ASC)
+                         AS rank
+              FROM scored)
+            SELECT query_id, CAST(rank AS INT) AS rank, vec_id,
+                   round(cosine, 6) AS cosine
+            FROM ranked WHERE rank <= 5""".replace("{IVF_TRUTH}",
+                                                   _IVF_TRUTH),
     }
     # the BLAS matmul path returns exactly the SQL top-k → same oracle
     oracles["embedding_topk_matmul"] = oracles["embedding_topk"]
