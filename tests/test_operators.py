@@ -1098,6 +1098,15 @@ def test_near_dedup_incremental_single_signature_pass(spark, monkeypatch):
     assert {r["doc_id"] for r in kept.collect()} == {11}
     assert not calls, "within-batch pass re-shingled the text"
 
+    # same invariant with the r4 exact recent tier active: its verify is
+    # the candidate-bounded jaccard kernel, never a second corpus-wide
+    # band-key (signature) pass
+    hist_texts = spark.createDataFrame([(0, BASE)], ["doc_id", "text"])
+    kept2 = dedup.near_dedup_incremental(batch, history, threshold=0.5,
+                                         recent_texts=hist_texts)
+    assert {r["doc_id"] for r in kept2.collect()} == {11}
+    assert not calls, "recent tier triggered a second signature pass"
+
 
 def test_increment_operators_partitioning_invariance(spark, docs):
     """The increment family and TF-IDF are pure functions of the data:
