@@ -2708,8 +2708,16 @@ def oracle_sql() -> dict[str, str]:
               WHERE doc_id % 25 = 0
                 AND len(regexp_split_to_array(lower(trim(text)), '\s+')) >= 12
             ), toks AS (
+              -- gramless guard (ADVICE r4): Spark's _shingles returns the
+              -- EMPTY set for blank/whitespace-only text (str.split), while
+              -- regexp_split_to_array('') yields [''] → one empty gram and
+              -- a spurious J=1.0 between two blank docs.  Docs with no
+              -- non-whitespace char build no grams and can never pair.
+              -- (Corpus assumption, both engines: tokens separated by ASCII
+              -- whitespace — Python str.split also breaks on NBSP etc.,
+              -- DuckDB's '\s' does not; the harness corpora are ASCII.)
               SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
-              FROM corpus
+              FROM corpus WHERE regexp_matches(text, '\S')
             ), grams AS (
               SELECT doc_id,
                      list_distinct(list_transform(
@@ -2821,8 +2829,10 @@ def oracle_sql() -> dict[str, str]:
               WHERE doc_id % 50 = 0
                 AND len(regexp_split_to_array(lower(trim(text)), '\s+')) >= 12
             ), toks AS (
+              -- gramless guard: blank docs build no grams (see the
+              -- minhash_near_dups twin) — they stay kept via the LEFT JOIN
               SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
-              FROM corpus
+              FROM corpus WHERE regexp_matches(text, '\S')
             ), grams AS (
               SELECT doc_id,
                      list_distinct(list_transform(
@@ -2934,9 +2944,12 @@ def oracle_sql() -> dict[str, str]:
               UNION ALL
               SELECT doc_id, text, false FROM hist
             ), toks AS (
+              -- gramless guard: blank docs build no grams (see the
+              -- minhash_near_dups twin) — blank BATCH docs still reach the
+              -- keeper output through the fresh CTE (built from batch)
               SELECT doc_id, is_batch,
                      regexp_split_to_array(lower(trim(text)), '\s+') AS t
-              FROM all_docs
+              FROM all_docs WHERE regexp_matches(text, '\S')
             ), grams AS (
               SELECT doc_id, is_batch,
                      list_distinct(list_transform(

@@ -209,6 +209,15 @@ def minhash_band_keys(df: DataFrame, id_col: str = "doc_id",
         cache: dict[str, int] = {}
         for t in text:
             sh = _shingles(t or "", shingle_width, cache)
+            if sh.size == 0:
+                # gramless (blank/whitespace-only) doc: the exact kernel
+                # defines J=0 against everything (empty union), so it can
+                # never verify at any threshold > 0 — emit no band keys.
+                # Banding it would also flood ONE bucket with every blank
+                # doc in the corpus (identical all-zero signatures), a
+                # quadratic candidate explosion at web scale.
+                out.append([])
+                continue
             sig = _minhash_from_shingles(sh, a, b, k)
             folded = (sig[:bands * rows_per_band]
                       .reshape(bands, rows_per_band) * fold[None, :]) \
@@ -243,7 +252,17 @@ def _sig_band_buckets(sigs: DataFrame, bands: int, k: int) -> DataFrame:
     band key = xxhash64 of the signature slice, salted by the band index.
     Shared by :func:`minhash_candidates` and
     :func:`near_dedup_incremental` so batch and history keys always live
-    in the same universe.  ``bands`` must already be clamped to ≤ k."""
+    in the same universe.  ``bands`` must already be clamped to ≤ k.
+
+    All-zero signatures (``_minhash_from_shingles``'s encoding of a
+    gramless document) are excluded: the exact kernel defines their
+    Jaccard as 0 against everything, so they can never verify — and in
+    :func:`near_dedup_incremental`'s signature-ESTIMATE tier two blank
+    docs would otherwise estimate J=1.0 (all positions equal) and
+    wrongly drop.  Excluding them here also keeps a corpus with many
+    blank docs from flooding one bucket per band with identical keys
+    (the quadratic self-join hazard)."""
+    sigs = sigs.filter(F.exists("sig", lambda x: x != F.lit(0)))
     rows_per_band = max(k // bands, 1)
     band_cols = [
         F.struct(F.lit(i).alias("band"),

@@ -1174,6 +1174,63 @@ def test_minhash_band_keys_bands_exceed_k(spark, docs):
     assert (0, 1) in found  # exact dup still retrieved
 
 
+def test_blank_docs_never_pair(spark):
+    """Gramless (blank/whitespace-only) docs have Jaccard 0 against
+    everything — the empty shingle set's union is empty — so they must
+    never band, pair, or drop each other (ADVICE r4: two blank docs
+    previously risked a spurious J=1.0 through the all-zero signature's
+    estimate tier, and banding them floods one bucket per band with every
+    blank doc in the corpus — a quadratic candidate explosion at web
+    scale)."""
+    rows = [(0, BASE), (1, BASE.replace("green", "purple")),
+            (2, ""), (3, "   \t\n "), (4, "")]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    # fused band-key path: blank docs emit NO keys
+    keyed = {r["id"]: r["keys"] for r in
+             dedup.minhash_band_keys(docs).collect()}
+    assert keyed[2] == [] and keyed[3] == [] and keyed[4] == []
+    assert len(keyed[0]) == 32
+
+    # signature-derived banding (the incremental path's key universe):
+    # all-zero sigs are excluded before bucketing
+    sigs = dedup.minhash_signatures(docs)
+    bucketed = {r["id"] for r in
+                dedup._sig_band_buckets(sigs, bands=32, k=128).collect()}
+    assert bucketed == {0, 1}
+
+    # end-to-end: only the real near-dup pair is found, all blanks kept
+    found = {(r["id_a"], r["id_b"]) for r in
+             dedup.near_duplicates_minhash(docs, threshold=0.5).collect()}
+    assert found == {(0, 1)}
+    kept = {r["doc_id"] for r in
+            dedup.dedup_near_minhash(docs, threshold=0.5).collect()}
+    assert kept == {0, 2, 3, 4}
+
+    # incremental: blank batch docs survive a blank-carrying history (the
+    # estimate tier would have scored all-zero vs all-zero as J=1.0) and
+    # do not drop each other within the batch; the exact recent tier
+    # agrees (its kernel defines 0/0 as J=0)
+    history = dedup.minhash_signatures(
+        spark.createDataFrame([(100, BASE), (101, "")],
+                              ["doc_id", "text"]))
+    batch = spark.createDataFrame(
+        [(10, BASE), (11, ""), (12, "  "), (13, "fresh and unrelated words "
+                                                "about something else")],
+        ["doc_id", "text"])
+    kept_inc = {r["doc_id"] for r in
+                dedup.near_dedup_incremental(batch, history,
+                                             threshold=0.5).collect()}
+    assert kept_inc == {11, 12, 13}
+    recent = spark.createDataFrame([(100, BASE), (101, "")],
+                                   ["doc_id", "text"])
+    kept_exact = {r["doc_id"] for r in
+                  dedup.near_dedup_incremental(
+                      batch, history, threshold=0.5,
+                      recent_texts=recent).collect()}
+    assert kept_exact == {11, 12, 13}
+
+
 def test_drop_repeated_lines_keeps_all_docs(spark):
     """A 100%-boilerplate doc keeps an empty clean_text instead of
     vanishing from the output."""
