@@ -5,7 +5,8 @@ Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
 prints ONE JSON line::
 
     {"metric": "...", "value": <total sec>, "unit": "sec",
-     "queries": {...per-query sec...}, "sf": 0.1, "pages_per_sec": N, ...}
+     "queries": {...per-query MEDIAN sec...}, "sf": 0.1,
+     "protocol": "warm+median-of-3", "pages_per_sec": N, ...}
 
 The headline number is the full extraction pipeline (tier-1 HTML boilerplate
 strip → doc-type route → fused parse+validate pUDFs → tier-2 fallback branch →
@@ -13,6 +14,16 @@ parquet write + lineage) over ``$SPARK_GRAFT_BENCH_PAGES`` (default 20000)
 deterministic synthetic Common-Crawl-style pages (ocr_spark.pagegen — Zipf
 host skew, every validation path exercised).  The remaining queries are the
 operator suite from ``__spark_entry__.queries()`` over the sf tables.
+
+**Drift-proof protocol (r4 VERDICT #1)**: the sandbox VM's hour-to-hour speed
+drifts ±2×, which made single-run cross-round bench deltas unattributable
+(BENCH_r04 vs r03 read 1.4× slower while a same-hour A/B proved the code
+1.74× FASTER).  Every number here is therefore a **median of
+``$SPARK_GRAFT_BENCH_REPEATS`` (default 3) timed runs after one untimed warm
+run**, per query — the same warm+median shape as ``tools/bench_scaling.py``.
+The raw per-repeat walls are emitted under ``queries_runs`` so any residual
+cross-round delta can be checked against within-run spread before being
+attributed to code.
 
 Scaling-efficiency evidence (N vs 4N cores) lives in
 ``tools/bench_scaling.py`` → ``BENCH/BASELINE.md``; this file is the
@@ -24,6 +35,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import statistics
 import sys
 import tempfile
 import time
@@ -35,6 +47,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 BENCH_PAGES = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "20000"))
+REPEATS = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
 RUN_DATE = date(2026, 8, 16)
 
 # operator-suite queries timed at the sf dir (fast, representative subset —
@@ -63,6 +76,17 @@ def _force(df) -> int:
     return df.count()
 
 
+def _median_timed(fn) -> tuple[float, list[float]]:
+    """One untimed warm call, then REPEATS timed calls → (median, runs)."""
+    fn()
+    runs = []
+    for _ in range(REPEATS):
+        t0 = time.monotonic()
+        fn()
+        runs.append(round(time.monotonic() - t0, 3))
+    return statistics.median(runs), runs
+
+
 def main() -> None:
     from ocr_spark import job, pagegen
 
@@ -72,6 +96,7 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     timings: dict[str, float] = {}
+    raw_runs: dict[str, list[float]] = {}
     extras: dict[str, object] = {}
     tmp = tempfile.mkdtemp(prefix="ocr_spark_bench_")
     try:
@@ -86,16 +111,22 @@ def main() -> None:
         job.run_pipeline(spark, f"{tmp}/warm.parquet", f"{tmp}/warm_out",
                          RUN_DATE, partitions=8)
 
-        t0 = time.monotonic()
-        summary = job.run_pipeline(
-            spark, pages_path, f"{tmp}/out", RUN_DATE,
-            partitions=max(CPUS * 2, 64), mode="standard")
-        dt = time.monotonic() - t0
-        timings["extract_pipeline"] = round(dt, 3)
-        extras["pages_per_sec"] = round(BENCH_PAGES / dt, 1)
+        digests: list[str] = []
+
+        def _pipeline():
+            s = job.run_pipeline(spark, pages_path, f"{tmp}/out", RUN_DATE,
+                                 partitions=max(CPUS * 2, 64), mode="standard")
+            digests.append(s["digest"])
+            extras["tier2_count"] = s["tier2_count"]
+
+        med, runs = _median_timed(_pipeline)
+        timings["extract_pipeline"] = round(med, 3)
+        raw_runs["extract_pipeline"] = runs
+        extras["pages_per_sec"] = round(BENCH_PAGES / med, 1)
         extras["bench_pages"] = BENCH_PAGES
-        extras["pipeline_digest"] = summary["digest"]
-        extras["tier2_count"] = summary["tier2_count"]
+        if len(set(digests)) != 1:  # determinism cross-check, free here
+            raise AssertionError(f"pipeline digest drift across repeats: {digests}")
+        extras["pipeline_digest"] = digests[0]
 
         # --- operator suite at the sf dir ------------------------------------
         import __spark_entry__ as entrymod
@@ -113,9 +144,9 @@ def main() -> None:
         _force(qs["embedding_ann_ivf"](spark, SF_DIR))
         extras["ivf_build_save_s"] = round(time.monotonic() - t0, 3)
         for name in SUITE:
-            t0 = time.monotonic()
-            _force(qs[name](spark, SF_DIR))
-            timings[name] = round(time.monotonic() - t0, 3)
+            med, runs = _median_timed(lambda: _force(qs[name](spark, SF_DIR)))
+            timings[name] = round(med, 3)
+            raw_runs[name] = runs
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
         spark.stop()
@@ -128,6 +159,8 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
         "cpus": CPUS,
+        "protocol": f"warm+median-of-{REPEATS}",
+        "queries_runs": raw_runs,
         **extras,
     }))
 
