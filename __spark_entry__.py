@@ -1331,21 +1331,48 @@ def q_corpus_curate(spark, sf_dir):
     return curate_mod.curate(corpus, bench=bench, budget_tokens=2000)
 
 
+def _canon_json(df, key_col: str, key_alias: str = "key"):
+    """(key, j) — every non-key column folded into ONE canonical JSON
+    string (columns in sorted-name order, so physical column order —
+    e.g. a hive partition column surfacing last — can't fake a diff)."""
+    cols = sorted(c for c in df.columns if c != key_col)
+    return df.select(F.col(key_col).cast("string").alias(key_alias),
+                     F.to_json(F.struct(*[F.col(c) for c in cols]))
+                     .alias("j"))
+
+
+def _full_outer_json_diff(a, b, stage: str):
+    """Disagreement rows between two ``(key, j)`` frames: rows missing on
+    either side or with unequal payload JSON.  The shared diff kernel of
+    the ``stream_vs_batch`` / ``pipeline_curate`` empty-diff oracles —
+    its ability to FIRE is pinned by
+    ``tests/test_entry.py::test_json_diff_detects_divergence``."""
+    return (a.withColumnRenamed("j", "a_json")
+            .join(b.withColumnRenamed("j", "b_json"), "key", "full_outer")
+            .filter(F.col("a_json").isNull() | F.col("b_json").isNull()
+                    | (F.col("a_json") != F.col("b_json")))
+            .select(F.lit(stage).alias("stage"), "key", "a_json", "b_json"))
+
+
 def q_pipeline_curate(spark, sf_dir):
     """Capstone COMPOSITION — the literal 100 TB story as one job
-    (VERDICT r3 Next-round #8): deterministic Common-Crawl-style pages →
+    (VERDICT r3 Next-round #8), upgraded to an EMPTY-DIFF oracle
+    (VERDICT r4 Next-round #2): deterministic Common-Crawl-style pages →
     the full extraction pipeline (admission → url-hash repartition →
     fused dual-tier extract/route/parse/validate → doc_type-partitioned
     sink + per-partition lineage) → the curation chain over the
     EXTRACTED text (quality → repetition → lang gate → exact dedup →
-    PII scrub → 2000-token sharding).  Returns per-(keep, drop_reason)
-    accounting with two digests on every row: the extraction run's
-    XOR-of-xxhash64 output digest and an order-independent
-    XOR-of-xxhash64 digest over every curation verdict row — rows-only
-    by nature (extraction has no SQL form; the curation chain alone is
-    oracle-checked by ``corpus_curate``), deterministic at any
-    parallelism (pagegen is per-id deterministic, doc ids are
-    xxhash64(url), digests XOR-fold)."""
+    PII scrub → 2000-token sharding), run TWICE at deliberately
+    different physical layouts (partitions=8/salt=0 vs partitions=3/
+    salt=2 — different shuffle fan-out, different url-hash salting) on
+    the identical input.  Emitted rows are per-row DISAGREEMENTS between
+    the two runs — full extraction output per url, full curation verdict
+    per doc — so the DuckDB oracle is the empty relation and the
+    docstring claim the old rollup could only assert via digests
+    ("deterministic at any parallelism") is now driver-witnessed
+    per row.  The curation chain's VALUES are oracle-checked by
+    ``corpus_curate``; the positive control for this diff machinery is
+    ``tests/test_entry.py::test_json_diff_detects_divergence``."""
     import shutil
     import tempfile
 
@@ -1354,33 +1381,29 @@ def q_pipeline_curate(spark, sf_dir):
     wd = tempfile.mkdtemp(prefix="pipecur_")
     try:
         pages = pagegen.generate_df(spark, 480, partitions=8)
-        summary = job.run_pipeline(spark, "", f"{wd}/out", RUN_DATE,
-                                   partitions=8, input_df=pages,
-                                   canonicalize_urls=True)
-        data = spark.read.parquet(f"{wd}/out/data")
-        corpus = data.select(
-            F.xxhash64("url").alias("doc_id"),
-            F.coalesce(F.col("extracted_text"), F.lit("")).alias("text"))
-        verdicts = curate_mod.curate(corpus, budget_tokens=2000)
-        vdigest = verdicts.agg(F.bit_xor(F.xxhash64(
-            F.concat_ws("\x1f", F.col("doc_id"),
-                        F.col("keep").cast("string"),
-                        F.coalesce(F.col("drop_reason"), F.lit("-")),
-                        F.coalesce(F.col("n_tokens").cast("string"),
-                                   F.lit("-")),
-                        F.coalesce(F.col("shard_id").cast("string"),
-                                   F.lit("-")),
-                        F.coalesce(F.col("scrubbed_md5"), F.lit("-")))))
-            .alias("d")).first()["d"]
-        rollup = (verdicts.groupBy("keep", "drop_reason")
-                  .agg(F.count("*").alias("n_docs"),
-                       F.coalesce(F.sum("n_tokens"), F.lit(0))
-                       .alias("sum_tokens"))
-                  .withColumn("extract_digest", F.lit(summary["digest"]))
-                  .withColumn("curate_digest", F.lit(vdigest))
-                  .orderBy("keep", "drop_reason"))
+        for tag, parts, salt in (("a", 8, 0), ("b", 3, 2)):
+            job.run_pipeline(spark, "", f"{wd}/{tag}", RUN_DATE,
+                             partitions=parts, salt=salt, input_df=pages,
+                             canonicalize_urls=True)
+
+        def extracted(tag):
+            return _canon_json(spark.read.parquet(f"{wd}/{tag}/data"), "url")
+
+        def verdicts(tag):
+            data = spark.read.parquet(f"{wd}/{tag}/data")
+            corpus = data.select(
+                F.xxhash64("url").alias("doc_id"),
+                F.coalesce(F.col("extracted_text"), F.lit("")).alias("text"))
+            return _canon_json(
+                curate_mod.curate(corpus, budget_tokens=2000), "doc_id")
+
+        diff = (_full_outer_json_diff(extracted("a"), extracted("b"),
+                                      "extract")
+                .unionByName(_full_outer_json_diff(verdicts("a"),
+                                                   verdicts("b"), "curate"))
+                .orderBy("stage", "key"))
         # materialize BEFORE the tmp dir vanishes (same idiom as entry())
-        return spark.createDataFrame(rollup.toPandas(), rollup.schema)
+        return spark.createDataFrame(diff.toPandas(), diff.schema)
     finally:
         shutil.rmtree(wd, ignore_errors=True)
 
@@ -1485,14 +1508,22 @@ def q_warc_source(spark, sf_dir):
 
 
 def q_stream_vs_batch(spark, sf_dir):
-    """Structured Streaming ingest equivalence: run the dual-tier pipeline
-    both as an availableNow stream (foreachBatch + checkpoint) and as a
-    batch job on the same 60 generated pages; return the per-doc_type counts
-    plus digest equality (rows-only)."""
+    """Structured Streaming ingest equivalence as an EMPTY-DIFF oracle
+    (VERDICT r4 Next-round #2): run the dual-tier pipeline both as an
+    availableNow stream (foreachBatch + checkpoint) and as a batch job
+    on the same 60 generated pages, then emit the per-url DISAGREEMENT
+    rows between the two outputs (full row payload as canonical JSON,
+    the stream's extra ``batch_id`` hive column dropped first).  The
+    DuckDB oracle is the empty relation — a stronger witness than the
+    old per-doc_type rollup's digest-equality flag, and driver-visible:
+    any plumbing divergence (micro-batch boundary effects, replay
+    non-idempotence, checkpoint schema drift) becomes a row/hash
+    mismatch.  Positive control for the diff kernel:
+    ``tests/test_entry.py::test_json_diff_detects_divergence``."""
     import shutil
     import tempfile
 
-    from ocr_spark import job, lineage, pagegen, streaming
+    from ocr_spark import job, pagegen, streaming
 
     wd = tempfile.mkdtemp(prefix="stream_q_")
     try:
@@ -1500,17 +1531,15 @@ def q_stream_vs_batch(spark, sf_dir):
             .write.mode("overwrite").parquet(f"{wd}/in")
         streaming.run_streaming_pipeline(spark, f"{wd}/in", f"{wd}/s",
                                          RUN_DATE, partitions=2)
-        batch = job.run_pipeline(spark, f"{wd}/in", f"{wd}/b", RUN_DATE,
-                                 partitions=2)
-        written = spark.read.parquet(f"{wd}/s/data")
-        sdig = lineage.global_summary(written, "q", 0).collect()[0]["digest"]
-        rows = (written.groupBy("doc_type")
-                .agg(F.count("*").alias("n_docs"),
-                     F.sum(F.col("valido").cast("int")).alias("n_valido"))
-                .withColumn("digests_equal", F.lit(sdig == batch["digest"]))
-                .orderBy("doc_type"))
+        job.run_pipeline(spark, f"{wd}/in", f"{wd}/b", RUN_DATE,
+                         partitions=2)
+        stream = _canon_json(
+            spark.read.parquet(f"{wd}/s/data").drop("batch_id"), "url")
+        batch = _canon_json(spark.read.parquet(f"{wd}/b/data"), "url")
+        diff = (_full_outer_json_diff(stream, batch, "stream_vs_batch")
+                .orderBy("key"))
         # Arrow local relation (see entry()) — materialized before cleanup
-        return spark.createDataFrame(rows.toPandas(), rows.schema)
+        return spark.createDataFrame(diff.toPandas(), diff.schema)
     finally:
         shutil.rmtree(wd, ignore_errors=True)
 
@@ -3181,6 +3210,23 @@ def oracle_sql() -> dict[str, str]:
                    CAST(NULL AS VARCHAR) AS doc_type,
                    CAST(NULL AS VARCHAR) AS fused_json,
                    CAST(NULL AS VARCHAR) AS indep_json
+            FROM documents WHERE false""",
+        # same empty-relation pattern: the Spark side emits only per-url
+        # disagreement rows between the streaming and batch runs of the
+        # identical input (stream_vs_batch) / between two runs of the
+        # extraction→curation capstone at different physical layouts
+        # (pipeline_curate) — equivalence holds iff the diff is empty
+        "stream_vs_batch": """
+            SELECT CAST(NULL AS VARCHAR) AS stage,
+                   CAST(NULL AS VARCHAR) AS key,
+                   CAST(NULL AS VARCHAR) AS a_json,
+                   CAST(NULL AS VARCHAR) AS b_json
+            FROM documents WHERE false""",
+        "pipeline_curate": """
+            SELECT CAST(NULL AS VARCHAR) AS stage,
+                   CAST(NULL AS VARCHAR) AS key,
+                   CAST(NULL AS VARCHAR) AS a_json,
+                   CAST(NULL AS VARCHAR) AS b_json
             FROM documents WHERE false""",
         "doc_type_router": """
             SELECT doc_id,

@@ -82,6 +82,51 @@ def test_extract_parity_detects_divergence(spark):
     assert cmp.count() > 0, "to_json comparison failed to flag divergence"
 
 
+def test_json_diff_detects_divergence(spark):
+    """Positive control for the stream_vs_batch / pipeline_curate
+    empty-diff oracles: the shared _canon_json + _full_outer_json_diff
+    kernel must FIRE on every divergence class — a changed value, a row
+    missing on one side, a row missing on the other — and must NOT fire
+    on frames that differ only in physical column order (canonical JSON
+    sorts columns by name)."""
+    a = spark.createDataFrame(
+        [("u1", 1, "x"), ("u2", 2, "y"), ("u3", 3, "z")],
+        ["url", "n", "t"])
+    b = spark.createDataFrame(
+        [("u1", 1, "x"), ("u2", 99, "y"), ("u4", 4, "w")],
+        ["url", "n", "t"])
+    diff = {r["key"]: (r["a_json"], r["b_json"]) for r in
+            entrymod._full_outer_json_diff(
+                entrymod._canon_json(a, "url"),
+                entrymod._canon_json(b, "url"), "s").collect()}
+    assert set(diff) == {"u2", "u3", "u4"}
+    assert diff["u2"][0] != diff["u2"][1]          # changed value
+    assert diff["u3"][1] is None                   # missing in b
+    assert diff["u4"][0] is None                   # missing in a
+
+    # column-order immunity: same data, reordered physical columns
+    b_reordered = a.select("t", "url", "n")
+    assert entrymod._full_outer_json_diff(
+        entrymod._canon_json(a, "url"),
+        entrymod._canon_json(b_reordered, "url"), "s").count() == 0
+
+
+def test_stream_vs_batch_diff_empty(spark):
+    """The registered stream_vs_batch query must return the empty diff
+    (its oracle is the empty relation) — streaming and batch produce
+    byte-identical rows per url on the same input."""
+    assert entrymod.q_stream_vs_batch(spark, "/root/testdata/sf0.001") \
+        .count() == 0
+
+
+def test_pipeline_curate_diff_empty(spark):
+    """The registered pipeline_curate query must return the empty diff:
+    the extraction→curation capstone is row-identical across different
+    partition counts and url-hash salts on the same input."""
+    assert entrymod.q_pipeline_curate(spark, "/root/testdata/sf0.001") \
+        .count() == 0
+
+
 def test_ivf_artifact_hygiene(spark):
     """The digest-keyed IVF artifact dir must be concurrency- and
     crash-safe (review-found classes): (1) sibling pruning may NEVER
