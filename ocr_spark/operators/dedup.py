@@ -832,6 +832,69 @@ def near_dedup_incremental(new_df: DataFrame, history_sigs: DataFrame,
     return _keep_cluster_minima(fresh, pairs, id_col)
 
 
+def fold_history(kept: DataFrame,
+                 prev_sigs: DataFrame | None,
+                 prev_recent: DataFrame | None,
+                 run_date,
+                 ttl_days: int = 7,
+                 id_col: str = "doc_id", text_col: str = "text",
+                 k: int = 128,
+                 shingle_width: int = 3) -> tuple[DataFrame, DataFrame]:
+    """Retention bookkeeping between :func:`near_dedup_incremental` runs
+    (VERDICT r4 Next-round #5): fold today's admitted docs forward and age
+    text out of the exact-verify recent tier.
+
+    Inputs: ``kept`` — the survivors :func:`near_dedup_incremental`
+    returned today (rows of the original batch); ``prev_sigs`` — the
+    signature history the run consumed (``None`` on day one); and
+    ``prev_recent`` — the text-carrying recent tier, an (``id_col``,
+    ``text_col``, ``admitted_on`` date) frame (``None`` on day one).
+    ``run_date`` is the increment's date — always explicit, never wall
+    clock, so replaying an increment is deterministic.
+
+    Returns ``(sigs, recent)`` for tomorrow's run:
+
+    * ``sigs`` = ``prev_sigs`` ∪ today's signatures — signatures are
+      forever (the permanent ~1 KB/doc near-dup memory);
+    * ``recent`` = rows of ``prev_recent`` admitted within ``ttl_days``
+      of ``run_date`` (exclusive lower bound: a doc admitted exactly
+      ``ttl_days`` ago ages out today) ∪ today's texts stamped
+      ``admitted_on = run_date``.  Pass ``recent.drop("admitted_on")``
+      as the next run's ``recent_texts``.
+
+    Today's texts are shingled+hashed here (one Arrow pass over the
+    ADMITTED subset — the operator's own pass over the full batch is
+    not reusable because its checkpointed frame dies with the run; at
+    a typical admit rate this re-pass is a fraction of the increment
+    cost and happens once per day).  Write both outputs to tables and
+    read them back before the next increment: ``sigs`` feeds TWO joins
+    there (:func:`near_dedup_incremental` docstring).
+
+    Scale shape: ``sigs`` growth is the admitted corpus × k longs;
+    ``recent`` is bounded by ``ttl_days`` × daily admits of raw text —
+    the knob that trades exact-verify coverage (threshold-adjacent
+    precision where near-dup pressure concentrates, i.e. the newest
+    crawls) against storage.  Both unions are metadata-only; the age
+    filter is partition-prunable when ``recent`` is stored partitioned
+    by ``admitted_on``.
+    """
+    from datetime import timedelta
+
+    new_sigs = minhash_signatures(kept, id_col, text_col, k, shingle_width)
+    sigs = (prev_sigs.select("id", "sig").unionByName(new_sigs)
+            if prev_sigs is not None else new_sigs)
+    today = kept.select(
+        F.col(id_col), F.col(text_col),
+        F.lit(run_date).cast("date").alias("admitted_on"))
+    if prev_recent is not None:
+        cutoff = run_date - timedelta(days=ttl_days)
+        survivors = prev_recent.filter(F.col("admitted_on") > F.lit(cutoff))
+        recent = survivors.unionByName(today)
+    else:
+        recent = today
+    return sigs, recent
+
+
 # ---------------------------------------------------------------------------
 # exact substring dedup (duplicated k-token spans, keep-first)
 # ---------------------------------------------------------------------------
