@@ -1684,72 +1684,16 @@ def q_engine_latency(spark, sf_dir):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's CORRECTNESS snapshot checks only the first
-    # 50 entries.  Round-4 rotation (VERDICT.md r3 "Next round" #1): the 22
-    # queries that never had a driver row in r01–r03 come FIRST, followed by
-    # three headline canaries and the round-4 additions; everything with an
-    # existing green driver row rotates to the back.  CORRECTNESS_r04 ∪
-    # CORRECTNESS_r03 then covers every registered query.
+    # 50 entries.  Round-5 rotation (VERDICT.md r4 "Next round" #8): the 25
+    # queries behind r04's cap (all green in r03) come FIRST so the newest
+    # round dominates, then the five queries whose code or oracle twin
+    # changed this round (the gramless-doc MinHash fix and the empty-diff
+    # upgrades), the three headline canaries, and r04-green rows kept warm.
+    # The 24 rows behind this cap are all green in CORRECTNESS_r04, so
+    # r05 ∪ r04 covers every registered query with the newest round
+    # dominating (r05∪r04∪r03 trivially so).
     return {
-        # -- never driver-checked before round 4 (22) -----------------------
-        "embedding_norms": q_embedding_norms,
-        "embedding_topk": q_embedding_topk,
-        "embedding_topk_matmul": q_embedding_topk_matmul,
-        "embedding_ann_ivf": q_embedding_ann_ivf,
-        "media_features": q_media_features,
-        "frame_sample": q_frame_sample,
-        "engine_compare": q_engine_compare,
-        "engine_recommend": q_engine_recommend,
-        "engine_latency": q_engine_latency,
-        "stream_vs_batch": q_stream_vs_batch,
-        "warc_source": q_warc_source,
-        "pdf_extract": q_pdf_extract,
-        "dedup_keep_first": q_dedup_keep_first,
-        "unit_conversions": q_unit_conversions,
-        "dedup_incremental": q_dedup_incremental,
-        "near_dedup_incremental": q_near_dedup_incremental,
-        "tfidf_top_terms": q_tfidf_top_terms,
-        "decontaminate": q_decontaminate,
-        "repetition_features": q_repetition_features,
-        "token_shards": q_token_shards,
-        "pack_sequences": q_pack_sequences,
-        "corpus_curate": q_corpus_curate,
-        # -- canaries (headline oracles kept in every snapshot) -------------
-        "token_count": q_token_count,
-        "dni_check_letter": q_dni_check_letter,
-        "tpch_q1": q_tpch_q1,
-        # -- round-4: LSH retrieval upgraded rows-only → oracle-checked -----
-        "minhash_near_dups": q_minhash_near_dups,
-        "simhash_near_dups": q_simhash_near_dups,
-        "embedding_near_dups": q_embedding_near_dups,
-        # -- round-4 new queries ---------------------------------------------
-        "extract_parity": q_extract_parity,
-        "pipeline_curate": q_pipeline_curate,
-        # -- round-4: keeper queries upgraded rows-only → oracle-checked
-        #    (exact all-pairs twin + recursive-CTE connected components) ----
-        "minhash_dedup_keep": q_minhash_dedup_keep,
-        "embedding_dedup_keep": q_embedding_dedup_keep,
-        # -- remaining first-50 slots: r3-green rows kept warm --------------
-        "token_count_bpe": q_token_count_bpe,
-        "token_frequencies": q_token_frequencies,
-        "stratified_sample": q_stratified_sample,
-        "temperature_mix": q_temperature_mix,
-        "language_id": q_language_id,
-        "language_id_model": q_language_id_model,
-        "quality_features": q_quality_features,
-        "fingerprint": q_fingerprint,
-        "winnow_fingerprints": q_winnow_fingerprints,
-        "exact_duplicates": q_exact_duplicates,
-        "dedup_substrings": q_dedup_substrings,
-        "corpus_clean": q_corpus_clean,
-        "canonical_urls": q_canonical_urls,
-        "meta_directives": q_meta_directives,
-        "url_blocklist": q_url_blocklist,
-        "host_cap": q_host_cap,
-        "host_profile": q_host_profile,
-        # -------------------- driver snapshot cap (50) ---------------------
-        # (surprisal / quality_classifier rotate behind the cap to make
-        # room for the upgraded keeper oracles — both have green r03 rows,
-        # so CORRECTNESS_r04 ∪ CORRECTNESS_r03 still covers every query)
+        # -- rotated out of r04's 50-slot window (25, green in r03) ------
         "surprisal": q_surprisal,
         "quality_classifier": q_quality_classifier,
         "corpus_stats": q_corpus_stats,
@@ -1775,6 +1719,60 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "latest_event": q_latest_event,
         "events_range_pairs": q_events_range_pairs,
         "events_sessionize": q_events_sessionize,
+        # -- round-5 changed code or twin: re-witness (5) --------------------
+        "minhash_near_dups": q_minhash_near_dups,
+        "minhash_dedup_keep": q_minhash_dedup_keep,
+        "near_dedup_incremental": q_near_dedup_incremental,
+        "stream_vs_batch": q_stream_vs_batch,
+        "pipeline_curate": q_pipeline_curate,
+        # -- canaries (headline oracles kept in every snapshot) -------------
+        "token_count": q_token_count,
+        "dni_check_letter": q_dni_check_letter,
+        "tpch_q1": q_tpch_q1,
+        # -- r04-green rows kept warm (17) -----------------------------------
+        "simhash_near_dups": q_simhash_near_dups,
+        "embedding_near_dups": q_embedding_near_dups,
+        "embedding_dedup_keep": q_embedding_dedup_keep,
+        "dedup_incremental": q_dedup_incremental,
+        "exact_duplicates": q_exact_duplicates,
+        "dedup_keep_first": q_dedup_keep_first,
+        "dedup_substrings": q_dedup_substrings,
+        "embedding_ann_ivf": q_embedding_ann_ivf,
+        "embedding_topk": q_embedding_topk,
+        "embedding_topk_matmul": q_embedding_topk_matmul,
+        "corpus_curate": q_corpus_curate,
+        "extract_parity": q_extract_parity,
+        "tfidf_top_terms": q_tfidf_top_terms,
+        "decontaminate": q_decontaminate,
+        "token_shards": q_token_shards,
+        "pack_sequences": q_pack_sequences,
+        "warc_source": q_warc_source,
+        # -------------------- driver snapshot cap (50) ---------------------
+        # (everything below is green in CORRECTNESS_r04)
+        "embedding_norms": q_embedding_norms,
+        "media_features": q_media_features,
+        "frame_sample": q_frame_sample,
+        "engine_compare": q_engine_compare,
+        "engine_recommend": q_engine_recommend,
+        "engine_latency": q_engine_latency,
+        "pdf_extract": q_pdf_extract,
+        "unit_conversions": q_unit_conversions,
+        "repetition_features": q_repetition_features,
+        "token_count_bpe": q_token_count_bpe,
+        "token_frequencies": q_token_frequencies,
+        "stratified_sample": q_stratified_sample,
+        "temperature_mix": q_temperature_mix,
+        "language_id": q_language_id,
+        "language_id_model": q_language_id_model,
+        "quality_features": q_quality_features,
+        "fingerprint": q_fingerprint,
+        "winnow_fingerprints": q_winnow_fingerprints,
+        "corpus_clean": q_corpus_clean,
+        "canonical_urls": q_canonical_urls,
+        "meta_directives": q_meta_directives,
+        "url_blocklist": q_url_blocklist,
+        "host_cap": q_host_cap,
+        "host_profile": q_host_profile,
     }
 
 
