@@ -64,7 +64,8 @@ def skewed_pages(spark, rows: int, hot_pct: int, partitions: int):
             .mapInPandas(gen, schema=PAGES_SCHEMA))
 
 
-def run_once(spark, pages_path: str, out: str, partitions: int, salt: int) -> dict:
+def run_once(spark, pages_path: str, out: str, partitions: int, salt: int,
+             curate_chain: bool = True) -> dict:
     from pyspark.sql import functions as F
 
     from ocr_spark import job
@@ -79,7 +80,7 @@ def run_once(spark, pages_path: str, out: str, partitions: int, salt: int) -> di
     walls = sorted(r["wall_ms"] for r in lineage)
     counts = sorted(r["input_count"] for r in lineage)
     med_wall = statistics.median(walls) or 1
-    return {
+    result = {
         "salt": salt,
         "digest": summary["digest"],
         "wall_s": round(wall_s, 2),
@@ -90,6 +91,26 @@ def run_once(spark, pages_path: str, out: str, partitions: int, salt: int) -> di
         "median_partition_wall_ms": med_wall,
         "straggler_ratio": round(walls[-1] / med_wall, 3),
     }
+    if curate_chain:
+        # the 100-TB story continues past extraction: run the curation
+        # chain over this salted run's output.  doc identity must include
+        # warc_ts — the flood makes url itself non-unique by design — so
+        # the chain's digest stays salt-invariant (placement never changes
+        # an output byte, end to end)
+        from ocr_spark import curate
+
+        t1 = time.monotonic()
+        (spark.read.parquet(f"{out}/data")
+         .select(F.xxhash64("url", "warc_ts").alias("doc_id"),
+                 F.coalesce(F.col("extracted_text"), F.lit(""))
+                 .alias("text"))
+         .write.mode("overwrite").parquet(f"{out}/docs"))
+        cu = curate.run_curation(spark, f"{out}/docs", f"{out}/curated",
+                                 partitions=partitions)
+        result["curate_wall_s"] = round(time.monotonic() - t1, 2)
+        result["curate_digest"] = cu["digest"]
+        result["curate_kept"] = cu["kept_count"]
+    return result
 
 
 def main() -> None:
@@ -98,6 +119,8 @@ def main() -> None:
     ap.add_argument("--partitions", type=int, default=32)
     ap.add_argument("--hot-pct", type=int, default=30)
     ap.add_argument("--out", default=str(REPO / "BENCH_skew.json"))
+    ap.add_argument("--no-curate", action="store_true",
+                    help="skip the attached curation chain (round-2 shape)")
     args = ap.parse_args()
 
     import shutil
@@ -114,9 +137,12 @@ def main() -> None:
         skewed_pages(spark, args.pages, args.hot_pct, args.partitions) \
             .write.mode("overwrite").parquet(pages_path)
         # warmup (JIT + Python worker pool) so neither measured run pays it
-        run_once(spark, pages_path, f"{wd}/warm", args.partitions, 0)
+        run_once(spark, pages_path, f"{wd}/warm", args.partitions, 0,
+                 curate_chain=not args.no_curate)
         results = [run_once(spark, pages_path, f"{wd}/salt{s}",
-                            args.partitions, s) for s in (0, 8)]
+                            args.partitions, s,
+                            curate_chain=not args.no_curate)
+                   for s in (0, 8)]
         blob = {
             "bench": "skew_salt",
             "pages": args.pages,
@@ -129,6 +155,9 @@ def main() -> None:
                 round(results[0]["straggler_ratio"]
                       / results[1]["straggler_ratio"], 2),
         }
+        if not args.no_curate:
+            blob["curate_digests_identical"] = (
+                results[0]["curate_digest"] == results[1]["curate_digest"])
         Path(args.out).write_text(json.dumps(blob, indent=2) + "\n")
         print(json.dumps(blob, indent=2))
         print("\n| salt | max rows/part | straggler ratio (wall) | job wall s |")
