@@ -1270,6 +1270,41 @@ def q_near_dedup_incremental(spark, sf_dir):
     return kept.select("doc_id")
 
 
+def q_near_dedup_fold(spark, sf_dir):
+    """Retention bookkeeping of the daily near-dedup loop
+    (``dedup.fold_history``, round-5 VERDICT #5), driver-witnessed:
+    three simulated increments (admitted 2026-08-01 / -08-10 / -08-16,
+    doc_id ranges [0,150) / [150,300) / [300,400)) folded forward with
+    ``ttl_days=7``.  After the third fold the signature history must
+    hold ALL admitted docs forever, while the text-carrying recent tier
+    must hold exactly the docs admitted within 7 days of the last run —
+    day 1 aged out (2026-08-01 ≤ cutoff 2026-08-09), days 2 and 3
+    retained with their admission stamps.  The oracle recomputes the
+    retention facts from the deterministic day→range rule; signature
+    VALUES are witnessed by ``near_dedup_incremental``'s exact-tier
+    oracle, which consumes the same ``minhash_signatures``."""
+    from datetime import date as _date
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    increments = [
+        (_date(2026, 8, 1), docs.filter(F.col("doc_id") < 150)),
+        (_date(2026, 8, 10), docs.filter((F.col("doc_id") >= 150)
+                                         & (F.col("doc_id") < 300))),
+        (_date(2026, 8, 16), docs.filter((F.col("doc_id") >= 300)
+                                         & (F.col("doc_id") < 400))),
+    ]
+    sigs = recent = None
+    for run_date, kept in increments:
+        sigs, recent = dedup.fold_history(kept, sigs, recent, run_date,
+                                          ttl_days=7)
+    return (sigs.select(F.col("id").alias("doc_id"), F.lit(True).alias("in_sigs"))
+            .join(recent.select("doc_id", "admitted_on"), "doc_id", "left")
+            .select("doc_id", "in_sigs",
+                    F.col("admitted_on").isNotNull().alias("in_recent"),
+                    F.coalesce(F.col("admitted_on").cast("string"),
+                               F.lit("")).alias("admitted_on")))
+
+
 def q_tfidf_top_terms(spark, sf_dir):
     """Per-document top-3 TF-IDF terms with floor-scaled integer scores
     (bit-stable ranking across engines)."""
@@ -1719,10 +1754,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "latest_event": q_latest_event,
         "events_range_pairs": q_events_range_pairs,
         "events_sessionize": q_events_sessionize,
-        # -- round-5 changed code or twin: re-witness (5) --------------------
+        # -- round-5 changed code or twin: re-witness (5) + new query (1) ----
         "minhash_near_dups": q_minhash_near_dups,
         "minhash_dedup_keep": q_minhash_dedup_keep,
         "near_dedup_incremental": q_near_dedup_incremental,
+        "near_dedup_fold": q_near_dedup_fold,
         "stream_vs_batch": q_stream_vs_batch,
         "pipeline_curate": q_pipeline_curate,
         # -- canaries (headline oracles kept in every snapshot) -------------
@@ -1746,9 +1782,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "token_shards": q_token_shards,
         "pack_sequences": q_pack_sequences,
-        "warc_source": q_warc_source,
         # -------------------- driver snapshot cap (50) ---------------------
-        # (everything below is green in CORRECTNESS_r04)
+        # (everything below is green in CORRECTNESS_r04; warc_source
+        # rotated behind the cap to make room for near_dedup_fold)
+        "warc_source": q_warc_source,
         "embedding_norms": q_embedding_norms,
         "media_features": q_media_features,
         "frame_sample": q_frame_sample,
@@ -3025,6 +3062,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT f.doc_id FROM fresh f
             LEFT JOIN cc ON cc.id = f.doc_id
             WHERE cc.id IS NULL OR f.doc_id = cc.cluster_id""",
+        # fold_history retention facts from the deterministic day→range
+        # rule: increments admitted 2026-08-01/[0,150), 2026-08-10/
+        # [150,300), 2026-08-16/[300,400), ttl_days=7 → signatures keep
+        # every admitted doc forever; the recent tier keeps only docs
+        # admitted after the final cutoff 2026-08-09 (day 1 aged out,
+        # days 2-3 retained with their stamps)
+        "near_dedup_fold": r"""
+            SELECT doc_id,
+                   TRUE AS in_sigs,
+                   doc_id >= 150 AS in_recent,
+                   CASE WHEN doc_id < 150 THEN ''
+                        WHEN doc_id < 300 THEN '2026-08-10'
+                        ELSE '2026-08-16' END AS admitted_on
+            FROM documents
+            WHERE doc_id < 400""",
         "dni_check_letter": f"""
             SELECT doc_id, {doc} AS doc_num,
                    substr('{_DNI_TABLE}',
