@@ -62,9 +62,15 @@ spark = job.build_session(app="capstone", master="local[{cores}]",
 spark.sparkContext.setLogLevel("ERROR")
 
 def prep(src, dst):
+    # production-shaped handoff: a cluster-written table arrives in many
+    # splits; without this, the read of the single-digit-GB local sink
+    # yields ~30 input partitions and every curation stage inherits a
+    # two-wave imbalance at 32 cores (a small-scale artifact, not a plan
+    # property)
     (spark.read.parquet(src + "/data")
      .select(F.xxhash64("url").alias("doc_id"),
              F.coalesce(F.col("extracted_text"), F.lit("")).alias("text"))
+     .repartition({partitions})
      .write.mode("overwrite").parquet(dst))
 
 # -- warmup: both stages on a small input ------------------------------
