@@ -335,17 +335,30 @@ def run_curation(spark: SparkSession, input_path: str, output_path: str,
                       min_logodds_x1000=min_logodds_x1000,
                       substr_dedup_k=substr_dedup_k)
     # the verdict frame feeds three sinks and the summary — materialize
-    # once instead of re-running the gates per consumer
-    verdicts = verdicts.localCheckpoint(eager=False)
+    # once (eagerly: the two sink jobs below run concurrently and must
+    # not race to compute an unmaterialized checkpoint) instead of
+    # re-running the gates per consumer
+    verdicts = verdicts.localCheckpoint(eager=True)
 
-    (verdicts.filter("keep")
-     .select("doc_id", F.col("scrubbed_text").alias("text"),
-             "n_tokens", "shard_id")
-     .repartition(partitions, "shard_id")
-     .sortWithinPartitions("shard_id", "doc_id")
-     .write.mode("overwrite").parquet(f"{output_path}/data"))
-    (verdicts.select("doc_id", "keep", "drop_reason")
-     .write.mode("overwrite").parquet(f"{output_path}/report"))
+    def _write_data() -> None:
+        (verdicts.filter("keep")
+         .select("doc_id", F.col("scrubbed_text").alias("text"),
+                 "n_tokens", "shard_id")
+         .repartition(partitions, "shard_id")
+         .sortWithinPartitions("shard_id", "doc_id")
+         .write.mode("overwrite").parquet(f"{output_path}/data"))
+
+    def _write_report() -> None:
+        (verdicts.select("doc_id", "keep", "drop_reason")
+         .write.mode("overwrite").parquet(f"{output_path}/report"))
+
+    # data and report are independent reads of the checkpointed frame —
+    # overlap them (the run_pipeline sink idiom); the summary stays
+    # strictly last (write-audit-publish order)
+    from concurrent.futures import ThreadPoolExecutor
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        for fut in [pool.submit(_write_data), pool.submit(_write_report)]:
+            fut.result()  # surface the first failure
 
     # every sum is coalesced: over ZERO rows sum() is NULL, the summary
     # dict would carry Nones, and createDataFrame cannot infer types from
